@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+driver extensions); each takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
+
+Column names are aliased identically on both sides; float aggregates are
+computed via exact decimal sums (or exact integer division) so Spark and
+DuckDB produce bit-identical doubles regardless of partial-aggregation
+order.
 """
 
 from __future__ import annotations
@@ -13,26 +17,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from p6__mapreduce_spark.queries import ORACLE_SQL, QUERIES
+from p6__mapreduce_spark.sources.readers import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: token wordcount over documents at sf0.001.
+
+    Exercises the whole reference lifecycle (SURVEY.md §3): scan ->
+    map/emit (token explode) -> shuffle on key -> aggregate -> global
+    sort.
+    """
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return (
+        docs.select(F.explode(tokens_expr("text")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("key")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,65 @@
+"""Sources.
+
+The reference's only source is newline-delimited text files named on the
+command line (``map___reduce/mapreduce.c:156-186`` builds the file queue
+from argv; ``wordcount.c:9-21`` reads line-by-line). Multiple files are a
+work queue feeding one shared partition set, i.e. an implicit UNION ALL
+(``mapreduce.c:108-124``). Spark's ``read.text`` over a path list gives
+both behaviors natively, with splits scheduled per task instead of a
+mutex-guarded file counter.
+
+Parquet/JSON/CSV readers are the engine's scale-path sources (columnar
+scan, predicate pushdown, partition pruning — none of which the
+reference had).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_lines(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Text-file scan (reference O1) + multi-file UNION ALL (O2).
+
+    One ``value: string`` row per line; a list of paths is read as a
+    single dataset exactly like the reference's shared file queue.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.text(list(paths))
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic benchmark table from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
