@@ -1,0 +1,98 @@
+"""Exact n-gram Jaccard near-duplicate pairs via an inverted index.
+
+Never materializes the O(n²) pair space: documents are exploded to
+(shingle, doc_id) postings, self-joined on shingle (co-occurrence =
+candidate), and pair intersection counts come from one aggregation.
+Pairs sharing zero shingles never appear anywhere in the plan — at
+100 TB the cost is bounded by the posting-list join (hot shingles are
+the skew risk; AQE skew-join splitting is on, and `max_doc_freq`
+drops ubiquitous shingles the way IDF pruning does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.functions.text import word_shingles
+
+
+def shingle_postings(docs: DataFrame, k: int = 3, *, max_doc_freq: int | None = None) -> DataFrame:
+    """(doc_id, shingle) postings, one row per distinct shingle per doc."""
+    postings = docs.select(
+        "doc_id", F.explode(word_shingles("text", k)).alias("shingle")
+    )
+    if max_doc_freq is not None:
+        keep = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(keep, "shingle")
+    return postings
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    *,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """All (id1 < id2) pairs with shingle-set Jaccard >= threshold.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) — exact integer counts, so the
+    final double division is bit-reproducible against the SQL oracle.
+
+    ``candidates`` (optional, columns id1/id2) restricts the pair space —
+    used by MinHash-LSH to verify only its candidate pairs.
+    """
+    postings = shingle_postings(docs, k).cache()
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id1", "id2").distinct(), ["id1", "id2"], "left_semi")
+
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id1", "id2", "jaccard")
+        .orderBy("id1", "id2")
+    )
+
+
+JACCARD_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS i FROM toks WHERE len(w) >= {k}
+), sh AS (
+  SELECT DISTINCT doc_id, list_aggregate(w[i : i + {k} - 1], 'string_agg', ' ') AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_inter * 1.0 / (s1.n + s2.n - n_inter) AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= {threshold}
+ORDER BY 1, 2
+"""

@@ -43,7 +43,10 @@ def word_shingles(col: Column | str, k: int = 3, sep: str = " ") -> Column:
     """
     toks = tokens_expr(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    # sequence(0, n-k) counts DOWN when n < k — guard with empty array
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(0), n - F.lit(k))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(
         idx,
         lambda i: F.array_join(F.slice(toks, i + 1, k), sep),

@@ -1,0 +1,135 @@
+"""Text-analysis operators over a documents table (driver extension,
+SURVEY.md §7.2 M3): token statistics, word frequency, language-ID
+heuristic, quality scoring, document fingerprinting.
+
+Everything is built-in expressions / higher-order functions — JVM-side,
+codegen'd, zero Python in the hot path — so each operator is a pure
+map-side projection (no shuffle) except word_freq's aggregation. At
+100 TB these run at scan speed with full column pruning.
+
+All arithmetic is integer or exact-integer-over-integer division so the
+DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.functions.hashing import POLY_BASE, POLY_MOD, poly_hash_expr
+from p6__mapreduce_spark.functions.text import tokens_expr
+
+# Stopword lists for the n-gram/stopword language heuristic. The score
+# for each language = fraction of tokens in its stopword set.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: counts + unique ratio.
+
+    Oracle pattern (DuckDB): toks = list_filter(string_split_regex(
+    lower(trim(text)), '[^a-z0-9]+'), t -> t <> '').
+    """
+    toks = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.trim("text")).alias("len_chars"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("unique_ratio"),
+    )
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """Corpus-wide token frequency (the tokenized form of the reference's
+    wordcount: GROUP BY token, COUNT(*))."""
+    return (
+        docs.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("token")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language heuristic.
+
+    predicted = argmax over languages of stopword-hit fraction;
+    'und' (undetermined) when every score is 0. Ties break by language
+    code ascending (deterministic). Scores are exact (int/int division).
+    """
+    toks = tokens_expr("text")
+    n = F.size(toks)
+
+    def stopword_hits(sw: tuple[str, ...]):
+        # closure factory: HOF lambdas must take exactly one parameter
+        # (PySpark derives the lambda's arity from its signature)
+        return lambda t: t.isin(*sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, stopword_hits(sw))) * F.lit(1.0) / n
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    # argmax via greatest + chained when (tie -> first lang in asc order)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, *, min_tokens: int = 20, max_chars: int = 2000) -> DataFrame:
+    """Heuristic document-quality signals + composite score in [0, 1].
+
+    Components (all exact arithmetic): length fitness, lexical
+    diversity (unique ratio), mean token length fitness. Composite =
+    unweighted mean of the three component indicators.
+    """
+    toks = tokens_expr("text")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    chars = F.length(F.trim("text"))
+    len_ok = (n >= F.lit(min_tokens)) & (chars <= F.lit(max_chars))
+    mean_tok_len = chars * F.lit(1.0) / n
+    tok_len_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    diversity = uniq * F.lit(1.0) / n
+    score = (
+        len_ok.cast("int") + tok_len_ok.cast("int") + (diversity >= 0.3).cast("int")
+    ) * F.lit(1.0) / F.lit(3.0)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        len_ok.cast("int").alias("len_ok"),
+        tok_len_ok.cast("int").alias("tok_len_ok"),
+        diversity.alias("diversity"),
+        score.alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: sha256 (exact-dedup key) + 31-bit polynomial
+    rolling hash (cheap locality-friendly fingerprint)."""
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        poly_hash_expr("text").alias("poly_hash"),
+    )
+
+
+def poly_hash_oracle_sql(expr: str, *, base: int = POLY_BASE, mod: int = POLY_MOD, seed: int = 0) -> str:
+    """DuckDB equivalent of functions.hashing.poly_hash_expr(expr)."""
+    return (
+        f"list_reduce([CAST({seed} AS BIGINT)] || "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({expr}, '')], "
+        f"(acc, x) -> (acc * {base} + x) % {mod})"
+    )
+
+
+TOKENS_ORACLE = (
+    "list_filter(string_split_regex(lower(trim({col})), '[^a-z0-9]+'), t -> t <> '')"
+)

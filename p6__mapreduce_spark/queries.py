@@ -127,3 +127,371 @@ def q_mr_facade_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort.c:9-36). Output = (key, out=key) like the reducer's print."""
     lines = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").cast("string").alias("value"))
     return mr_run(spark, lines, sort_job(num_partitions=4)).select("key", "out")
+
+
+# ---------------------------------------------------------------------------
+# Analytics surface (joins / windows / JSON / event-time — SURVEY.md §2.4
+# categories the reference lacked, provided as first-class engine queries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import revenue_by_nation
+
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "nation", "region")}
+    return revenue_by_nation(t["customer"], t["orders"], t["lineitem"], t["nation"], t["region"])
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import top_orders_per_customer
+
+    return top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "event_json_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import event_json_stats
+
+    return event_json_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_window_5m",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS cnt,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"), minutes=5)
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH secs AS (
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    ), gaps AS (
+      SELECT user_id,
+             CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM secs
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>threshold flag, counted per user. One
+    shuffle on user_id; the window sort rides the same exchange."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (driver extension M3)
+# ---------------------------------------------------------------------------
+
+from p6__mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    LANG_STOPWORDS,
+    TOKENS_ORACLE,
+    poly_hash_oracle_sql,
+)
+
+_TOKS = TOKENS_ORACLE.format(col="text")
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, length(trim(text)) AS len_chars, {_TOKS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+           CAST(len_chars AS INTEGER) AS len_chars,
+           len(list_distinct(w)) * 1.0 / len(w) AS unique_ratio
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "word_freq",
+    oracle=f"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import word_freq
+
+    return word_freq(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    scores = {
+        lang: f"len(list_filter(w, t -> list_contains({list(sw)}, t))) * 1.0 / len(w)"
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN ({scores[lang]}) = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    scored AS (SELECT doc_id, w, {best} AS best FROM toks)
+    SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register("lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, length(trim(text)) AS chars, {_TOKS} AS w FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             CASE WHEN len(w) >= 20 AND chars <= 2000 THEN 1 ELSE 0 END AS len_ok,
+             CASE WHEN chars * 1.0 / len(w) >= 2.0 AND chars * 1.0 / len(w) <= 12.0 THEN 1 ELSE 0 END AS tok_len_ok,
+             len(list_distinct(w)) * 1.0 / len(w) AS diversity
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, len_ok, tok_len_ok, diversity,
+           (len_ok + tok_len_ok + CASE WHEN diversity >= 0.3 THEN 1 ELSE 0 END) * 1.0 / 3.0 AS quality
+    FROM feats ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, sha256(text) AS sha256_hex,
+           {poly_hash_oracle_sql('text')} AS poly_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (driver extension M3)
+# ---------------------------------------------------------------------------
+
+from p6__mapreduce_spark.dedup.jaccard import JACCARD_ORACLE_SQL  # noqa: E402
+
+_JACCARD_08 = JACCARD_ORACLE_SQL.format(k=3, threshold=0.8)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.dedup.exact import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_08)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_08)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash with exact-Jaccard verification: output equals
+    the exact pair set (P[miss at j>=0.8] ~ 8e-8 with 16 bands x 2)."""
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    from p6__mapreduce_spark.dedup.simhash import simhash_oracle_sql
+
+    return simhash_oracle_sql()
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.dedup.simhash import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    ORDER BY 1, 2
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.dedup.embedding import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (driver extension M3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                         sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 16
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.similarity.bruteforce import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
+
+
+@register("knn_lsh")  # approximate by construction -> rows-only check
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.similarity.lsh import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, queries=emb.filter(F.col("vec_id") < 16), k=5, dim=64, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (driver extension M3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]) % 65536 AS BIGINT) AS checksum,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode -> mapInPandas feature extraction
+    (Arrow batches). Oracle valid because the fake payload is the UTF-8
+    encoding of ASCII text (byte i == ascii(char i))."""
+    from p6__mapreduce_spark.multimodal.columns import attach_binary_payload, extract_features
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs).orderBy("doc_id")

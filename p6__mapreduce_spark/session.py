@@ -45,6 +45,9 @@ def get_session(app_name: str = "p6__mapreduce_spark", *, shuffle_partitions: in
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # read TIMESTAMP(NANOS) parquet columns as raw nanos longs
+        # (Spark has no nanos timestamp type); readers convert to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

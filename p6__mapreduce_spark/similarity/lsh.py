@@ -1,0 +1,105 @@
+"""Approximate nearest neighbors via random-hyperplane LSH.
+
+The scale path for similarity search: sign(v · r_i) over ``num_planes``
+fixed pseudo-random hyperplanes gives a compact bucket id whose
+collision probability rises with cosine similarity. Queries probe
+their own bucket plus all Hamming-distance-1 neighbors (multi-probe),
+then rank exactly within the probed buckets.
+
+Cost model at 100 TB: candidates per query ≈ n / 2^num_planes ×
+(1 + num_planes) instead of n — the cross join never happens. The
+hyperplanes are generated from a fixed seed on the driver (a few KB)
+and folded into the plan as literals, so executors share them without
+a broadcast variable.
+
+Approximate by construction → no SQL oracle; recall vs knn_bruteforce
+is asserted in tests (tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.functions.vectors import dot_product, l2_norm
+
+SEED = 42
+
+
+def _planes(dim: int, num_planes: int, seed: int = SEED) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Integer bucket id: bit i = sign(v · plane_i)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda v, p: v * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the LSH bucket id (map-side only; no shuffle)."""
+    return embeddings.withColumn("bucket", _bucket_expr(vec_col, _planes(dim, num_planes)))
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    *,
+    dim: int = 64,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe own bucket + Hamming-1 neighbors, rank
+    exactly within the probed candidate set."""
+    if queries is None:
+        queries = embeddings
+    planes = _planes(dim, num_planes)
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+        _bucket_expr(vec_col, planes).alias("qbucket"),
+    ).select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_product("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )

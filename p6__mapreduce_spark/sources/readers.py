@@ -57,8 +57,21 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic benchmark table from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one synthetic benchmark table from a scale-factor directory.
+
+    The events table stores ts as parquet TIMESTAMP(NANOS), which Spark
+    reads as a nanos long (``spark.sql.legacy.parquet.nanosAsLong``);
+    convert to a proper microsecond timestamp here so downstream
+    operators see a TimestampType column.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer DIV: float division would lose precision on e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TPCH_TABLES) -> dict[str, DataFrame]:

@@ -1,0 +1,73 @@
+"""Event-time windowed aggregation — batch and streaming forms.
+
+The reference has no streaming surface (SURVEY.md §2.4); this is the
+driver-mandated extension. One transformation definition serves both
+the batch DataFrame (oracle-checkable) and the Structured Streaming
+query (readStream + watermark + windowed agg), which is the idiomatic
+Spark shape: the logical plan is identical, only the source/sink and
+late-data policy differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _window_agg(events: DataFrame, minutes: int) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+
+
+def windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Tumbling-window counts + exact value sums per event type.
+
+    window_start is epoch seconds (bigint) — timezone-proof against the
+    oracle (DuckDB: epoch(time_bucket(INTERVAL n minutes, ts))). Value
+    sums use integer cents so partial-aggregation order can't perturb
+    the result.
+    """
+    return _window_agg(events, minutes).orderBy("window_start", "event_type")
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    query_name: str = "event_counts",
+):
+    """Structured Streaming form: parquet directory source -> watermarked
+    tumbling-window aggregation -> in-memory sink (complete mode).
+
+    Returns the StreamingQuery; callers drive it with
+    ``processAllAvailable()`` and read ``spark.sql(f"SELECT * FROM
+    {query_name}")``. On a real cluster the source/sink swap for
+    Kafka/Delta; the aggregation plan is unchanged. The watermark
+    bounds state: windows older than the watermark are finalized and
+    evicted, so state size is O(active windows), not O(stream length).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = _window_agg(stream, minutes)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

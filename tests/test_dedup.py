@@ -1,0 +1,75 @@
+"""Dedup suite tests: planted duplicates must be found; non-dups must not."""
+
+from __future__ import annotations
+
+from p6__mapreduce_spark.dedup.exact import exact_dedup
+from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
+from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
+from p6__mapreduce_spark.dedup.simhash import simhash
+
+BASE = (
+    "spark shuffles data between stages using hash partitioning and "
+    "adaptive query execution coalesces small partitions at runtime "
+    "while broadcast joins avoid the shuffle entirely for small tables"
+)
+NEAR_DUP = BASE.replace("small partitions", "tiny partitions")  # 1-word edit
+UNRELATED = (
+    "completely different text about cooking pasta with tomato sauce "
+    "basil garlic and olive oil simmered slowly on the stove top pan"
+)
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR_DUP), (2, UNRELATED), (3, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    rows = exact_dedup(docs_df(spark)).collect()
+    by_copies = {r.n_copies: r for r in rows}
+    assert by_copies[2].keep_id == 0  # docs 0 and 3 identical, min id kept
+    assert sum(r.n_copies for r in rows) == 4
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    pairs = {(r.id1, r.id2): r.jaccard for r in ngram_jaccard_pairs(docs_df(spark), 0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - py_jaccard(BASE, NEAR_DUP)) < 1e-12
+    assert not any(2 in p for p in pairs)  # unrelated doc in no pair
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    df = docs_df(spark)
+    lsh = {(r.id1, r.id2) for r in minhash_lsh_pairs(df, 0.5).collect()}
+    exact = {(r.id1, r.id2) for r in ngram_jaccard_pairs(df, 0.5).collect()}
+    assert lsh == exact
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = docs_df(spark)
+    s1 = {r.doc_id: r.sig for r in minhash_signatures(df).collect()}
+    s2 = {r.doc_id: r.sig for r in minhash_signatures(df).collect()}
+    assert s1 == s2                       # deterministic (fixed seeds)
+    assert all(len(sig) == 32 for sig in s1.values())
+    assert s1[0] == s1[3]                 # identical docs -> identical sigs
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    h = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert h[0] == h[3]
+    assert hamming(h[0], h[1]) <= 6       # near-dup: few bits differ
+    assert hamming(h[0], h[2]) >= 8       # unrelated: many bits differ

@@ -1,0 +1,37 @@
+"""Structured Streaming: the streaming windowed aggregation must agree
+with its batch twin once all input is processed."""
+
+from __future__ import annotations
+
+import pytest
+
+from p6__mapreduce_spark.sources.readers import load_table
+from p6__mapreduce_spark.streaming.windows import stream_event_counts, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): (r.cnt, r.value_cents)
+        for r in windowed_event_counts(events, minutes=5).collect()
+    }
+
+    stream_input = spark.read.parquet(src)
+    q = stream_event_counts(
+        spark, src, stream_input.schema, minutes=5, query_name="t_stream"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.cnt, r.value_cents)
+            for r in spark.sql("SELECT * FROM t_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert len(got) > 100

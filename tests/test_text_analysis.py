@@ -1,0 +1,74 @@
+"""Text-analysis operator tests on crafted documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from p6__mapreduce_spark.functions.hashing import POLY_BASE, POLY_MOD
+from p6__mapreduce_spark.operators.text_analysis import (
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+    word_freq,
+)
+
+
+def docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def py_poly_hash(s: str, base: int = POLY_BASE, mod: int = POLY_MOD) -> int:
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def test_token_stats(spark):
+    rows = token_stats(docs_df(spark, ["Hello, hello world!", "a b a b a"])).orderBy("doc_id").collect()
+    assert (rows[0].n_tokens, rows[0].n_unique) == (3, 2)  # hello hello world
+    assert (rows[1].n_tokens, rows[1].n_unique) == (5, 2)
+    assert rows[1].unique_ratio == 2 / 5
+
+
+def test_word_freq(spark):
+    rows = word_freq(docs_df(spark, ["a b a", "b c"])).collect()
+    assert [(r.token, r.cnt) for r in rows] == [("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_lang_id_stopword_heuristic(spark):
+    rows = (
+        lang_id(
+            docs_df(
+                spark,
+                [
+                    "the cat sat on the mat and the dog is here",
+                    "der hund und die katze ist ein tier",
+                    "xyz qqq zzz www",
+                ],
+            )
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.pred_lang for r in rows] == ["en", "de", "und"]
+
+
+def test_quality_score_components(spark):
+    long_doc = " ".join(f"tok{i}" for i in range(30))
+    rows = quality_score(docs_df(spark, [long_doc, "x y"])).orderBy("doc_id").collect()
+    assert rows[0].len_ok == 1 and rows[0].quality == 1.0
+    assert rows[1].len_ok == 0  # too short
+
+
+def test_fingerprints_match_python_model(spark):
+    import hashlib
+
+    texts = ["hello world", "abc", ""]
+    rows = fingerprints(docs_df(spark, texts)).orderBy("doc_id").collect()
+    for row, text in zip(rows, texts):
+        assert row.sha256_hex == hashlib.sha256(text.encode()).hexdigest()
+        assert row.poly_hash == py_poly_hash(text)
