@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Each query is forced with a count() action (no driver-side collect of
+result payloads). A warm-up action runs first so JVM/codegen startup
+isn't attributed to the first query.
+
+Excluded from the headline set (still available in queries()):
+embedding_neardup (exact O(n^2) pair materialization — its scale path
+is knn_lsh, which is timed) and the hypothesis-style micro ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference parity
+    "wordcount_lines",
+    "wordcount_union",
+    "distinct_sorted",
+    "range_bucket_sort",
+    "mr_facade_wordcount",
+    # analytics
+    "tpch_q1_pricing",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "events_window_5m",
+    "user_sessions",
+    "event_json_stats",
+    # text / dedup / similarity / multimodal
+    "token_stats",
+    "word_freq",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "knn_lsh",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from p6__mapreduce_spark.queries import QUERIES
+    from p6__mapreduce_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

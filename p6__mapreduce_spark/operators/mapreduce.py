@@ -91,20 +91,49 @@ def _map_phase(lines: DataFrame, map_fn: MapFn) -> DataFrame:
 
 
 def _reduce_phase(pairs: DataFrame, reduce_fn: ReduceFn) -> DataFrame:
-    """groupBy(key).applyInPandas: one pandas group per distinct key.
+    """Partition-scan reduce: sortWithinPartitions(key) + mapInPandas.
 
-    Mirrors the reference's one-Reduce-call-per-distinct-key contract
-    (``mapreduce.c:143-146``); the value iterator is the group's value
-    column. Value order within a key is unspecified — exactly like the
-    reference under >1 mapper thread.
+    This is the reference's reducer loop verbatim (``mapreduce.c:
+    131-146``: each reducer walks its partition's key-sorted list and
+    calls Reduce once per distinct key) — and it is also the fast
+    shape: one Arrow stream per partition instead of one pandas
+    DataFrame per key (15k tiny groups cost ~10x the whole job).
+    Key groups spanning Arrow batch boundaries are carried over, so
+    semantics don't depend on batch size. Value order within a key is
+    unspecified — exactly like the reference under >1 mapper thread.
+
+    Requires ``pairs`` to already be partitioned by key (mr_run's
+    repartition guarantees every occurrence of a key lands in one
+    partition).
     """
 
-    def run(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        key = key_tuple[0]
-        out = list(reduce_fn(key, iter(pdf["value"])))
-        return pd.DataFrame({"key": [key] * len(out), "out": out})
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_keys: list[str] = []
+        out_vals: list[str] = []
+        cur_key: str | None = None
+        cur_vals: list[str] = []
 
-    return pairs.groupBy("key").applyInPandas(run, schema="key string, out string")
+        def flush_group() -> None:
+            if cur_key is not None:
+                for out in reduce_fn(cur_key, iter(cur_vals)):
+                    out_keys.append(cur_key)
+                    out_vals.append(out)
+
+        for pdf in batches:
+            for k, v in zip(pdf["key"], pdf["value"]):
+                if k != cur_key:
+                    flush_group()
+                    cur_key, cur_vals = k, [v]
+                else:
+                    cur_vals.append(v)
+            if len(out_keys) >= 10000:
+                yield pd.DataFrame({"key": out_keys, "out": out_vals})
+                out_keys, out_vals = [], []
+        flush_group()
+        yield pd.DataFrame({"key": out_keys, "out": out_vals})
+
+    ordered = pairs.sortWithinPartitions("key")
+    return ordered.mapInPandas(run, schema="key string, out string")
 
 
 def mr_run(
