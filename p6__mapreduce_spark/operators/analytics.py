@@ -85,6 +85,67 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def cube_counts(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    in one pass (Spark expands the sets before the single exchange)."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def status_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot order status into columns per priority (explicit value list
+    so the plan is static — required for both Catalyst and at-scale
+    schema stability)."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+
+
+def asof_last_event(events: DataFrame, event_type: str = "signup") -> DataFrame:
+    """As-of join (point-in-time lookup), self-form: for every event,
+    the timestamp of the most recent <= event of ``event_type`` for the
+    same user.
+
+    Spark has no native as-of join; the scalable composition is a
+    conditional running MAX over the event-time window — one shuffle on
+    user_id, no range cross-join, state O(1) per row. The same pattern
+    joins a fact stream to a slowly-changing dimension: union the two
+    sources, window over the union, filter back to fact rows.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marker = F.when(F.col("event_type") == event_type, F.col("ts").cast("long"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.max(marker).over(w).alias("last_marker_sec"),
+    ).orderBy("event_id")
+
+
+def approx_stats(lineitem: DataFrame) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct counts and approximate
+    quantiles — the sketches a 100 TB profile pass uses instead of
+    exact DISTINCT/percentile (no full shuffle of the key space).
+    Engine-specific estimators -> rows-only correctness check; exact
+    counterparts are covered by distinct_sorted / tpch_q1.
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    ).orderBy("l_returnflag")
+
+
 def event_json_stats(events: DataFrame) -> DataFrame:
     """JSON extraction + aggregation over the semi-structured props
     column: get_json_object stays JVM-side (Jackson), no Python."""

@@ -160,6 +160,46 @@ def mr_run(
     return reduced
 
 
+def MR_Run(
+    spark: SparkSession,
+    files: Sequence[str] | DataFrame,
+    mapper: MapFn,
+    num_mappers: int,
+    reducer: ReduceFn,
+    num_reducers: int,
+    partitioner: PartitionExpr | str = "hash",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Signature-parity wrapper for the reference's library entry point
+    (``map___reduce/mapreduce.h:17-20``).
+
+    num_mappers / num_reducers are accepted and ignored (Spark's
+    scheduler owns task parallelism; input splits replace the mapper
+    work queue, shuffle partitions replace reducer threads).
+    ``partitioner`` may be "hash" (MR_DefaultHashPartition analog),
+    "range" (MR_SortedPartition analog), or a (key_col, n) -> Column
+    callable.
+    """
+    part: PartitionExpr
+    if partitioner == "hash":
+        part = hash_partitioner
+    elif partitioner == "range":
+        part = range_partitioner
+    elif callable(partitioner):
+        part = partitioner
+    else:
+        raise ValueError(f"unknown partitioner: {partitioner!r}")
+    job = MapReduceJob(
+        map_fn=mapper,
+        reduce_fn=reducer,
+        num_partitions=num_partitions,
+        partitioner=part,
+        num_mappers=num_mappers,
+        num_reducers=num_reducers,
+    )
+    return mr_run(spark, files if isinstance(files, DataFrame) else list(files), job)
+
+
 def wordcount_job(num_partitions: int = 32) -> MapReduceJob:
     """The reference ``wordcount`` client (``wordcount.c``) on the facade."""
 

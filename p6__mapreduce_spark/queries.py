@@ -495,3 +495,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / as-of / sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY 1, 2
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import cube_counts
+
+    return cube_counts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import status_pivot
+
+    return status_pivot(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    WITH secs AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    )
+    SELECT event_id, user_id, ts_sec,
+           max(CASE WHEN event_type = 'signup' THEN ts_sec END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_marker_sec
+    FROM secs ORDER BY event_id
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import asof_last_event
+
+    return asof_last_event(load_table(spark, sf_dir, "events"), "signup")
+
+
+@register("approx_stats")  # engine-specific sketch estimators -> rows-only
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.analytics import approx_stats
+
+    return approx_stats(load_table(spark, sf_dir, "lineitem"))

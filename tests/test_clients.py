@@ -1,0 +1,58 @@
+"""Reference client-program parity: wordcount / sort over real text
+files, checked against the golden-rule models (`LC_ALL=C sort -u`,
+Counter), plus the MR_Run signature wrapper."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from p6__mapreduce_spark.clients import sort_unique, wordcount
+from p6__mapreduce_spark.operators.mapreduce import MR_Run
+from tests import conftest as fx
+
+
+def write_files(tmp_path, datasets: list[list[str]]) -> list[str]:
+    paths = []
+    for i, lines in enumerate(datasets):
+        p = tmp_path / f"in{i}.txt"
+        p.write_text("\n".join(lines) + "\n")
+        paths.append(str(p))
+    return paths
+
+
+def test_wordcount_client_multi_file(spark, tmp_path):
+    d1, d2 = fx.f2_words(), fx.f1_medium()[:500]
+    paths = write_files(tmp_path, [d1, d2])
+    got = [(r.key, r.cnt) for r in wordcount(spark, paths).collect()]
+    assert got == sorted(Counter(d1 + d2).items())
+
+
+def test_sort_client_p1_matches_c_sort_u(spark, tmp_path):
+    lines = fx.f1_medium()
+    paths = write_files(tmp_path, [lines])
+    got = [r.key for r in sort_unique(spark, paths, num_partitions=1).collect()]
+    assert got == sorted(set(lines))  # LC_ALL=C sort -u
+
+
+def test_sort_client_p8_bucket_order(spark, tmp_path):
+    lines = fx.f1_tiny()
+    paths = write_files(tmp_path, [lines])
+    got = [r.key for r in sort_unique(spark, paths, num_partitions=8).collect()]
+    # top-3-bit buckets (shift 29): 42,7 -> 0; 1000000000 -> 1;
+    # 3333333333 (uint32 wrap) -> 6; byte-wise within bucket ('42' < '7')
+    assert got == ["42", "7", "1000000000", "3333333333"]
+
+
+def test_mr_run_signature_wrapper(spark, tmp_path):
+    lines = ["b", "a", "b", "c", "a", "b"]
+    paths = write_files(tmp_path, [lines])
+
+    def mapper(line):
+        yield (line, "1")
+
+    def reducer(key, values):
+        yield str(sum(int(v) for v in values))
+
+    # M=9, R=8 accepted-and-ignored like the reference CLI's thread args
+    out = MR_Run(spark, paths, mapper, 9, reducer, 8, "hash", 4)
+    assert {(r.key, r.out) for r in out.collect()} == {("a", "2"), ("b", "3"), ("c", "1")}

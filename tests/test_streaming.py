@@ -35,3 +35,43 @@ def test_stream_matches_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     assert len(got) > 100
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from p6__mapreduce_spark.streaming.stateful import user_running_totals
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "state_src")
+    events.write.parquet(src)
+
+    from pyspark.sql import functions as F
+
+    batch_want = {
+        (r.user_id, r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode: keep the LAST row per user (running totals grow)
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(value_cents_total) AS cents "
+            "FROM t_state GROUP BY user_id"
+        ).collect()
+        got = {(r.user_id, r.n, r.cents) for r in rows}
+    finally:
+        q.stop()
+    assert got == batch_want
