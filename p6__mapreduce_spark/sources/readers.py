@@ -56,6 +56,17 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_csv(spark: SparkSession, path: str, schema=None, *, header: bool = True) -> DataFrame:
+    """CSV scan. Always pass an explicit schema in production — schema
+    inference is a full extra pass over the data (prohibitive at scale)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic benchmark table from a scale-factor directory.
 

@@ -1,0 +1,40 @@
+"""Source/sink round-trips: every format the engine reads or writes."""
+
+from __future__ import annotations
+
+from p6__mapreduce_spark.sources.readers import read_csv, read_json, read_lines, read_parquet
+from p6__mapreduce_spark.sources.sinks import collect_lines, write_parquet
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "id long, v string, part string"
+    )
+    out = str(tmp_path / "out")
+    write_parquet(df, out, partition_by=["part"])
+    back = read_parquet(spark, out)
+    assert {(r.id, r.v, r.part) for r in back.collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
+    # partition pruning: filtering on the partition column prunes files
+    plan = back.filter("part = 'x'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    (tmp_path / "c.csv").write_text("id,v\n1,a\n2,b\n")
+    df = read_csv(spark, p, schema="id long, v string")
+    assert [(r.id, r.v) for r in df.orderBy("id").collect()] == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "j.json")
+    (tmp_path / "j.json").write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+    df = read_json(spark, p, schema="id long, v string")
+    assert [(r.id, r.v) for r in df.orderBy("id").collect()] == [(1, "a"), (2, "b")]
+
+
+def test_collect_lines_stdout_shape(spark):
+    df = spark.createDataFrame([("a", 2), ("b", 1)], "key string, cnt int").orderBy("key")
+    assert collect_lines(df) == ["a 2", "b 1"]
