@@ -111,6 +111,28 @@ def quality_score(docs: DataFrame, *, min_tokens: int = 20, max_chars: int = 200
     )
 
 
+def ngram_freq(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Corpus-wide n-gram frequency (all occurrences, not per-doc
+    distinct). Map-side n-gram construction via index transform — the
+    only shuffle is the final count aggregation.
+
+    Oracle: unnest over range(1, len(w)-n+2) building
+    w[i]||' '||...||w[i+n-1], then GROUP BY.
+    """
+    toks = tokens_expr("text")
+    cnt = F.size(toks)
+    idx = F.when(cnt >= F.lit(n), F.sequence(F.lit(0), cnt - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("ngram")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprints: sha256 (exact-dedup key) + 31-bit polynomial
     rolling hash (cheap locality-friendly fingerprint)."""

@@ -558,3 +558,18 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.operators.analytics import approx_stats
 
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "bigram_freq",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS w FROM documents),
+    idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+    SELECT w[i] || ' ' || w[i+1] AS ngram, COUNT(*) AS cnt
+    FROM idx GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import ngram_freq
+
+    return ngram_freq(load_table(spark, sf_dir, "documents"), n=2)

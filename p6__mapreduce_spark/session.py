@@ -48,6 +48,10 @@ def get_session(app_name: str = "p6__mapreduce_spark", *, shuffle_partitions: in
         # read TIMESTAMP(NANOS) parquet columns as raw nanos longs
         # (Spark has no nanos timestamp type); readers convert to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,3 +26,24 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partitio
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 32,
+    *,
+    sort_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: later equi-joins/aggregations on
+    ``bucket_key`` between tables with matching bucketing read
+    co-located buckets and skip the shuffle entirely — the 100 TB
+    answer to repeated joins on the same key (pay the shuffle once at
+    write time, never again at read time).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table)

@@ -1,0 +1,82 @@
+"""Scale-feature tests: SQL entry point, bucketed shuffle-free joins,
+salted skew-safe aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.functions.skew import salted_count_distinct, with_salt
+from p6__mapreduce_spark.sources.readers import load_table
+from p6__mapreduce_spark.sources.sinks import write_bucketed
+from p6__mapreduce_spark.sql import register_tables, sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_entry_point_matches_dataframe(spark):
+    from p6__mapreduce_spark.operators.analytics import pricing_summary
+
+    register_tables(spark, SF)
+    got = sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    ).collect()
+    want = pricing_summary(load_table(spark, SF, "lineitem")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    import shutil
+
+    # in-memory catalog + persistent warehouse dir: clear leftovers from
+    # previous sessions or saveAsTable refuses the location
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}", ignore_errors=True)
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(od, "b_orders", "o_orderkey", 8)
+    joined = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: the join itself needs no exchange
+    join_section = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+    assert "Exchange hashpartitioning(l_orderkey" not in join_section
+    assert "SelectedBucketsCount" in plan
+
+
+def test_salted_count_distinct_matches_exact(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r.l_returnflag: r.n_distinct
+        for r in salted_count_distinct(li, "l_returnflag", "l_partkey", 8).collect()
+    }
+    want = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_with_salt_bounded_and_deterministic(spark):
+    df = load_table(spark, SF, "orders").limit(100)
+    s1 = [r._salt for r in with_salt(df, 4).collect()]
+    s2 = [r._salt for r in with_salt(df, 4).collect()]
+    assert s1 == s2
+    assert all(0 <= s < 4 for s in s1)
