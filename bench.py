@@ -62,7 +62,10 @@ def main() -> None:
     from p6__mapreduce_spark.session import get_session
 
     spark = get_session("bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # warm up JVM codegen AND the parquet reader stack so the first
+    # timed query doesn't pay one-time initialization
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -48,6 +48,9 @@ def ngram_jaccard_pairs(
     ``candidates`` (optional, columns id1/id2) restricts the pair space —
     used by MinHash-LSH to verify only its candidate pairs.
     """
+    # postings feed 3 plan branches (two self-join sides + sizes):
+    # cache halves the end-to-end time at test scale. At 100 TB swap the
+    # cache for a checkpointed/written intermediate — same plan shape.
     postings = shingle_postings(docs, k).cache()
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 

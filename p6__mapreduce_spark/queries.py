@@ -573,3 +573,68 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.operators.text_analysis import ngram_freq
 
     return ngram_freq(load_table(spark, sf_dir, "documents"), n=2)
+
+
+# ---------------------------------------------------------------------------
+# Set operations / global top-k (completing the relational surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY 1
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers with BOTH open and
+    finished orders. Spark plans it as a left-semi join under distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f).orderBy("o_custkey")
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY 1
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (anti-join under distinct): customers with no pending order."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pend = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(pend).orderBy("c_custkey")  # EXCEPT DISTINCT
+
+
+@register(
+    "top100_orders_global",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans ORDER BY + LIMIT as TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on one reducer — no full
+    sort of the table). Tie-broken for determinism."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
