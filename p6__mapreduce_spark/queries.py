@@ -638,3 +638,26 @@ def q_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         )
     )
+
+
+@register(
+    "events_window_streaming",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS cnt,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed aggregation as events_window_5m but executed by
+    Structured Streaming (file source -> watermark -> complete-mode
+    memory sink, driven to completion). No late data -> stream output ==
+    batch output == SQL oracle."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.windows import run_stream_to_completion
+
+    return run_stream_to_completion(
+        spark, _os.path.join(sf_dir, "events.parquet"), minutes=5
+    )

@@ -41,6 +41,33 @@ def windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     return _window_agg(events, minutes).orderBy("window_start", "event_type")
 
 
+def run_stream_to_completion(spark: SparkSession, events_parquet: str, minutes: int = 5) -> DataFrame:
+    """Execute the streaming windowed aggregation over a parquet file and
+    return the final result as a batch DataFrame.
+
+    Stages the file into a temp directory (Spark's file stream source
+    requires a directory), drives the query with processAllAvailable
+    (deterministic completion — the test/CI shape), and returns the
+    complete-mode result. With no late data the output equals the batch
+    twin, so this query shares windowed_event_counts' SQL oracle.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="p6_stream_")
+    shutil.copy(events_parquet, src)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(events_parquet).schema
+    query = stream_event_counts(spark, src, schema, minutes=minutes, query_name=name)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 - generated name
+    return out.orderBy("window_start", "event_type")
+
+
 def stream_event_counts(
     spark: SparkSession,
     source_dir: str,
@@ -59,11 +86,13 @@ def stream_event_counts(
     bounds state: windows older than the watermark are finalized and
     evicted, so state size is O(active windows), not O(stream length).
     """
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .withWatermark("ts", watermark)
-    )
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # raw testdata parquet: ts is TIMESTAMP(NANOS) read as long
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = stream.withWatermark("ts", watermark)
     agg = _window_agg(stream, minutes)
     return (
         agg.writeStream.outputMode("complete")
