@@ -2,11 +2,10 @@
 
 Each token hashes to 31 usable bits (polynomial hash); bit b of the
 fingerprint is 1 iff the sum over token occurrences of (+1 if bit set
-else -1) is positive. Pure map-side expression work — the token-hash
-array is computed once, then 32 `aggregate` folds produce the bit
-votes. Near-duplicate candidates = fingerprints within small Hamming
-distance (grouping by band of the fingerprint, same LSH idea as
-minhash).
+else -1) is positive. One explode + one partial-aggregated groupBy —
+the shuffle carries 32 small vote sums per doc per map task.
+Near-duplicate candidates = fingerprints within small Hamming distance
+(grouping by band of the fingerprint, same LSH idea as minhash).
 
 The whole computation is reproducible in ANSI SQL (DuckDB list
 comprehensions) — see ``simhash_oracle_sql``.
@@ -26,25 +25,31 @@ NUM_BITS = 32
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash: long) — 32-bit fingerprint; docs with no tokens
-    are dropped (no signal)."""
-    toks = tokens_expr("text")
-    hashes = F.transform(toks, lambda t: poly_hash_expr(t))
-    def bit_vote(b: int):
-        # closure factory: aggregate's merge lambda must be exactly 2-ary
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    are dropped (no signal).
 
-    bit_cols = []
-    for b in range(NUM_BITS):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
-        bit_cols.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    fingerprint = sum(bit_cols[1:], bit_cols[0])
-    return (
-        docs.select("doc_id", F.size(toks).alias("_n"), fingerprint.alias("simhash"))
-        .filter(F.col("_n") > 0)
-        .select("doc_id", "simhash")
+    Plan shape mirrors minhash: explode tokens -> one polynomial hash
+    per (doc, token) row -> groupBy(doc_id) with 32 SUM(+-1 bit vote)
+    aggregates (partial map-side), then assemble bits. Hashing each
+    token exactly once in codegen beats 32 interpreted higher-order
+    folds over the token array.
+    """
+    hashed = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    ).select("doc_id", poly_hash_expr("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(NUM_BITS)
+        ]
     )
+    bit_cols = [
+        F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(NUM_BITS)
+    ]
+    fingerprint = sum(bit_cols[1:], bit_cols[0])
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_oracle_sql() -> str:
