@@ -78,6 +78,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Defensive session conf: the caller may pass a session built
+    # elsewhere (the driver harness does). Nanos-timestamp parquet needs
+    # the legacy long read, and oracle comparison assumes UTC semantics
+    # for timestamp literals. Both are runtime-settable SQL confs.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
+
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer DIV: float division would lose precision on e18 nanos
