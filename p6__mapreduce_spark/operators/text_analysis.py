@@ -143,6 +143,48 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken-style):
+    rolling hash over char k-grams, keep the MIN hash in each window of
+    ``window`` consecutive k-grams, output the distinct selected prints.
+
+    Two documents sharing any substring of length >= k + window - 1
+    share at least one fingerprint — the substring-granular near-dup /
+    plagiarism primitive. All map-side expression work; the output
+    (doc_id, fp) postings join exactly like shingle postings for
+    candidate generation.
+    """
+    from pyspark.sql import Window as W
+
+    # Row-wise shape: one row per k-gram, then a sliding ROWS window for
+    # the per-window minimum. An array-of-arrays formulation re-expands
+    # the gram-hash array inside every window slice (quadratic per doc);
+    # this stays linear and the only shuffle is the doc_id window sort.
+    text = F.trim(F.col("text"))
+    n_grams = F.length(text) - F.lit(k) + 1
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(gram_idx).alias("i"),
+        poly_hash_expr(F.substring(text, F.col("i"), k)).alias("h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    mins = grams.select(
+        "doc_id",
+        "i",
+        "n_grams",
+        F.min("h").over(w).alias("win_min"),
+    ).filter(F.col("i") <= F.col("n_grams") - F.lit(window) + 1)
+    return (
+        mins.select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
 def poly_hash_oracle_sql(expr: str, *, base: int = POLY_BASE, mod: int = POLY_MOD, seed: int = 0) -> str:
     """DuckDB equivalent of functions.hashing.poly_hash_expr(expr)."""
     return (

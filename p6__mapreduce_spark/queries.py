@@ -661,3 +661,27 @@ def q_events_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_completion(
         spark, _os.path.join(sf_dir, "events.parquet"), minutes=5
     )
+
+
+def _winnow_oracle(k: int = 16, w: int = 8) -> str:
+    ph = poly_hash_oracle_sql(f"substr(t, i, {k})")
+    return f"""
+    WITH g AS (
+      SELECT doc_id, trim(text) AS t,
+             [{ph} for i in range(1, length(trim(text)) - {k} + 2)] AS gh
+      FROM documents
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct([list_min(gh[i : i + {w} - 1])
+                            for i in range(1, len(gh) - {w} + 2)]) AS fps
+      FROM g WHERE len(gh) >= {w}
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY 1, 2
+    """
+
+
+@register("winnow_fingerprints", oracle=_winnow_oracle())
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6__mapreduce_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))

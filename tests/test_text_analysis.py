@@ -64,6 +64,25 @@ def test_quality_score_components(spark):
     assert rows[1].len_ok == 0  # too short
 
 
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from p6__mapreduce_spark.operators.text_analysis import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    d = docs_df(
+        spark,
+        [
+            "intro text before " + shared + " and some trailing words here",
+            "totally different opening then " + shared + " closing remarks",
+            "no overlap with anything else in this corpus at all whatsoever",
+        ],
+    )
+    fps = {}
+    for r in winnow_fingerprints(d, k=16, window=8).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "docs sharing a long substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) or len(fps[0] & fps[2]) < len(fps[0] & fps[1])
+
+
 def test_fingerprints_match_python_model(spark):
     import hashlib
 
