@@ -44,3 +44,38 @@ def sort_unique(spark: SparkSession, paths: str | Sequence[str], num_partitions:
     if num_partitions <= 1:
         return distinct_sorted(lines)
     return range_bucket_sort(lines, num_partitions=num_partitions).select("key")
+
+
+def _main(argv: list[str]) -> int:
+    """CLI mirroring the reference binaries' argv contract
+    (``wordcount.c:42-51``: files... then num_mappers num_reducers
+    num_partitions as the LAST THREE arguments; thread counts ignored).
+
+        python -m p6__mapreduce_spark.clients wordcount f1.txt f2.txt 4 2 2
+        python -m p6__mapreduce_spark.clients sort f1.txt 5 1 8
+    """
+    from p6__mapreduce_spark.session import get_session
+
+    if len(argv) < 5:
+        print("usage: clients (wordcount|sort) FILE... M R P", flush=True)
+        return 2
+    prog, *rest = argv
+    files, (_m, _r, p) = rest[:-3], rest[-3:]
+    spark = get_session(f"client-{prog}")
+    if prog == "wordcount":
+        rows = wordcount(spark, files, int(p)).collect()
+        for row in rows:
+            print(f"{row.key} {row.cnt}")
+    elif prog == "sort":
+        for row in sort_unique(spark, files, int(p)).collect():
+            print(row.key)
+    else:
+        print(f"unknown client: {prog}", flush=True)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))

@@ -48,10 +48,18 @@ def ngram_jaccard_pairs(
     ``candidates`` (optional, columns id1/id2) restricts the pair space —
     used by MinHash-LSH to verify only its candidate pairs.
     """
+    # Join/shuffle on a 64-bit hash of the shingle, not the multi-word
+    # string: ~4x smaller shuffle keys, same intersection counts up to a
+    # 2^-64 collision bound (would need two distinct shingles of one
+    # pair to collide; probability ~n_shingles^2/2^64 ≈ 1e-10 here).
     # postings feed 3 plan branches (two self-join sides + sizes):
     # cache halves the end-to-end time at test scale. At 100 TB swap the
     # cache for a checkpointed/written intermediate — same plan shape.
-    postings = shingle_postings(docs, k).cache()
+    postings = (
+        shingle_postings(docs, k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = postings.alias("a")

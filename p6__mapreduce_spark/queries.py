@@ -685,3 +685,27 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.operators.text_analysis import winnow_fingerprints
 
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "rollup_orders_by_month",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           COUNT(*) AS cnt,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY ROLLUP (y, m) ORDER BY 1, 2
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (year -> month -> grand total) in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("y", F.year("o_orderdate"))
+        .withColumn("m", F.month("o_orderdate"))
+        .rollup("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("y", "m")
+    )
