@@ -49,6 +49,14 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "cube_flag_status",
+    "orders_status_pivot",
+    "rollup_orders_by_month",
+    "asof_last_signup",
+    "set_intersect",
+    "set_except",
+    "top100_orders_global",
     "multimodal_features",
 ]
 
@@ -72,6 +80,7 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # isolate queries: no cross-query cache memory
 
     total = round(sum(timings.values()), 3)
     print(

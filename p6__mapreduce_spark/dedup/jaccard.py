@@ -14,14 +14,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from p6__mapreduce_spark.functions.text import word_shingles
 
 
 def shingle_postings(docs: DataFrame, k: int = 3, *, max_doc_freq: int | None = None) -> DataFrame:
-    """(doc_id, shingle) postings, one row per distinct shingle per doc."""
-    postings = docs.select(
-        "doc_id", F.explode(word_shingles("text", k)).alias("shingle")
+    """(doc_id, shingle) postings, one row per distinct shingle per doc.
+
+    Row-wise shape: posexplode tokens, build each k-shingle from lead()
+    windows, distinct. The array formulation (transform over indexes
+    slicing a token array) re-expands the tokenizer expression inside
+    every shingle lambda — quadratic per document and measured 4x
+    slower at sf0.1. Cost here is linear; the doc_id window sort and
+    the distinct ride the same hash partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
     )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    shingled = toks.select("doc_id", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+    for i in range(1, k):
+        shingled = shingled.filter(F.col(f"t{i}").isNotNull())
+    postings = shingled.select(
+        "doc_id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)]).alias("shingle")
+    ).distinct()
     if max_doc_freq is not None:
         keep = (
             postings.groupBy("shingle")
@@ -39,14 +58,17 @@ def ngram_jaccard_pairs(
     k: int = 3,
     *,
     candidates: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with shingle-set Jaccard >= threshold.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) — exact integer counts, so the
     final double division is bit-reproducible against the SQL oracle.
 
-    ``candidates`` (optional, columns id1/id2) restricts the pair space —
-    used by MinHash-LSH to verify only its candidate pairs.
+    ``candidates`` (optional, columns id1/id2) restricts the pair space;
+    ``postings`` (optional, columns doc_id/shingle) supplies a — usually
+    cached — precomputed posting list. Both are how MinHash-LSH shares
+    work with this verifier.
     """
     # Join/shuffle on a 64-bit hash of the shingle, not the multi-word
     # string: ~4x smaller shuffle keys, same intersection counts up to a
@@ -55,22 +77,34 @@ def ngram_jaccard_pairs(
     # postings feed 3 plan branches (two self-join sides + sizes):
     # cache halves the end-to-end time at test scale. At 100 TB swap the
     # cache for a checkpointed/written intermediate — same plan shape.
-    postings = (
-        shingle_postings(docs, k)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    if postings is None:
+        postings = shingle_postings(docs, k).cache()
+    postings = postings.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates.select("id1", "id2").distinct(), ["id1", "id2"], "left_semi")
+    if candidates is None:
+        # full inverted-index self-join: every co-occurring pair
+        a = postings.alias("a")
+        b = postings.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # candidate-driven verify: expand each candidate pair with id1's
+        # postings, match against id2's on (id2, shingle). Work is
+        # O(|candidates| * shingles-per-doc), independent of corpus-wide
+        # shingle co-occurrence — the LSH verify shape.
+        cand = F.broadcast(candidates.select("id1", "id2").distinct())
+        pa = postings.select(F.col("doc_id").alias("id1"), "shingle")
+        pb = postings.select(F.col("doc_id").alias("id2"), "shingle")
+        inter = (
+            cand.join(pa, "id1")
+            .join(pb, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
 
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))

@@ -39,7 +39,9 @@ def _perm(i: int, x):
     return (F.lit(a) * x + F.lit(b)) % F.lit(POLY_MOD)
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 32, *, postings: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig: array<long>) — one row per doc.
 
     Plan shape: explode shingles -> polynomial hash once per
@@ -50,7 +52,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> Dat
     map-side, so the shuffle carries one num_hashes-wide row per
     document per map task.
     """
-    postings = shingle_postings(docs, k)
+    postings = postings if postings is not None else shingle_postings(docs, k)
     hashed = postings.select("doc_id", poly_hash_expr("shingle").alias("h"))
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(_perm(i, F.col("h"))).alias(f"s{i}") for i in range(num_hashes)]
@@ -103,6 +105,9 @@ def minhash_lsh_pairs(
     dedup.jaccard.JACCARD_ORACLE_SQL) up to ~1e-7 miss probability.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(docs, k, num_hashes)
+    # ONE cached posting list feeds both the signature computation and
+    # the exact-Jaccard verification of the LSH candidates
+    postings = shingle_postings(docs, k).cache()
+    sigs = minhash_signatures(docs, k, num_hashes, postings=postings)
     cands = lsh_candidates(sigs, num_bands, rows_per_band)
-    return ngram_jaccard_pairs(docs, threshold, k, candidates=cands)
+    return ngram_jaccard_pairs(docs, threshold, k, candidates=cands, postings=postings)

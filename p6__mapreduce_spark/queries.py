@@ -709,3 +709,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m")
     )
+
+
+@register("knn_ivf")  # approximate by construction -> rows-only check
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse k-means centroids (driver-trained on a bounded
+    sample, folded into the plan as literals) -> map-side inverted-list
+    assignment -> nprobe-list probe -> exact rank within candidates."""
+    from p6__mapreduce_spark.similarity.ivf import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)

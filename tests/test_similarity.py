@@ -65,6 +65,26 @@ def test_lsh_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"clustered LSH recall {recall:.2f} too low"
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    from p6__mapreduce_spark.similarity.ivf import knn_ivf
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = rng.standard_normal(64)
+        for _ in range(5):
+            v = center + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    qdf = df.filter("vec_id % 5 = 0")
+    got = knn_ivf(df, qdf, k=4, n_centroids=8, nprobe=2).collect()
+    cluster_of = {r[0]: r[2] for r in rows}
+    hits = sum(1 for r in got if cluster_of[r.neighbor_id] == cluster_of[r.query_id])
+    assert hits / (20 * 4) >= 0.9, f"IVF clustered recall {hits/(20*4):.2f} too low"
+
+
 def test_lsh_prunes_but_still_finds_some_neighbors_on_random_data(spark, emb):
     # uniform-random embeddings have no cluster structure — ANN pruning
     # cannot be both fast and high-recall there; just sanity-bound it

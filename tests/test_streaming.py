@@ -3,7 +3,6 @@ with its batch twin once all input is processed."""
 
 from __future__ import annotations
 
-import pytest
 
 from p6__mapreduce_spark.sources.readers import load_table
 from p6__mapreduce_spark.streaming.windows import stream_event_counts, windowed_event_counts

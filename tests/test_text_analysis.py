@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 
 from p6__mapreduce_spark.functions.hashing import POLY_BASE, POLY_MOD
 from p6__mapreduce_spark.operators.text_analysis import (
