@@ -38,3 +38,10 @@ def test_json_roundtrip(spark, tmp_path):
 def test_collect_lines_stdout_shape(spark):
     df = spark.createDataFrame([("a", 2), ("b", 1)], "key string, cnt int").orderBy("key")
     assert collect_lines(df) == ["a 2", "b 1"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "orc_out")
+    df.write.orc(out)
+    assert {(r.id, r.v) for r in spark.read.orc(out).collect()} == {(1, "a"), (2, "b")}
