@@ -111,3 +111,65 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, k, num_hashes, postings=postings)
     cands = lsh_candidates(sigs, num_bands, rows_per_band)
     return ngram_jaccard_pairs(docs, threshold, k, candidates=cands, postings=postings)
+
+
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN an existing corpus and a
+    new batch (id1 from corpus, id2 from batch).
+
+    The production shape for a continuously-ingesting pipeline: corpus
+    signatures/bands are computed once (in practice: persisted), each
+    new batch is banded and joined against them — candidate work scales
+    with the batch, never with corpus x corpus.
+    """
+    rows_per_band = num_hashes // num_bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        postings = shingle_postings(df, k)
+        sigs = minhash_signatures(df, k, num_hashes, postings=postings)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.hash(F.slice("sig", j * rows_per_band + 1, rows_per_band)).alias("bh"),
+                )
+                for j in range(num_bands)
+            ]
+        )
+        return (
+            sigs.select("doc_id", F.explode(bands).alias("b"))
+            .select(F.col("doc_id").alias(side), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        ), postings
+
+    cb, corpus_postings = banded(corpus, "id1")
+    bb, batch_postings = banded(batch, "id2")
+    cands = cb.join(bb, ["band", "bh"]).select("id1", "id2").distinct()
+
+    # exact-Jaccard verification across the two posting sets
+    pa = corpus_postings.select(F.col("doc_id").alias("id1"), "shingle")
+    pb = batch_postings.select(F.col("doc_id").alias("id2"), "shingle")
+    s1 = pa.groupBy("id1").agg(F.count(F.lit(1)).alias("n1"))
+    s2 = pb.groupBy("id2").agg(F.count(F.lit(1)).alias("n2"))
+    inter = (
+        F.broadcast(cands)
+        .join(pa, "id1")
+        .join(pb, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id1", "id2", "jaccard")
+        .orderBy("id1", "id2")
+    )

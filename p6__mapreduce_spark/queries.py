@@ -720,3 +720,93 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
+
+
+_JACCARD_CROSS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < {split} AND b.doc_id >= {split}
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_inter * 1.0 / (s1.n + s2.n - n_inter) AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.8
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_incremental", oracle=_JACCARD_CROSS.format(split=250))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with doc_id < 250 are the existing corpus,
+    the rest the newly-ingested batch; output = cross-set near-dup pairs
+    (the batch docs an ingest pipeline would drop)."""
+    from p6__mapreduce_spark.dedup.minhash import incremental_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)
+    )
+
+
+@register(
+    "clean_corpus",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w,
+             length(trim(text)) AS chars
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             (CASE WHEN len(w) >= 20 AND chars <= 2000 THEN 1 ELSE 0 END
+              + CASE WHEN chars * 1.0 / len(w) >= 2.0 AND chars * 1.0 / len(w) <= 12.0 THEN 1 ELSE 0 END
+              + CASE WHEN len(list_distinct(w)) * 1.0 / len(w) >= 0.3 THEN 1 ELSE 0 END) AS q
+      FROM toks
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), dup_losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes s1 ON s1.doc_id = a.doc_id JOIN sizes s2 ON s2.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+      HAVING COUNT(*) * 1.0 / (s1.n + s2.n - COUNT(*)) >= 0.8
+    )
+    SELECT q.doc_id FROM quality q
+    WHERE q.q >= 2 AND q.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+    ORDER BY 1
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-data cleaning pipeline in one plan: quality gate
+    (>= 2 of 3 heuristics) + near-dup removal (drop the larger doc_id of
+    every Jaccard>=0.8 pair) -> the surviving corpus."""
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+    from p6__mapreduce_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id",
+        (F.col("len_ok") + F.col("tok_len_ok") + (F.col("diversity") >= 0.3).cast("int")).alias("q"),
+    )
+    losers = minhash_lsh_pairs(docs, 0.8).select(F.col("id2").alias("doc_id")).distinct()
+    return (
+        q.filter(F.col("q") >= 2)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
