@@ -45,3 +45,17 @@ def test_orc_roundtrip(spark, tmp_path):
     out = str(tmp_path / "orc_out")
     df.write.orc(out)
     assert {(r.id, r.v) for r in spark.read.orc(out).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_lakehouse_connectors_are_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from p6__mapreduce_spark.sources.lakehouse import format_available, read_table_format
+
+    # none of the lakehouse jars ship in this image
+    for fmt in ("delta", "iceberg", "hudi"):
+        assert format_available(spark, fmt) is False
+        with _pytest.raises(NotImplementedError):
+            read_table_format(spark, fmt, str(tmp_path))
+    with _pytest.raises(ValueError):
+        read_table_format(spark, "bogus", str(tmp_path))
