@@ -810,3 +810,77 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "brand_volume",
+    oracle="""
+    SELECT p_brand, s_name,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x two dimensions (part, supplier both broadcast-size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("base_cents"),
+        )
+        .orderBy("p_brand", "s_name")
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT o_orderkey,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_sec
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective predicates on all three tables (pushed
+    to the scans), two shuffle joins, top-10 via TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+        .select(
+            "o_orderkey",
+            "revenue_cents",
+            # NTZ -> timestamp (UTC session) -> epoch seconds
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_sec"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
