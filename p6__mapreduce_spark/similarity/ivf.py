@@ -43,9 +43,12 @@ def train_centroids(
     materialization), so this is NOT a driver-side loop over the data:
     it is model fitting, the model being a few KB of centroids.
     """
+    # limit() short-circuits the scan (no global sort/shuffle for a
+    # sample — at 100 TB a sort-by-hash "random" sample would be a full
+    # shuffle); k-means only needs a representative subset, and the
+    # fixed seed keeps the fit deterministic for a given input prefix
     rows = (
         embeddings.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("array<double>").cast("string")) + F.lit(seed))
         .limit(sample_size)
         .collect()
     )
