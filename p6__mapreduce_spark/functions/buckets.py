@@ -1,7 +1,7 @@
 """Range-bucket expression reproducing the reference's sorted partitioner.
 
 ``MR_SortedPartition`` (``map___reduce/mapreduce.c:229-258``) buckets a
-key by the top ``ceil(log2(n))`` bits of ``(unsigned int) atoi(key)``:
+key by the top ``floor(log2(n))`` bits of ``(unsigned int) atoi(key)``:
 a 32-bit unsigned reinterpretation, so values > 2^31 wrap modulo 2^32
 (observed in ``tests/11.out``: key 3333333333 lands in the top bucket).
 n == 1 always maps to bucket 0; the reference only supports power-of-two
@@ -15,8 +15,6 @@ both for observable output ordering and as a repartition key.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -24,7 +22,7 @@ UINT32_MASK = 0xFFFFFFFF
 
 
 def uint32_range_bucket(key: Column | str, num_partitions: int) -> Column:
-    """Bucket id = top ceil(log2(n)) bits of uint32(atoi(key)).
+    """Bucket id = top floor(log2(n)) bits of uint32(atoi(key)).
 
     Non-numeric keys fold to 0 (C ``atoi`` returns 0 on no-digit input;
     the reference's sort tests only ever use numeric keys).
@@ -34,7 +32,10 @@ def uint32_range_bucket(key: Column | str, num_partitions: int) -> Column:
     if num_partitions == 1:
         return F.lit(0).cast("long")
     col = F.col(key) if isinstance(key, str) else key
-    bits = math.ceil(math.log2(num_partitions))
+    # floor(log2(n)), mirroring the reference's halving loop
+    # (`for (i = n; i >= 2; i /= 2) index++` — mapreduce.c:252-255),
+    # so non-power-of-two n buckets identically to the C partitioner.
+    bits = num_partitions.bit_length() - 1
     # try_cast: ANSI-safe — non-numeric keys fold to 0 like C atoi
     as_u32 = F.coalesce(col.try_cast("long"), F.lit(0)).bitwiseAND(F.lit(UINT32_MASK))
     return F.shiftright(as_u32, 32 - bits)

@@ -99,12 +99,17 @@ def status_pivot(orders: DataFrame) -> DataFrame:
     """Pivot order status into columns per priority (explicit value list
     so the plan is static — required for both Catalyst and at-scale
     schema stability)."""
-    return (
+    piv = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.count(F.lit(1)))
-        .orderBy("o_orderpriority")
     )
+    # An empty (priority, status) cell pivots to NULL but COUNT semantics
+    # (and the SQL FILTER-clause equivalent) call for 0.
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in ("O", "F", "P")],
+    ).orderBy("o_orderpriority")
 
 
 def asof_last_event(events: DataFrame, event_type: str = "signup") -> DataFrame:
@@ -139,11 +144,25 @@ def approx_stats(lineitem: DataFrame) -> DataFrame:
     Engine-specific estimators -> rows-only correctness check; exact
     counterparts are covered by distinct_sorted / tpch_q1.
     """
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
-    ).orderBy("l_returnflag")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            q.alias("_q"),
+        )
+        # Scalar projections (not one array column): array cells are
+        # unsortable/unhashable downstream of a pandas round-trip.
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "approx_parts",
+            F.element_at("_q", 1).alias("price_p50"),
+            F.element_at("_q", 2).alias("price_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def event_json_stats(events: DataFrame) -> DataFrame:

@@ -140,9 +140,9 @@ def q_mr_facade_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -158,7 +158,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT r_name, n_name,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -198,7 +198,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_json_stats",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY 1 ORDER BY 1
@@ -215,7 +215,7 @@ def q_event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS window_start,
            event_type, COUNT(*) AS cnt,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -237,7 +237,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM secs
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM gaps GROUP BY 1 ORDER BY 1
     """,
 )
@@ -645,7 +645,7 @@ def q_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS window_start,
            event_type, COUNT(*) AS cnt,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -692,7 +692,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
            COUNT(*) AS cnt,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders GROUP BY ROLLUP (y, m) ORDER BY 1, 2
     """,
 )
@@ -817,7 +817,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, s_name,
            SUM(l_quantity) AS sum_qty,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -845,7 +845,7 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     oracle="""
     SELECT o_orderkey,
-           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_sec
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
