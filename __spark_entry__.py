@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from p6__mapreduce_spark.queries import ORACLE_SQL, QUERIES
+from p6__mapreduce_spark.queries import QUERIES, get_oracle_sql
 from p6__mapreduce_spark.sources.readers import load_table
 
 
@@ -46,4 +46,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return get_oracle_sql()

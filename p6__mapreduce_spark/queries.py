@@ -464,8 +464,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
 
 
-@register("knn_lsh")  # approximate by construction -> rows-only check
+def _knn_lsh_oracle() -> str:
+    from p6__mapreduce_spark.similarity.lsh import knn_lsh_oracle_sql
+
+    return knn_lsh_oracle_sql(dim=64, num_planes=6, k=5, query_filter="vec_id < 16")
+
+
+@register("knn_lsh", oracle=_knn_lsh_oracle())
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, but exactly checkable: the hyperplanes are plan literals, so
+    the oracle recomputes the identical buckets/probes/rank in SQL."""
     from p6__mapreduce_spark.similarity.lsh import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -711,15 +719,36 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf")  # approximate by construction -> rows-only check
+@register("knn_ivf")  # oracle generated per sf-dir in get_oracle_sql()
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse k-means centroids (driver-trained on a bounded
-    sample, folded into the plan as literals) -> map-side inverted-list
-    assignment -> nprobe-list probe -> exact rank within candidates."""
+    deterministic hash-sample, folded into the plan as literals) ->
+    map-side inverted-list assignment -> nprobe-list probe -> exact rank
+    within candidates. The training replica in plain numpy lets
+    get_oracle_sql() embed the same centroids in DuckDB SQL."""
     from p6__mapreduce_spark.similarity.ivf import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
+
+
+# The driver compares Spark vs oracle at this scale factor; knn_ivf's
+# oracle embeds centroids trained (reproducibly, Spark-free) on that
+# data, so it is generated on demand rather than registered statically.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def get_oracle_sql() -> dict[str, str]:
+    out = dict(ORACLE_SQL)
+    try:
+        from p6__mapreduce_spark.similarity.ivf import knn_ivf_oracle_sql
+
+        out["knn_ivf"] = knn_ivf_oracle_sql(
+            f"{ORACLE_SF_DIR}/embeddings.parquet", k=5, query_filter="vec_id < 16"
+        )
+    except Exception:  # parquet absent -> knn_ivf stays rows-only
+        pass
+    return out
 
 
 _JACCARD_CROSS = """

@@ -5,18 +5,38 @@ set of coarse centroids partitions the vector space; every vector is
 assigned map-side to its nearest centroid (the "inverted list"), and a
 query probes only the ``nprobe`` nearest lists.
 
-Centroid training runs driver-side on a bounded sample (k-means on at
-most ``sample_size`` vectors, fixed seed) — the trained centroids are a
-few KB and fold into the plan as literals, so assignment is a pure
-codegen expression: no MLlib dependency, no broadcast variable, no
-shuffle for assignment. Cost per query ≈ n * nprobe / n_centroids
-candidates instead of n.
+Centroid training runs driver-side on a bounded deterministic sample
+(k-means on at most ``sample_size`` vectors, fixed seed) — the trained
+centroids are a few KB and fold into the plan as literals, so
+assignment is a pure codegen expression: no MLlib dependency, no
+broadcast variable, no shuffle for assignment. Cost per query ≈
+n * nprobe / n_centroids candidates instead of n.
 
-Approximate by construction -> rows-only driver check; recall against
-knn_bruteforce is asserted on clustered data in tests.
+The sample is the ``sample_size`` rows with the smallest
+``sha256(id)`` — Spark plans ``orderBy(hash).limit(n)`` as
+TakeOrderedAndProject (a per-partition top-k heap plus a single k-row
+merge: bounded driver memory, no shuffle), and the hash order is
+independent of partition layout, so the sample is unbiased even when
+the files are physically clustered by the very structure k-means is
+trying to find. A plain ``limit(n)`` reads the first partitions only
+(one file's worth at 100 TB) and can collapse the inverted lists; a
+``pmod(hash) == 0`` filter is layout-independent too but its output
+size scales with the table, not with ``sample_size``.
+
+Because the sample and the k-means loop are replicable outside Spark
+(sha256 + numpy), the trained centroids can be embedded as literals in
+a DuckDB oracle — ``knn_ivf_oracle_sql`` does exactly that, making the
+approximate operator exactly checkable.
+
+Distances use the expanded form ``|v-c|^2 - |v|^2 = c·c - 2 v·c`` (the
+``v·v`` term is constant per row and cannot change the argmin): the
+only data-dependent op is a dot product, which Spark's ``aggregate``
+fold and DuckDB's ``list_inner_product`` compute bit-identically.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -25,34 +45,12 @@ from pyspark.sql import functions as F
 from p6__mapreduce_spark.functions.vectors import dot_product, l2_norm
 
 SEED = 42
+SAMPLE_SIZE = 2048
 
 
-def train_centroids(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    *,
-    vec_col: str = "embedding",
-    sample_size: int = 2048,
-    iters: int = 10,
-    seed: int = SEED,
-) -> list[list[float]]:
-    """Driver-side mini k-means on a bounded deterministic sample.
-
-    The sample is tiny by construction (``sample_size`` rows regardless
-    of table size — take over a seeded sort of a hash, no full scan
-    materialization), so this is NOT a driver-side loop over the data:
-    it is model fitting, the model being a few KB of centroids.
-    """
-    # limit() short-circuits the scan (no global sort/shuffle for a
-    # sample — at 100 TB a sort-by-hash "random" sample would be a full
-    # shuffle); k-means only needs a representative subset, and the
-    # fixed seed keeps the fit deterministic for a given input prefix
-    rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+def _kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> list[list[float]]:
+    """Plain Lloyd iterations, shared verbatim by the Spark path and the
+    oracle generator so both produce bit-identical centroids."""
     rng = np.random.default_rng(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -65,24 +63,89 @@ def train_centroids(
     return centroids.tolist()
 
 
-def _sq_dist(vec_col: str, center: list[float]) -> Column:
-    diff = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.array(*[F.lit(x) for x in center]),
-        lambda v, c: (v - c) * (v - c),
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = SAMPLE_SIZE,
+    iters: int = 10,
+    seed: int = SEED,
+) -> list[list[float]]:
+    """Driver-side mini k-means on a bounded deterministic hash-sample.
+
+    ``orderBy(sha256(id)).limit(n)`` -> TakeOrderedAndProject: each task
+    keeps an n-row heap, the driver merges n rows — NOT a global sort,
+    and the result is independent of file/partition order.
+    """
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.sha2(F.col("i").cast("string"), 256), F.col("i"))
+        .limit(sample_size)
+        .collect()
     )
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    return _kmeans(X, n_centroids, iters, seed)
+
+
+def train_centroids_from_parquet(
+    parquet_path: str,
+    n_centroids: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = SAMPLE_SIZE,
+    iters: int = 10,
+    seed: int = SEED,
+) -> list[list[float]]:
+    """Spark-free replica of ``train_centroids`` (same sample order,
+    same k-means) for oracle-SQL generation."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda j: (hashlib.sha256(str(ids[j]).encode()).hexdigest(), ids[j]),
+    )[:sample_size]
+    X = np.array([vecs[j] for j in order], dtype=np.float64)
+    return _kmeans(X, n_centroids, iters, seed)
+
+
+def _cc(center: list[float]) -> float:
+    return float(np.dot(np.asarray(center), np.asarray(center)))
+
+
+def _centroid_score(vec_col: str, center: list[float]) -> Column:
+    """c·c - 2 v·c — ordered identically to squared distance."""
+    dot = dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in center]))
+    return F.lit(_cc(center)) - F.lit(2.0) * dot
 
 
 def _nearest_expr(vec_col: str, centroids: list[list[float]]) -> Column:
-    """argmin over centroid distances as a pure expression."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    """argmin over centroid scores as a pure expression (first match on
+    ties, mirroring DuckDB list_position)."""
+    dists = F.array(*[_centroid_score(vec_col, c) for c in centroids])
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding") -> DataFrame:
     """Attach the inverted-list id (map-side, no shuffle)."""
     return embeddings.withColumn("list_id", _nearest_expr(vec_col, centroids))
+
+
+def _probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int) -> Column:
+    """The nprobe nearest list ids, deduplicated: tied centroid scores
+    make array_position return the same index twice, and a duplicate
+    probe would let one neighbor occupy two of the top-k ranks."""
+    dists = F.array(*[_centroid_score(vec_col, c) for c in centroids])
+    probes = F.transform(
+        F.slice(F.array_sort(dists), 1, nprobe),
+        lambda d: F.array_position(dists, d).cast("int") - 1,
+    )
+    return F.array_distinct(probes)
 
 
 def knn_ivf(
@@ -94,12 +157,14 @@ def knn_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest inverted lists, rank
     exactly within the probed candidates."""
     if queries is None:
         queries = embeddings
-    centroids = train_centroids(embeddings, n_centroids, vec_col=vec_col)
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
     cand = ivf_assign(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
@@ -109,18 +174,11 @@ def knn_ivf(
         centroids,
         vec_col="cv",
     )
-    # query side: nprobe nearest lists via sorted distance array
-    dists = F.array(*[_sq_dist("qv", c) for c in centroids])
-    sorted_d = F.array_sort(dists)
-    probes = F.transform(
-        F.slice(sorted_d, 1, nprobe),
-        lambda d: F.array_position(dists, d).cast("int") - 1,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
-    ).select("query_id", "qv", "qn", F.explode(probes).alias("list_id"))
+    ).select("query_id", "qv", "qn", F.explode(_probe_expr("qv", centroids, nprobe)).alias("list_id"))
     scored = (
         F.broadcast(q)
         .join(cand, "list_id")
@@ -134,3 +192,58 @@ def knn_ivf(
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle generation: the centroids are plan literals, so the exact same
+# probe + rank computation is expressible in DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+
+def _sql_double_list(vals: list[float]) -> str:
+    # .17e scientific literals parse as DOUBLE (not DECIMAL) in DuckDB
+    # and round-trip bit-exactly at 17 significant digits.
+    return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
+
+
+def knn_ivf_oracle_sql(
+    parquet_path: str,
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_filter: str = "vec_id < 16",
+) -> str:
+    """DuckDB SQL computing the identical IVF result: same centroids
+    (trained by the Spark-free replica), same scores, same probes, same
+    exact rank. Valid for the parquet file it was generated against."""
+    centroids = train_centroids_from_parquet(parquet_path, n_centroids)
+    dists = "[" + ", ".join(
+        f"{_cc(c):.17e} - 2.0e0 * list_inner_product(v, {_sql_double_list(c)})" for c in centroids
+    ) + "]"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS dists
+      FROM embeddings
+    ), asg AS (
+      SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS list_id, dists
+      FROM b
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv,
+             unnest(list_distinct(list_transform(
+               list_slice(list_sort(dists), 1, {nprobe}),
+               d -> list_position(dists, d) - 1))) AS plist
+      FROM asg WHERE {query_filter}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(p.qv, c.v) /
+             (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) AS cosine
+      FROM probes p JOIN asg c ON p.plist = c.list_id
+      WHERE p.query_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """

@@ -12,8 +12,11 @@ hyperplanes are generated from a fixed seed on the driver (a few KB)
 and folded into the plan as literals, so executors share them without
 a broadcast variable.
 
-Approximate by construction → no SQL oracle; recall vs knn_bruteforce
-is asserted in tests (tests/test_similarity.py).
+Approximate by construction — but the hyperplanes are fixed plan
+literals, so the *same* bucket assignment, multi-probe and exact rank
+are expressible in DuckDB (``knn_lsh_oracle_sql``): the operator is
+exactly checkable despite being an ANN. Recall vs knn_bruteforce is
+additionally asserted in tests (tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -103,3 +106,48 @@ def knn_lsh(
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def knn_lsh_oracle_sql(
+    *,
+    dim: int = 64,
+    num_planes: int = 8,
+    k: int = 5,
+    query_filter: str = "vec_id < 16",
+) -> str:
+    """DuckDB SQL computing the identical LSH result: same sign-bit
+    buckets over the same plane literals (Spark's ``aggregate`` dot fold
+    and DuckDB's ``list_inner_product`` agree bit-for-bit on DOUBLE[]),
+    same Hamming-1 multi-probe, same exact rank."""
+
+    def lit(vals: list[float]) -> str:
+        # .17e scientific literals parse as DOUBLE (not DECIMAL) and
+        # round-trip bit-exactly at 17 significant digits.
+        return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
+
+    planes = _planes(dim, num_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << i})" for i in range(num_planes)) + "]"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, unnest({probe_list}) AS pbucket
+      FROM b WHERE {query_filter}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(p.qv, c.v) /
+             (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) AS cosine
+      FROM probes p JOIN b c ON p.pbucket = c.bucket
+      WHERE p.query_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """

@@ -85,6 +85,40 @@ def test_ivf_recall_on_clustered_data(spark):
     assert hits / (20 * 4) >= 0.9, f"IVF clustered recall {hits/(20*4):.2f} too low"
 
 
+def test_ivf_sample_is_partition_layout_independent(spark):
+    # A plain limit(n) sample reads the first partitions only — if the
+    # file happens to be physically ordered by cluster, every sampled
+    # vector comes from one cluster and the trained centroids collapse.
+    # The sha256-order sample must give the SAME centroids whether the
+    # data arrives cluster-ordered in 1 partition or shuffled across 16.
+    from p6__mapreduce_spark.similarity.ivf import train_centroids
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for c in range(8):  # cluster-ordered: all of cluster 0 first, etc.
+        center = 10.0 * rng.standard_normal(8)
+        for _ in range(40):
+            v = center + 0.1 * rng.standard_normal(8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    ordered = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    shuffled = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(16, "vec_id")
+    )
+    c1 = train_centroids(ordered, n_centroids=8, sample_size=64)
+    c2 = train_centroids(shuffled, n_centroids=8, sample_size=64)
+    assert c1 == c2
+    # and the bounded sample (64 of 320 rows) must span clusters: with a
+    # first-partitions sample it would cover only clusters 0-1
+    import numpy as _np
+
+    centers = _np.array(c1)
+    spread = _np.linalg.norm(centers - centers.mean(axis=0), axis=1)
+    assert (spread > 1.0).sum() >= 6, "centroids collapsed onto few clusters"
+
+
 def test_lsh_prunes_but_still_finds_some_neighbors_on_random_data(spark, emb):
     # uniform-random embeddings have no cluster structure — ANN pruning
     # cannot be both fast and high-recall there; just sanity-bound it
