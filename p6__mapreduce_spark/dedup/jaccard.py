@@ -96,7 +96,13 @@ def ngram_jaccard_pairs(
         # postings, match against id2's on (id2, shingle). Work is
         # O(|candidates| * shingles-per-doc), independent of corpus-wide
         # shingle co-occurrence — the LSH verify shape.
-        cand = F.broadcast(candidates.select("id1", "id2").distinct())
+        #
+        # No broadcast hint: the candidate set is data-dependent (it is
+        # O(duplicates) — a high-dup corpus at 100 TB can make it far
+        # larger than driver memory). The candidates come off a shuffle
+        # (distinct), so AQE sees the REAL size at runtime and converts
+        # the join to broadcast only when it actually fits.
+        cand = candidates.select("id1", "id2").distinct()
         pa = postings.select(F.col("doc_id").alias("id1"), "shingle")
         pb = postings.select(F.col("doc_id").alias("id2"), "shingle")
         inter = (

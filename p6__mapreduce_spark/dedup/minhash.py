@@ -157,8 +157,10 @@ def incremental_neardup_pairs(
     pb = batch_postings.select(F.col("doc_id").alias("id2"), "shingle")
     s1 = pa.groupBy("id1").agg(F.count(F.lit(1)).alias("n1"))
     s2 = pb.groupBy("id2").agg(F.count(F.lit(1)).alias("n2"))
+    # no broadcast hint on the data-dependent candidate set: AQE decides
+    # from the runtime size (see dedup/jaccard.py for the rationale)
     inter = (
-        F.broadcast(cands)
+        cands
         .join(pa, "id1")
         .join(pb, ["id2", "shingle"])
         .groupBy("id1", "id2")

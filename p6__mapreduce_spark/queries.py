@@ -416,8 +416,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _embedding_neardup_lsh_oracle() -> str:
+    from p6__mapreduce_spark.dedup.embedding import cosine_neardup_lsh_oracle_sql
+
+    return cosine_neardup_lsh_oracle_sql(threshold=0.4, dim=64, num_planes=6)
+
+
+@register("embedding_neardup", oracle=_embedding_neardup_lsh_oracle())
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default = the scale path: LSH-bucketed candidate pairs (equi-join
+    on bucket, Hamming-1 probes), cosine only on colliding pairs. The
+    oracle mirrors the bucketed pair space exactly (plane literals), so
+    the approximate operator is still hash-checked."""
+    from p6__mapreduce_spark.dedup.embedding import cosine_neardup_pairs_lsh
+
+    return cosine_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, num_planes=6
+    )
+
+
 @register(
-    "embedding_neardup",
+    "embedding_neardup_exact",
     oracle="""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -430,7 +449,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
 )
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in exact baseline (all-pairs O(n²) — correct, not the scale
+    path; ground truth for the LSH variant's recall)."""
     from p6__mapreduce_spark.dedup.embedding import cosine_neardup_pairs
 
     return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)

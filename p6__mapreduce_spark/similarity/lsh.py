@@ -108,6 +108,26 @@ def knn_lsh(
     )
 
 
+def sql_double_list(vals: list[float]) -> str:
+    """DuckDB DOUBLE[] literal: .17e scientific literals parse as DOUBLE
+    (not DECIMAL) and round-trip bit-exactly at 17 significant digits."""
+    return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
+
+
+def bucket_sql_expr(planes: list[list[float]], vec: str = "v") -> str:
+    """DuckDB twin of ``_bucket_expr`` — bit-identical because Spark's
+    ``aggregate`` dot fold and ``list_inner_product`` agree on DOUBLE[]."""
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({vec}, {sql_double_list(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def probe_sql_list(num_planes: int, bucket: str = "bucket") -> str:
+    """DuckDB twin of the Hamming-1 multi-probe array."""
+    return f"[{bucket}" + "".join(f", xor({bucket}, {1 << i})" for i in range(num_planes)) + "]"
+
+
 def knn_lsh_oracle_sql(
     *,
     dim: int = 64,
@@ -116,21 +136,11 @@ def knn_lsh_oracle_sql(
     query_filter: str = "vec_id < 16",
 ) -> str:
     """DuckDB SQL computing the identical LSH result: same sign-bit
-    buckets over the same plane literals (Spark's ``aggregate`` dot fold
-    and DuckDB's ``list_inner_product`` agree bit-for-bit on DOUBLE[]),
-    same Hamming-1 multi-probe, same exact rank."""
-
-    def lit(vals: list[float]) -> str:
-        # .17e scientific literals parse as DOUBLE (not DECIMAL) and
-        # round-trip bit-exactly at 17 significant digits.
-        return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
-
+    buckets over the same plane literals, same Hamming-1 multi-probe,
+    same exact rank."""
     planes = _planes(dim, num_planes)
-    bucket = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {lit(p)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
-    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << i})" for i in range(num_planes)) + "]"
+    bucket = bucket_sql_expr(planes)
+    probe_list = probe_sql_list(num_planes)
     return f"""
     WITH b AS (
       SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket

@@ -54,6 +54,46 @@ def test_core_operators_have_no_python_in_plan(spark):
     assert "partial_count" in plan  # map-side combine before the exchange
 
 
+def test_embedding_neardup_default_is_not_cartesian(spark):
+    # the default near-dup path must be the LSH-bucketed equi-join; the
+    # O(n^2) CartesianProduct/BroadcastNestedLoopJoin is opt-in only
+    from p6__mapreduce_spark.dedup.embedding import cosine_neardup_pairs_lsh
+
+    df = cosine_neardup_pairs_lsh(load_table(spark, SF, "embeddings"), threshold=0.4)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_candidate_verify_has_no_broadcast_hint(spark):
+    # the candidate set is data-dependent (O(duplicates)); a static
+    # broadcast hint could OOM the driver on a high-dup corpus. The plan
+    # must leave the decision to AQE (no ResolvedHint in the optimized
+    # logical plan). Built on a high-dup corpus: every doc has 4 copies.
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+
+    base = load_table(spark, SF, "documents").limit(50)
+    dup = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+    )
+    corpus = base.select("doc_id", "text").unionAll(dup)
+    df = minhash_lsh_pairs(corpus, threshold=0.8)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "BROADCAST" not in logical.upper() or "broadcast" not in logical
+    # and the high-dup corpus still verifies correctly: each base doc
+    # pairs with its planted copy
+    rows = df.collect()
+    planted = {(r.id1, r.id2) for r in rows}
+    want_some = sum(1 for r in rows if r.id2 - r.id1 == 100000)
+    assert want_some >= 45, f"only {want_some} planted dup pairs found of 50"
+    assert all(r.jaccard >= 0.8 for r in rows)
+    assert planted
+
+
 def test_declarative_queries_avoid_python_udfs(spark):
     # every query except the MR facade (whose POINT is arbitrary Python)
     # and multimodal (pandas plumbing by design) must stay JVM-side
