@@ -11,8 +11,14 @@ result payloads). A warm-up action runs first so JVM/codegen startup
 isn't attributed to the first query.
 
 Excluded from the headline set (still available in queries()):
-embedding_neardup (exact O(n^2) pair materialization — its scale path
-is knn_lsh, which is timed) and the hypothesis-style micro ops.
+embedding_neardup_exact (opt-in O(n^2) baseline — the timed scale path
+is embedding_neardup's LSH bucketing) and the hypothesis-style micro
+ops.
+
+If a previous round's BENCH_r*.json exists in the repo root, the JSON
+line also carries "prev_total", "delta_total" and a "regressions" map
+(queries >=30% and >=0.3s slower than the previous round) so perf
+regressions are visible in the bench output itself.
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "embedding_neardup",
     "cube_flag_status",
     "orders_status_pivot",
     "rollup_orders_by_month",
@@ -83,17 +90,51 @@ def main() -> None:
         spark.catalog.clearCache()  # isolate queries: no cross-query cache memory
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _previous_round(os.path.dirname(os.path.abspath(__file__)))
+    if prev:
+        prev_q = prev.get("queries", {})
+        out["prev_round"] = prev["round"]
+        out["prev_total"] = prev.get("value")
+        if isinstance(out["prev_total"], (int, float)):
+            out["delta_total"] = round(total - out["prev_total"], 3)
+        out["regressions"] = {
+            n: {"prev": prev_q[n], "now": t}
+            for n, t in timings.items()
+            if n in prev_q and t >= prev_q[n] * 1.3 and t - prev_q[n] >= 0.3
+        }
+    print(json.dumps(out))
+
+
+def _previous_round(root: str) -> dict | None:
+    """Latest BENCH_r{N}.json's parsed payload, tagged with its round."""
+    import glob
+
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed") or data
+            if "queries" not in parsed:
+                continue
+        except (OSError, json.JSONDecodeError):
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, parsed)
+    if best is None:
+        return None
+    return {"round": best[0], **best[1]}
 
 
 if __name__ == "__main__":

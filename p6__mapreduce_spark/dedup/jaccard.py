@@ -78,7 +78,10 @@ def ngram_jaccard_pairs(
     # cache halves the end-to-end time at test scale. At 100 TB swap the
     # cache for a checkpointed/written intermediate — same plan shape.
     if postings is None:
+        # eager cache: three branches (two join sides + sizes) of one
+        # action would otherwise race and recompute the posting plan
         postings = shingle_postings(docs, k).cache()
+        postings.count()
     postings = postings.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 

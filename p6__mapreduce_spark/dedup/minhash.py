@@ -105,9 +105,16 @@ def minhash_lsh_pairs(
     dedup.jaccard.JACCARD_ORACLE_SQL) up to ~1e-7 miss probability.
     """
     rows_per_band = num_hashes // num_bands
-    # ONE cached posting list feeds both the signature computation and
-    # the exact-Jaccard verification of the LSH candidates
+    # ONE cached posting list feeds the signature computation, both
+    # sides of the exact-Jaccard verification, and the size counts —
+    # four branches of a single action. Materialize the cache EAGERLY:
+    # lazily-cached branches race and each recomputes the full
+    # posting-list plan (posexplode + window + distinct) before any
+    # partition is cached — measured 2.5x slower end-to-end at sf0.1.
+    # At 100 TB, replace the cache with a written intermediate table;
+    # the plan shape is identical.
     postings = shingle_postings(docs, k).cache()
+    postings.count()
     sigs = minhash_signatures(docs, k, num_hashes, postings=postings)
     cands = lsh_candidates(sigs, num_bands, rows_per_band)
     return ngram_jaccard_pairs(docs, threshold, k, candidates=cands, postings=postings)

@@ -79,13 +79,13 @@ def train_centroids(
     keeps an n-row heap, the driver merges n rows — NOT a global sort,
     and the result is independent of file/partition order.
     """
-    rows = (
+    pdf = (
         embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.sha2(F.col("i").cast("string"), 256), F.col("i"))
         .limit(sample_size)
-        .collect()
+        .toPandas()  # Arrow transfer: ~5x faster than row collect here
     )
-    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    X = np.array([np.asarray(v) for v in pdf["v"]], dtype=np.float64)
     return _kmeans(X, n_centroids, iters, seed)
 
 
@@ -118,34 +118,51 @@ def _cc(center: list[float]) -> float:
     return float(np.dot(np.asarray(center), np.asarray(center)))
 
 
-def _centroid_score(vec_col: str, center: list[float]) -> Column:
-    """c·c - 2 v·c — ordered identically to squared distance."""
-    dot = dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in center]))
-    return F.lit(_cc(center)) - F.lit(2.0) * dot
+def _scores_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<struct<s: c·c - 2 v·c, i: centroid index>> — argmin and
+    probe selection both reduce to ONE ordering of this array (struct
+    comparison is lexicographic: score, then index — deterministic on
+    ties, and no duplicate index can ever be selected). The score is
+    ordered identically to squared distance (the v·v term is constant
+    per row), and its only data-dependent float op is the dot product,
+    which DuckDB's list_inner_product reproduces bit-for-bit.
 
+    Codegen shape matters here: unrolling per-centroid expressions with
+    inline literal arrays generates ~16x64 literals x consumers of
+    Janino source and cost multiple SECONDS of compilation per plan
+    (measured on knn_ivf at sf0.1). Passing the centroid matrix as ONE
+    nested-array literal and looping with transform() makes the
+    constants data instead of code: compile time collapses, runtime
+    arithmetic is identical."""
+    matrix = F.lit([[float(x) for x in c] for c in centroids])
+    cc = F.lit([_cc(c) for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
 
-def _nearest_expr(vec_col: str, centroids: list[list[float]]) -> Column:
-    """argmin over centroid scores as a pure expression (first match on
-    ties, mirroring DuckDB list_position)."""
-    dists = F.array(*[_centroid_score(vec_col, c) for c in centroids])
-    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    def score(c: Column, i: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        s = F.element_at(cc, i + F.lit(1)) - F.lit(2.0) * dot
+        return F.struct(s.alias("s"), i.alias("i"))
+
+    return F.transform(matrix, score)
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding") -> DataFrame:
     """Attach the inverted-list id (map-side, no shuffle)."""
-    return embeddings.withColumn("list_id", _nearest_expr(vec_col, centroids))
-
-
-def _probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int) -> Column:
-    """The nprobe nearest list ids, deduplicated: tied centroid scores
-    make array_position return the same index twice, and a duplicate
-    probe would let one neighbor occupy two of the top-k ranks."""
-    dists = F.array(*[_centroid_score(vec_col, c) for c in centroids])
-    probes = F.transform(
-        F.slice(F.array_sort(dists), 1, nprobe),
-        lambda d: F.array_position(dists, d).cast("int") - 1,
+    return embeddings.withColumn(
+        "list_id", F.array_min(_scores_expr(vec_col, centroids)).getField("i")
     )
-    return F.array_distinct(probes)
+
+
+def _with_probes(queries: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int) -> DataFrame:
+    """Attach ``probes``: the nprobe nearest (distinct by construction)
+    list ids in score order."""
+    probes = F.transform(
+        F.slice(F.array_sort(_scores_expr(vec_col, centroids)), 1, nprobe),
+        lambda x: x.getField("i"),
+    )
+    return queries.withColumn("probes", probes)
 
 
 def knn_ivf(
@@ -174,11 +191,16 @@ def knn_ivf(
         centroids,
         vec_col="cv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(vec_col).alias("qn"),
-    ).select("query_id", "qv", "qn", F.explode(_probe_expr("qv", centroids, nprobe)).alias("list_id"))
+    q = _with_probes(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(vec_col).alias("qn"),
+        ),
+        "qv",
+        centroids,
+        nprobe,
+    ).select("query_id", "qv", "qn", F.explode("probes").alias("list_id"))
     scored = (
         F.broadcast(q)
         .join(cand, "list_id")
@@ -218,21 +240,21 @@ def knn_ivf_oracle_sql(
     (trained by the Spark-free replica), same scores, same probes, same
     exact rank. Valid for the parquet file it was generated against."""
     centroids = train_centroids_from_parquet(parquet_path, n_centroids)
-    dists = "[" + ", ".join(
-        f"{_cc(c):.17e} - 2.0e0 * list_inner_product(v, {_sql_double_list(c)})" for c in centroids
+    scores = "[" + ", ".join(
+        f"{{'s': {_cc(c):.17e} - 2.0e0 * list_inner_product(v, {_sql_double_list(c)}), 'i': {i}}}"
+        for i, c in enumerate(centroids)
     ) + "]"
     return f"""
     WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS dists
+      SELECT vec_id, embedding::DOUBLE[] AS v, {scores} AS scores
       FROM embeddings
     ), asg AS (
-      SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS list_id, dists
+      SELECT vec_id, v, list_min(scores).i AS list_id, scores
       FROM b
     ), probes AS (
       SELECT vec_id AS query_id, v AS qv,
-             unnest(list_distinct(list_transform(
-               list_slice(list_sort(dists), 1, {nprobe}),
-               d -> list_position(dists, d) - 1))) AS plist
+             unnest(list_transform(
+               list_slice(list_sort(scores), 1, {nprobe}), x -> x.i)) AS plist
       FROM asg WHERE {query_filter}
     ), scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,

@@ -36,20 +36,25 @@ def _planes(dim: int, num_planes: int, seed: int = SEED) -> list[list[float]]:
 
 
 def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
-    """Integer bucket id: bit i = sign(v · plane_i)."""
-    bits = []
-    for i, plane in enumerate(planes):
+    """Integer bucket id: bit i = sign(v · plane_i).
+
+    The plane matrix is ONE nested-array literal looped with
+    transform(), not per-plane unrolled literal arrays: unrolling makes
+    the constants part of the generated code and costs seconds of
+    Janino compilation per consuming plan (see similarity/ivf.py).
+    Bit values are exact integers, so the summation order change is
+    value-neutral."""
+    matrix = F.lit([[float(x) for x in p] for p in planes])
+    weights = F.lit([1 << i for i in range(len(planes))])
+    v = F.col(vec_col).cast("array<double>")
+
+    def bit(p: Column, i: Column) -> Column:
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda v, p: v * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("long")
+        return F.when(dot > 0, F.element_at(weights, i + F.lit(1))).otherwise(F.lit(0)).cast("long")
+
+    return F.aggregate(F.transform(matrix, bit), F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def hyperplane_buckets(
