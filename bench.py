@@ -45,6 +45,16 @@ HEADLINE = [
     "events_window_5m",
     "user_sessions",
     "event_json_stats",
+    "tpch_q5_local_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q10_returned",
+    "tpch_q14_promo",
+    "tpch_q19_disjunctive",
+    "customer_order_stats",
+    "mode_event_type_per_user",
+    "user_value_sliding_avg",
+    "user_event_type_sets",
+    "deterministic_sample",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -753,6 +753,333 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
 
 
+# ---------------------------------------------------------------------------
+# Round-2 OLAP surface growth: semi-joins, disjunctive pushdown,
+# left-outer aggregation, mode/top-1 per group, sliding windows,
+# distinct-set aggregation, deterministic sampling, streaming dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1 ORDER BY revenue_cents DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue — the customer and the
+    supplier must share a nation (extra non-key equi-condition on the
+    supplier join). Region/nation/supplier broadcast; the two fact
+    joins shuffle on their keys."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
+    )
+
+
+@register(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS subquery, adapted to this schema: a
+    lineitem shipped after the order date): LEFT SEMI join — the
+    probe side streams, no duplicate expansion, oracle's EXISTS plans
+    the same way."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q10_returned",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, top-20
+    customers (TakeOrderedAndProject after the aggregate)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "nation")}
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) * 100.0
+           / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue
+    share). Both sums are exact integer cents, so the final double
+    division is bit-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (F.col("promo_cents") * F.lit(100.0) / F.col("total_cents")).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive ranges across both
+    join sides. Catalyst extracts the common single-side conjuncts
+    (l_quantity/p_size/p_brand bounds) below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_cents"))
+    )
+
+
+@register(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate: customers keep a row with 0 orders
+    (COUNT of a nullable key + COALESCE'd sum)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0).cast("long")).alias("total_cents"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS top_event_type, cnt FROM r
+    WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, ties broken
+    lexicographically: count-then-top-1-window — two shuffles on the
+    same user_id key (the second is a cheap per-user top-1)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "user_value_sliding_avg",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS w_cents,
+           COUNT(*) OVER w AS w_n,
+           CAST(SUM(cents) OVER w AS BIGINT) * 1.0 / (COUNT(*) OVER w) AS w_avg
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate: trailing-7-event sum/avg per user.
+    One shuffle on user_id; sum in exact cents so the average division
+    is bit-reproducible."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.sum("cents").over(w).alias("w_cents"),
+            F.count(F.lit(1)).over(w).alias("w_n"),
+        )
+        .withColumn("w_avg", F.col("w_cents") * F.lit(1.0) / F.col("w_n"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation rendered as a deterministic string
+    (array columns are unsortable in the driver's canonicalizer):
+    collect_set -> sort_array -> concat_ws."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE substr(sha256(text), 1, 1) IN ('0', '1')
+    ORDER BY doc_id
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 content-hash sample: reproducible across runs,
+    partition layouts and engines (unlike rand()-based sampling), pure
+    map-side filter — the sampling primitive for corpus experiments."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.substring(F.sha2("text", 256), 1, 1).isin("0", "1"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_dedup_streaming",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2
+    """,
+)
+def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the input parquet is staged twice and consumed
+    one file per micro-batch, so dropDuplicates state must carry across
+    batches; append-mode output equals batch SELECT DISTINCT."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.dedup import run_streaming_dedup
+
+    return run_streaming_dedup(spark, _os.path.join(sf_dir, "events.parquet"))
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on that
 # data, so it is generated on demand rather than registered statically.

@@ -1,0 +1,78 @@
+"""Behavioral tests for the round-2 OLAP/pipeline additions (the value
+gate is tools/oracle_check.py; these pin plan shapes and edge semantics
+the oracle comparison can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.queries import QUERIES
+from p6__mapreduce_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q4_plans_a_left_semi_join(spark):
+    plan = QUERIES["tpch_q4_priority_exists"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_customer_order_stats_keeps_zero_order_customers(spark):
+    df = QUERIES["customer_order_stats"](spark, SF)
+    rows = {r.c_custkey: (r.n_orders, r.total_cents) for r in df.collect()}
+    n_cust = load_table(spark, SF, "customer").count()
+    assert len(rows) == n_cust  # LEFT join: nobody dropped
+    zero = [k for k, (n, c) in rows.items() if n == 0]
+    assert all(rows[k][1] == 0 for k in zero)  # coalesced sum
+
+
+def test_mode_is_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "user_id long, event_type string"
+    )
+    counts = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    got = {r.user_id: r.event_type for r in top}
+    assert got == {1: "a", 2: "z"}  # tie at cnt=1 -> lexicographic
+
+
+def test_sliding_window_frame_is_trailing_seven_rows(spark):
+    df = QUERIES["user_value_sliding_avg"](spark, SF)
+    rows = df.filter(F.col("user_id") == df.select("user_id").first()[0]).collect()
+    assert rows[0].w_n == 1  # first event: frame holds only itself
+    assert all(r.w_n <= 7 for r in rows)
+    assert all(abs(r.w_avg - r.w_cents / r.w_n) < 1e-12 for r in rows)
+
+
+def test_deterministic_sample_is_stable_and_proper_subset(spark):
+    a = {r.doc_id for r in QUERIES["deterministic_sample"](spark, SF).collect()}
+    b = {r.doc_id for r in QUERIES["deterministic_sample"](spark, SF).collect()}
+    assert a == b
+    total = load_table(spark, SF, "documents").count()
+    assert 0 < len(a) < total
+
+
+def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
+    # the runner stages the input twice at 1 file/trigger; output must
+    # equal batch DISTINCT (i.e. cross-batch duplicates were dropped)
+    import os
+
+    from p6__mapreduce_spark.streaming.dedup import run_streaming_dedup
+
+    got = run_streaming_dedup(spark, os.path.join(SF, "events.parquet")).collect()
+    want = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
