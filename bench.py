@@ -55,6 +55,10 @@ HEADLINE = [
     "user_value_sliding_avg",
     "user_event_type_sets",
     "deterministic_sample",
+    "session_windows_native",
+    "skewed_event_value_salted",
+    "event_neighbor_counts",
+    "dedup_components",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

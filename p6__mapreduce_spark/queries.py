@@ -1080,6 +1080,163 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, _os.path.join(sf_dir, "events.parquet"))
 
 
+@register(
+    "session_windows_native",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), i AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(us) // 1000000 AS session_start,
+           MAX(us) // 1000000 + 1800 AS session_end,
+           COUNT(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window — the same
+    operator Structured Streaming uses for stateful sessionization):
+    events merge while gaps stay under 30 minutes; window end = last
+    event + gap. The oracle rebuilds the islands with exact integer
+    microseconds, so the gap comparison is precision-identical."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "skewed_event_value_salted",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: event_type has ~5
+    hot values, so a direct groupBy lands each key on one reducer. A
+    32-way salt spreads stage 1 across the cluster; stage 2 merges 5x32
+    partial rows. Counts/sums are exact integers, so the result is
+    IDENTICAL to the unsalted plan (same oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    stage1 = (
+        events.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(32)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pc"), F.sum(cents).alias("ps"))
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(F.sum("pc").alias("cnt"), F.sum("ps").alias("value_cents"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_neighbor_counts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    )
+    SELECT a.user_id, a.event_id, COUNT(b.event_id) AS n_neighbors
+    FROM s a LEFT JOIN s b
+      ON a.user_id = b.user_id AND b.event_id != a.event_id
+     AND abs(a.sec - b.sec) <= 60
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join without a cross product: each event probes 60s
+    time buckets b-1/b/b+1 and matches same-user events in them, so a
+    pair within +/-60s collides in exactly one (probe, build) bucket
+    combination. The join is a plain equi-join on (user_id, bucket);
+    per-user-per-minute density bounds the candidate count — the
+    bucketed interval-join pattern that scales where theta-joins can't.
+    Events with no neighbor are restored by a left join (count 0)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    probe = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.col("sec").alias("asec"),
+    ).withColumn("nb", F.explode(F.array(F.expr("asec div 60 - 1"), F.expr("asec div 60"), F.expr("asec div 60 + 1"))))
+    build = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("eid2"),
+        F.col("sec").alias("bsec"),
+        F.expr("sec div 60").alias("b2"),
+    )
+    matched = (
+        probe.join(build, (F.col("u") == F.col("u2")) & (F.col("nb") == F.col("b2")))
+        .filter((F.col("eid") != F.col("eid2")) & (F.abs(F.col("asec") - F.col("bsec")) <= 60))
+        .groupBy("u", "eid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        e.join(matched, (e["user_id"] == matched["u"]) & (e["event_id"] == matched["eid"]), "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce("n", F.lit(0)).alias("n_neighbors"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+edges AS (SELECT id1, id2 FROM ({_JACCARD_08.replace("ORDER BY 1, 2", "")})),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM edges
+  UNION ALL
+  SELECT id2, id1 FROM edges
+),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-duplication: pairwise LSH edges ->
+    connected components by iterative min-label propagation (join +
+    groupBy per round, lineage truncated via localCheckpoint) -> one
+    canonical doc (min id) per cluster. The oracle computes the same
+    closure as a recursive CTE over the exact Jaccard pair set."""
+    from p6__mapreduce_spark.dedup.components import dedup_components
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_components(docs, pairs)
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on that
 # data, so it is generated on demand rather than registered statically.

@@ -60,6 +60,34 @@ def test_deterministic_sample_is_stable_and_proper_subset(spark):
     assert 0 < len(a) < total
 
 
+def test_connected_components_transitive_chain(spark):
+    # A-B, B-C chain collapses to one component; D stays a singleton
+    from p6__mapreduce_spark.dedup.components import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(2, 3), (1, 2)], "id1 long, id2 long")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    # a 12-node path needs multiple propagation rounds — exercises the
+    # iteration + convergence check, not just one join
+    from p6__mapreduce_spark.dedup.components import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id1 long, id2 long")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_event_neighbor_counts_plan_is_not_cartesian(spark):
+    plan = QUERIES["event_neighbor_counts"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
     # the runner stages the input twice at 1 file/trigger; output must
     # equal batch DISTINCT (i.e. cross-batch duplicates were dropped)
