@@ -36,36 +36,45 @@ def connected_components(
     ``nodes``: one column ``id_col`` (all ids, including singletons).
     ``edges``: columns id1/id2, undirected.
     """
-    labels = nodes.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # materialize the edge list BEFORE symmetrizing: the two union
+    # branches are separate consumers, and an expensive upstream plan
+    # (LSH pair generation here) would execute once per branch
+    edges = edges.select("id1", "id2").localCheckpoint(eager=True)
     sym = edges.select(
         F.col("id1").alias("a"), F.col("id2").alias("b")
     ).unionAll(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
     sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    # iterate ONLY over nodes with at least one edge: singletons can
+    # never change label, and at corpus scale nearly every doc is a
+    # singleton — looping over them would shuffle the whole corpus once
+    # per round for no information
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the convergence flag rides the checkpointed result — a
+        # separate old-vs-new compare join would add a shuffle + action
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["a"], "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("nbr_comp") < F.col("comp"), F.lit(False))).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()  # local scan, no shuffle
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+    singletons = all_nodes.join(labels, "id", "left_anti").withColumn("comp", F.col("id"))
+    return labels.unionAll(singletons).select(F.col("id"), F.col("comp").alias("component"))
 
 
 def dedup_components(docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
