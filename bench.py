@@ -58,6 +58,10 @@ HEADLINE = [
     "session_windows_native",
     "skewed_event_value_salted",
     "event_neighbor_counts",
+    "grouping_sets_explicit",
+    "ntile_price_quartiles",
+    "event_span_per_user",
+    "median_price_by_priority",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

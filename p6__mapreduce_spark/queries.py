@@ -1237,19 +1237,130 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, pairs)
 
 
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY 3, 4, 1, 2
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from cube/rollup) +
+    GROUPING() markers, via the SQL entry point — one pass, Spark
+    expands the sets before a single exchange."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY 3, 4, 1, 2
+        """
+    )
+
+
+@register(
+    "ntile_price_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+    FROM orders ORDER BY o_orderpriority, quartile, o_orderkey
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per group (deterministic: total order via the
+    orderkey tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .orderBy("o_orderpriority", "quartile", "o_orderkey")
+    )
+
+
+@register(
+    "event_span_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_eid,
+           last_value(event_id) OVER w AS last_eid
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+)
+def q_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over an unbounded frame: each event row
+    carries its user's first and last event id (deterministic frame
+    order via the event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_eid"),
+        F.last("event_id").over(w).alias("last_eid"),
+    ).orderBy("event_id")
+
+
+@register(
+    "median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           median(CAST(round(o_totalprice * 100) AS BIGINT)) AS median_cents,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated on even counts) over integer cents —
+    Spark's median and DuckDB's agree bit-for-bit because the inputs
+    are exact integers and both interpolate as (a+b)/2 in float64."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.median(cents).alias("median_cents"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
-# oracle embeds centroids trained (reproducibly, Spark-free) on that
-# data, so it is generated on demand rather than registered statically.
+# oracle embeds centroids trained (reproducibly, Spark-free) on the
+# sf dir's own data, so it is generated on demand per sf dir rather
+# than registered statically.
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def get_oracle_sql() -> dict[str, str]:
+def get_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     out = dict(ORACLE_SQL)
     try:
         from p6__mapreduce_spark.similarity.ivf import knn_ivf_oracle_sql
 
         out["knn_ivf"] = knn_ivf_oracle_sql(
-            f"{ORACLE_SF_DIR}/embeddings.parquet", k=5, query_filter="vec_id < 16"
+            f"{sf_dir}/embeddings.parquet", k=5, query_filter="vec_id < 16"
         )
     except Exception:  # parquet absent -> knn_ivf stays rows-only
         pass

@@ -119,12 +119,15 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from p6__mapreduce_spark.queries import get_oracle_sql
     from p6__mapreduce_spark.session import get_session
 
     spark = get_session("oracle_check")
     con = duck_con(sf_dir)
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # sf-dir-aware oracle generation: knn_ivf's centroid literals are
+    # trained on the SAME sf dir the Spark query runs against
+    oracles = get_oracle_sql(sf_dir)
     failed = 0
     for name, fn in qs.items():
         if only and name not in only:
