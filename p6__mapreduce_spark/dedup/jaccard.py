@@ -19,28 +19,31 @@ from pyspark.sql import functions as F
 def shingle_postings(docs: DataFrame, k: int = 3, *, max_doc_freq: int | None = None) -> DataFrame:
     """(doc_id, shingle) postings, one row per distinct shingle per doc.
 
-    Row-wise shape: posexplode tokens, build each k-shingle from lead()
-    windows, distinct. The array formulation (transform over indexes
-    slicing a token array) re-expands the tokenizer expression inside
-    every shingle lambda — quadratic per document and measured 4x
-    slower at sf0.1. Cost here is linear; the doc_id window sort and
-    the distinct ride the same hash partitioning.
+    Map-side shape: tokenize once per row, zip the token array with its
+    own k-1 shifted slices (``arrays_zip``), explode, concat — the only
+    shuffle is the final distinct. Two rejected alternatives, both
+    measured slower at sf0.1: a posexplode + lead()-window formulation
+    adds a full shuffle+sort per doc_id before the distinct (~2x cold);
+    a transform-over-index-range lambda re-expands the tokenizer
+    expression inside every shingle element (~4x). Here the zip lambda
+    only touches struct fields, so the tokenizer runs exactly once per
+    row (asserted in tests/test_plans.py).
     """
-    from pyspark.sql import Window as W
-
     from p6__mapreduce_spark.functions.text import tokens_expr
 
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    toks = docs.select("doc_id", tokens_expr("text").alias("w"))
+    n_shingles = F.greatest(F.size("w") - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice("w", i + 1, n_shingles).alias(f"t{i}") for i in range(k)]
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    shingled = toks.select("doc_id", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
-    for i in range(1, k):
-        shingled = shingled.filter(F.col(f"t{i}").isNotNull())
-    postings = shingled.select(
-        "doc_id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)]).alias("shingle")
-    ).distinct()
+    postings = (
+        toks.select("doc_id", F.explode(zipped).alias("z"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)]).alias("shingle"),
+        )
+        .distinct()
+    )
     if max_doc_freq is not None:
         keep = (
             postings.groupBy("shingle")
@@ -83,6 +86,27 @@ def ngram_jaccard_pairs(
         postings = shingle_postings(docs, k).cache()
         postings.count()
     postings = postings.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+
+    if candidates is not None and {"n1", "n2"} <= set(candidates.columns):
+        # candidates already carry both docs' set sizes (rode the
+        # minhash partial aggregation) — verify needs zero size joins
+        cand = candidates.select("id1", "id2", "n1", "n2").distinct()
+        pa = postings.select(F.col("doc_id").alias("id1"), "shingle")
+        pb = postings.select(F.col("doc_id").alias("id2"), "shingle")
+        inter = (
+            cand.join(pa, "id1")
+            .join(pb, ["id2", "shingle"])
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        jac = F.col("n_inter") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+        return (
+            inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id1", "id2", "jaccard")
+            .orderBy("id1", "id2")
+        )
+
     sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     if candidates is None:

@@ -54,18 +54,29 @@ def minhash_signatures(
     """
     postings = postings if postings is not None else shingle_postings(docs, k)
     hashed = postings.select("doc_id", poly_hash_expr("shingle").alias("h"))
+    # n_shingles rides the same partial aggregation for free; downstream
+    # the exact-Jaccard verify needs |A| and |B|, and carrying them here
+    # saves two joins against a separate sizes aggregate.
     mins = hashed.groupBy("doc_id").agg(
-        *[F.min(_perm(i, F.col("h"))).alias(f"s{i}") for i in range(num_hashes)]
+        *[F.min(_perm(i, F.col("h"))).alias(f"s{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_shingles"),
     )
     return mins.select(
-        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+        "doc_id",
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
+        "n_shingles",
     )
 
 
 def lsh_candidates(
     signatures: DataFrame, num_bands: int = 16, rows_per_band: int = 2
 ) -> DataFrame:
-    """Candidate (id1 < id2) pairs sharing at least one LSH band bucket."""
+    """Candidate (id1 < id2) pairs sharing at least one LSH band bucket.
+
+    When the signatures carry ``n_shingles`` (they do by default), each
+    pair is emitted with both docs' set sizes (``n1``/``n2``) so the
+    exact-Jaccard verify needs no extra size joins.
+    """
     bands = F.array(
         *[
             F.struct(
@@ -75,10 +86,15 @@ def lsh_candidates(
             for j in range(num_bands)
         ]
     )
-    exploded = signatures.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    has_sizes = "n_shingles" in signatures.columns
+    size_cols = ["n_shingles"] if has_sizes else []
+    exploded = signatures.select("doc_id", *size_cols, F.explode(bands).alias("b")).select(
+        "doc_id", *size_cols, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
+    out_cols = [F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")]
+    if has_sizes:
+        out_cols += [F.col("a.n_shingles").alias("n1"), F.col("b.n_shingles").alias("n2")]
     return (
         a.join(
             b,
@@ -86,7 +102,7 @@ def lsh_candidates(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .select(*out_cols)
         .distinct()
     )
 
@@ -151,33 +167,35 @@ def incremental_neardup_pairs(
             ]
         )
         return (
-            sigs.select("doc_id", F.explode(bands).alias("b"))
-            .select(F.col("doc_id").alias(side), F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+            sigs.select("doc_id", "n_shingles", F.explode(bands).alias("b"))
+            .select(
+                F.col("doc_id").alias(side),
+                F.col("n_shingles").alias("n1" if side == "id1" else "n2"),
+                F.col("b.band").alias("band"),
+                F.col("b.bh").alias("bh"),
+            )
         ), postings
 
     cb, corpus_postings = banded(corpus, "id1")
     bb, batch_postings = banded(batch, "id2")
-    cands = cb.join(bb, ["band", "bh"]).select("id1", "id2").distinct()
+    # set sizes rode each side's signature aggregation — no size joins
+    cands = cb.join(bb, ["band", "bh"]).select("id1", "id2", "n1", "n2").distinct()
 
-    # exact-Jaccard verification across the two posting sets
+    # exact-Jaccard verification across the two posting sets.
+    # No broadcast hint on the data-dependent candidate set: AQE decides
+    # from the runtime size (see dedup/jaccard.py for the rationale)
     pa = corpus_postings.select(F.col("doc_id").alias("id1"), "shingle")
     pb = batch_postings.select(F.col("doc_id").alias("id2"), "shingle")
-    s1 = pa.groupBy("id1").agg(F.count(F.lit(1)).alias("n1"))
-    s2 = pb.groupBy("id2").agg(F.count(F.lit(1)).alias("n2"))
-    # no broadcast hint on the data-dependent candidate set: AQE decides
-    # from the runtime size (see dedup/jaccard.py for the rationale)
     inter = (
         cands
         .join(pa, "id1")
         .join(pb, ["id2", "shingle"])
-        .groupBy("id1", "id2")
+        .groupBy("id1", "id2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = F.col("n_inter") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("n_inter"))
     return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id1", "id2", "jaccard")
         .orderBy("id1", "id2")

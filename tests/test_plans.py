@@ -65,6 +65,33 @@ def test_embedding_neardup_default_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shingle_postings_tokenize_once_no_window(spark):
+    # the posting list is built map-side: the tokenizer (a regexp split)
+    # must appear exactly once in the plan (a transform-over-indexes
+    # formulation re-expands it per shingle), and there must be no
+    # per-doc Window sort (a lead()-window formulation adds a full
+    # shuffle+sort before the distinct)
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+    df = shingle_postings(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    assert plan.count("split") == 1, f"tokenizer evaluated {plan.count('split')}x"
+    assert "Window" not in plan
+    # one shuffle total: the distinct
+    assert plan.count("Exchange") == 1
+
+
+def test_minhash_verify_carries_sizes_no_size_joins(spark):
+    # lsh_candidates rides n_shingles through the band join, so the
+    # exact-Jaccard verify plans exactly 2 joins (candidates x postings
+    # x postings) — not 4 (no separate per-doc size aggregate joins)
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(load_table(spark, SF, "documents").limit(60))
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 3  # band self-join + 2 verify joins
+
+
 def test_candidate_verify_has_no_broadcast_hint(spark):
     # the candidate set is data-dependent (O(duplicates)); a static
     # broadcast hint could OOM the driver on a high-dup corpus. The plan
