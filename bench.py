@@ -62,6 +62,14 @@ HEADLINE = [
     "ntile_price_quartiles",
     "event_span_per_user",
     "median_price_by_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q22_idle_rich_customers",
+    # training-data pipeline passes
+    "repetition_stats",
+    "contamination_check",
+    "corpus_split_counts",
+    "corpus_mixture_sample",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -16,8 +16,16 @@ from pyspark.sql import functions as F
 
 
 
-def shingle_postings(docs: DataFrame, k: int = 3, *, max_doc_freq: int | None = None) -> DataFrame:
-    """(doc_id, shingle) postings, one row per distinct shingle per doc.
+def shingle_postings(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    max_doc_freq: int | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) postings, one row per distinct shingle per doc
+    (``distinct=False`` keeps every occurrence — the shape repetition
+    analysis needs).
 
     Map-side shape: tokenize once per row, zip the token array with its
     own k-1 shifted slices (``arrays_zip``), explode, concat — the only
@@ -36,14 +44,12 @@ def shingle_postings(docs: DataFrame, k: int = 3, *, max_doc_freq: int | None = 
     zipped = F.arrays_zip(
         *[F.slice("w", i + 1, n_shingles).alias(f"t{i}") for i in range(k)]
     )
-    postings = (
-        toks.select("doc_id", F.explode(zipped).alias("z"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)]).alias("shingle"),
-        )
-        .distinct()
+    postings = toks.select("doc_id", F.explode(zipped).alias("z")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)]).alias("shingle"),
     )
+    if distinct:
+        postings = postings.distinct()
     if max_doc_freq is not None:
         keep = (
             postings.groupBy("shingle")

@@ -1,0 +1,141 @@
+"""Training-data pipeline operators: repetition analysis, benchmark
+decontamination, deterministic splits, weighted corpus mixing.
+
+These are the corpus-curation passes an LLM data pipeline runs between
+raw ingestion and training: flag pathologically repetitive documents,
+find train-set documents that leak n-grams into a held-out set, assign
+reproducible train/val/test splits, and sample sources at configured
+weights. Everything is expressed with built-in column functions (pure
+whole-stage codegen, no Python in any plan) and every decision is a
+deterministic content/key hash — re-running on a different cluster,
+partition layout, or engine yields byte-identical output.
+
+Scale notes per operator:
+- repetition_stats: explode + two hash aggregations keyed by doc_id
+  and (doc_id, shingle); both partial-aggregate map-side, no joins.
+- contamination_pairs: inverted-index join (eval postings x train
+  postings on shingle) — cost bounded by postings co-occurrence, never
+  |eval| x |train|; hot-shingle pruning via ``max_doc_freq`` caps the
+  worst posting list like IDF pruning does.
+- split_assign / mixture_sample: stateless map-side filters on a
+  sha256 of the key/content — free at any scale, and immune to the
+  rand()-reshuffle trap (a rerun or a straggler retry cannot change
+  the sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+# first hex nibble of sha256(doc_id): '0'/'1' -> held-out eval (1/8)
+_EVAL_NIBBLES = ("0", "1")
+
+
+def _key_hash_bucket(col, buckets: int):
+    """Deterministic uniform bucket in [0, buckets) from sha256 of a
+    column, portable bit-for-bit to the DuckDB oracle
+    (CAST('0x' || substr(sha256(x), 1, 4) AS INT) % buckets)."""
+    nib4 = F.substring(F.sha2(col.cast("string"), 256), 1, 4)
+    return (F.conv(nib4, 16, 10).cast("int") % F.lit(buckets)).alias("bucket")
+
+
+def repetition_stats(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document k-gram repetition profile.
+
+    Columns: n_total (k-gram occurrences), n_distinct, max_repeat (the
+    most-repeated single k-gram), rep_ratio = 1 - n_distinct/n_total.
+    High rep_ratio / max_repeat flags boilerplate and degenerate
+    low-entropy text — a standard pre-training quality gate. Documents
+    shorter than k tokens have no k-grams and are omitted.
+    """
+    occurrences = shingle_postings(docs, k, distinct=False)
+    per_shingle = occurrences.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_repeat"),
+        )
+        .select(
+            "doc_id",
+            "n_total",
+            "n_distinct",
+            "max_repeat",
+            # exact-integer division: bit-reproducible across engines
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_total")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def eval_split_filter(col):
+    """True for rows in the held-out eval split (~1/8 by key hash)."""
+    return F.substring(F.sha2(col.cast("string"), 256), 1, 1).isin(*_EVAL_NIBBLES)
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    min_overlap: int = 8,
+    *,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination pass: (eval_id, train_id, n_overlap)
+    for every train document sharing >= min_overlap distinct k-grams
+    with a held-out document.
+
+    The held-out set is the deterministic sha256(doc_id) split, so the
+    check is reproducible; matches are exactly the documents a curator
+    must drop from the training corpus before reporting eval numbers.
+    """
+    postings = shingle_postings(docs, k, max_doc_freq=max_doc_freq)
+    is_eval = eval_split_filter(F.col("doc_id"))
+    ev = postings.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "shingle")
+    tr = postings.filter(~is_eval).select(F.col("doc_id").alias("train_id"), "shingle")
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= F.lit(min_overlap))
+        .orderBy("eval_id", "train_id")
+    )
+
+
+def split_assign(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Attach a deterministic train/val/test split label (80/10/10).
+
+    The label is a pure function of the key — stable under reruns,
+    repartitions, corpus growth (existing docs never switch splits) and
+    engines. This is the property rand()-based splitting lacks.
+    """
+    bucket = _key_hash_bucket(F.col(key), 100)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """Weighted corpus mixing: keep each document with its source's
+    configured probability, decided by a content hash.
+
+    ``weights`` maps source -> keep fraction (e.g. up-weight curated
+    sources, down-weight crawl). The keep decision is per-document
+    deterministic, so the mixture is reproducible and composable with
+    later pipeline stages. Sources absent from ``weights`` are dropped.
+    """
+    # thresholds become exact integer literals at plan-build time; doing
+    # the rounding in the plan (weight * 10000, cast) is a portability
+    # trap — Spark's cast truncates while other engines round
+    bp = {s: int(round(w * 10_000)) for s, w in weights.items()}
+    weight_map = F.create_map(*[F.lit(x) for kv in bp.items() for x in kv])
+    bucket = _key_hash_bucket(F.col("text"), 10_000)
+    return docs.filter(bucket < weight_map[F.col("source")])

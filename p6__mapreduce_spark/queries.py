@@ -1347,6 +1347,268 @@ def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 3 + 2)) AS i FROM toks WHERE len(w) >= 3
+    ), sh AS (
+      SELECT doc_id, list_aggregate(w[i : i + 2], 'string_agg', ' ') AS shingle FROM idx
+    ), per AS (
+      SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_total,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(cnt) AS BIGINT) AS max_repeat,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram repetition profile — the low-entropy/boilerplate
+    quality gate of a pre-training corpus pipeline."""
+    from p6__mapreduce_spark.operators.pipeline import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS i FROM toks WHERE len(w) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, list_aggregate(w[i : i + 4], 'string_agg', ' ') AS shingle FROM idx
+    ), ev AS (
+      SELECT doc_id AS eval_id, shingle FROM sh
+      WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ), tr AS (
+      SELECT doc_id AS train_id, shingle FROM sh
+      WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+    )
+    SELECT eval_id, train_id, COUNT(*) AS n_overlap
+    FROM ev JOIN tr USING (shingle)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 8 ORDER BY 1, 2
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >= 8 distinct
+    5-grams with the deterministic held-out split. On this corpus the
+    hits are exactly the planted near-duplicates that straddle the
+    split — the documents a curator must drop before reporting evals."""
+    from p6__mapreduce_spark.operators.pipeline import contamination_pairs
+
+    return contamination_pairs(load_table(spark, sf_dir, "documents"), k=5, min_overlap=8)
+
+
+@register(
+    "corpus_split_counts",
+    oracle="""
+    SELECT source, split, COUNT(*) AS cnt FROM (
+      SELECT source,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+        FROM documents
+      )
+    ) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (sha256 of the
+    key — stable under reruns, repartitions and corpus growth), counted
+    per source."""
+    from p6__mapreduce_spark.operators.pipeline import split_assign
+
+    assigned = split_assign(load_table(spark, sf_dir, "documents"))
+    return (
+        assigned.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("source", "split")
+    )
+
+
+# per-source keep fractions for the mixture query: curated sources up,
+# crawl-like sources down — same dict renders into the SQL oracle below
+_MIX_WEIGHTS = {f"src{i}": ((i % 5) + 1) / 10 for i in range(20)}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 10_000))})" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+    WITH w(source, keep_bp) AS (VALUES {values})
+    SELECT doc_id, source FROM documents JOIN w USING (source)
+    WHERE CAST(concat('0x', substr(sha256(text), 1, 4)) AS INTEGER) % 10000 < keep_bp
+    ORDER BY doc_id
+    """
+
+
+@register("corpus_mixture_sample", oracle=_mixture_oracle())
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source kept at its configured
+    fraction, decided per document by a content hash — reproducible
+    across engines and runs, unlike rand() sampling."""
+    from p6__mapreduce_spark.operators.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_WEIGHTS).select("doc_id", "source").orderBy("doc_id")
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents_bp,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg —
+    every predicate pushes to the parquet scan, revenue summed as exact
+    cents x discount basis points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents * disc_bp).alias("revenue_cents_bp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3, 4
+    HAVING SUM(l_quantity) > 300
+    ORDER BY price_cents DESC, o_orderkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): 3-way join + HAVING over a
+    grouped sum. Quantities are integral doubles, so the sum is exact
+    in both engines regardless of addition order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            # NTZ -> timestamp (UTC session) -> epoch seconds
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+        .orderBy(F.col("price_cents").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH cb AS (
+      SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), ab AS (
+      SELECT CAST(SUM(bal) AS BIGINT) * 1.0 / COUNT(*) AS a FROM cb WHERE bal > 0
+    ), recent AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+    FROM cb, ab
+    WHERE bal > a AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 reshaped to this schema (no phone column): customers
+    with above-average positive balance and no recent order — scalar
+    aggregate subquery + anti join + aggregate. The average is computed
+    over exact cents so the threshold compare is bit-identical."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    avg_bal = c.filter(F.col("bal") > 0).agg(
+        (F.sum("bal") * F.lit(1.0) / F.count(F.lit(1))).alias("a")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "clicks_to_purchases_streaming",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_clicks_to_purchases_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution
+    within 6h) run as real Structured Streaming: two watermarked
+    streams, time-range join condition bounding state, input staged as
+    two time-ordered micro-batches so pairs straddle a batch boundary.
+    Append-mode output equals the batch interval self-join oracle."""
+    from p6__mapreduce_spark.streaming.join import run_streaming_click_purchase_join
+
+    return run_streaming_click_purchase_join(spark, sf_dir)
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on the
 # sf dir's own data, so it is generated on demand per sf dir rather

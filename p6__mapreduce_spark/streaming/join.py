@@ -1,0 +1,110 @@
+"""Stream-stream interval join — Structured Streaming with watermarks.
+
+The attribution query every event pipeline runs: join each click to
+the same user's purchases within an interval, on two *unbounded*
+streams. Spark buffers both sides in keyed state; the watermarks plus
+the time-range join condition bound that state — a click's state row
+is evicted once the purchase-side watermark passes ``click_ts + gap``,
+so state size is O(events within the interval), not O(stream).
+
+The runner stages the input parquet split into two time-ordered files
+and forces one file per micro-batch, so boundary-straddling pairs only
+appear if join state genuinely carries across batches. Output equals
+the batch interval self-join, which is the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.sources.readers import load_table
+
+
+def run_streaming_click_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """(user_id, click_id, purchase_id, click_us, purchase_us) for every
+    purchase within ``gap`` after a click by the same user, computed by
+    a real two-batch Structured Streaming join.
+
+    The stage split point is the events' midpoint timestamp, so each
+    micro-batch advances the watermark monotonically (like real
+    time-ordered ingestion) and no input is late-dropped; ``watermark``
+    must exceed ``gap`` so cross-batch click state survives until its
+    matching purchases arrive.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    src = tempfile.mkdtemp(prefix="p6_stream_join_")
+    try:
+        # one parquet file per half, lexicographic names = arrival order
+        for i, half in enumerate(
+            (events.filter(F.col("ts") < F.lit(mid)), events.filter(F.col("ts") >= F.lit(mid)))
+        ):
+            part = os.path.join(src, f"_stage_{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(part)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(os.path.join(part, data), os.path.join(src, f"batch_{i}.parquet"))
+            shutil.rmtree(part)
+
+        schema = events.schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", watermark)
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {gap}")),
+        ).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        # the memory sink holds the rows; the staging dir can go away
+        return spark.table(name).orderBy("click_id", "purchase_id")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
