@@ -70,6 +70,9 @@ HEADLINE = [
     "contamination_check",
     "corpus_split_counts",
     "corpus_mixture_sample",
+    "text_normalize",
+    "order_price_percentiles",
+    "qty_discount_corr",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -1609,6 +1609,114 @@ def q_clicks_to_purchases_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     return run_streaming_click_purchase_join(spark, sf_dir)
 
 
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+           len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse every
+    non-alphanumeric run to one space) + token count — the first pass
+    of any text-cleaning pipeline, pure map-side codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim("text"))
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(lowered, "[^a-z0-9]+", " ")).alias("norm_text"),
+        F.size(F.filter(F.split(lowered, "[^a-z0-9]+"), lambda t: t != "")).cast("long").alias(
+            "n_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, pct_rank, o_orderkey
+    """,
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per group: both are exact-integer
+    divisions ((rank-1)/(n-1), rank_count/n) so the doubles match the
+    oracle bit-for-bit; the orderkey tiebreak makes ranks total."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+    )
+
+
+@register(
+    "qty_discount_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n, sx, sy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qd
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation re-derived from exact integer moments.
+
+    Built-in corr() accumulates floating partial sums whose addition
+    order differs across engines and partitionings; here every moment
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT sum, and the final
+    formula is one deterministic IEEE expression over those — so the
+    double result is identical on any cluster size, at any scale, and
+    in the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select("l_returnflag", "n", "sx", "sy", corr.alias("corr_qd")).orderBy(
+        "l_returnflag"
+    )
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on the
 # sf dir's own data, so it is generated on demand per sf dir rather

@@ -74,6 +74,33 @@ def test_contamination_finds_planted_leak(spark):
     assert out[0].n_overlap == 6  # 10-token shared window -> 6 shared 5-grams
 
 
+def test_pii_counts_and_redaction(spark):
+    from p6__mapreduce_spark.operators.pii import pii_counts, redact_pii
+
+    df = docs_df(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567", "s"),
+            (2, "ssn 123-45-6789 from host 10.0.255.1", "s"),
+            (3, "clean text with numbers 42 and 2024 only", "s"),
+        ],
+    )
+    counts = {r.doc_id: r for r in pii_counts(df).collect()}
+    assert counts[1].n_email == 1 and counts[1].n_phone == 1 and counts[1].n_pii == 2
+    assert counts[2].n_ssn == 1 and counts[2].n_ipv4 == 1 and counts[2].n_pii == 2
+    assert counts[3].n_pii == 0
+
+    red = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert red[1] == "mail me at [EMAIL] or call [PHONE]"
+    assert red[2] == "ssn [SSN] from host [IPV4]"
+    assert red[3] == "clean text with numbers 42 and 2024 only"
+    # the full synthetic corpus is PII-free: the scan proves it
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    corpus = pii_counts(load_table(spark, SF, "documents"))
+    assert corpus.agg(F.sum("n_pii")).first()[0] == 0
+
+
 def test_streaming_join_equals_batch_twin(spark):
     from p6__mapreduce_spark.sources.readers import load_table
     from p6__mapreduce_spark.streaming.join import run_streaming_click_purchase_join
