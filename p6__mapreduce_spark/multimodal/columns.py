@@ -53,6 +53,22 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def resize_image(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize decoded images to (width, height). STUB behind an
+    import-try: the mapInPandas plumbing is identical to
+    extract_features; only the batch body needs a codec library."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image resize requires Pillow, not available in this container; "
+            "the Arrow batch plumbing is the same as extract_features"
+        ) from None
+    raise NotImplementedError("codec present but resize body intentionally unimplemented")
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deterministic fake feature extractor proving the mapInPandas
     plumbing: per payload -> (n_bytes, checksum, head hex).

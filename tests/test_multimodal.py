@@ -49,3 +49,13 @@ def test_frame_sample_slices(spark):
 def test_decode_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         decode_image(attach_binary_payload(docs_df(spark)))
+
+
+def test_resize_is_explicit_stub(spark):
+    import pytest as _pytest
+
+    from p6__mapreduce_spark.multimodal.columns import resize_image
+
+    df = attach_binary_payload(docs_df(spark))
+    with _pytest.raises(NotImplementedError):
+        resize_image(df, 32, 32)

@@ -65,6 +65,14 @@ def test_embedding_neardup_default_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q6_pushes_all_predicates_to_scan(spark):
+    # TPC-H Q6 is pure scan-filter-agg: shipdate, discount AND quantity
+    # predicates must all reach the parquet reader
+    plan = formatted(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
 def test_shingle_postings_tokenize_once_no_window(spark):
     # the posting list is built map-side: the tokenizer (a regexp split)
     # must appear exactly once in the plan (a transform-over-indexes
