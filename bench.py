@@ -65,6 +65,9 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume",
     "tpch_q22_idle_rich_customers",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
     # training-data pipeline passes
     "repetition_stats",
     "contamination_check",

@@ -1717,6 +1717,148 @@ def q_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+      AND n2.n_name IN ('NATION_0', 'NATION_1')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): 5-way join with
+    TWO roles for the nation dimension (customer's and supplier's) and
+    a cross-nation inequality — both nation joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    pair = F.col("cust_nation").isin("NATION_0", "NATION_1") & F.col("supp_nation").isin(
+        "NATION_0", "NATION_1"
+    ) & (F.col("cust_nation") != F.col("supp_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): aggregate -> scalar max over the
+    aggregate -> filter back — the classic view + correlated-max shape,
+    expressed as one reused aggregation (computed once, max broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("total_rev_cents")
+        )
+    )
+    top = rev.agg(F.max("total_rev_cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev_cents") == F.col("m"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*)) AS qty_thresh
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN pa USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    average decorrelated into an aggregate + self-join. The threshold
+    (0.2 x avg qty) is derived from exact integer sums so the float
+    compare is bit-identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("long")) * F.lit(1.0) / F.count(F.lit(1)))
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        .join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on the
 # sf dir's own data, so it is generated on demand per sf dir rather
