@@ -56,3 +56,21 @@ def test_mr_run_signature_wrapper(spark, tmp_path):
     # M=9, R=8 accepted-and-ignored like the reference CLI's thread args
     out = MR_Run(spark, paths, mapper, 9, reducer, 8, "hash", 4)
     assert {(r.key, r.out) for r in out.collect()} == {("a", "2"), ("b", "3"), ("c", "1")}
+
+
+def test_run_query_cli_list_and_run(spark, capsys):
+    from p6__mapreduce_spark.run_query import main
+
+    assert main(["--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "tpch_q1_pricing" in names and len(names) >= 75
+
+    assert main(["word_freq", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[0] == "token" and len(out) == 4
+
+    assert main(["--sql", "SELECT COUNT(*) AS n FROM region", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["n", "5"]
+
+    assert main(["no_such_query"]) == 2
