@@ -17,6 +17,18 @@ groups. With b bands of r rows, P(candidate | jaccard=s) =
 probability (1-0.64)^16 ≈ 8e-8, so verified output equals the exact
 Jaccard >= 0.8 pair set (the SQL oracle) with overwhelming probability.
 
+Band geometry vs the corpus similarity distribution (measured in
+tools/scale_probe.py; numbers in SCALE.md): the r=2 default admits a
+pair with probability 1-(1-s²)^16, which is already ~0.87 at s=0.35 —
+fine when random pairs sit near s≈0.1 (the usual case), but a corpus
+whose typical pairwise similarity approaches the banding knee
+s* = (1/b)^(1/r) = 0.25 floods the verify stage with candidates
+(measured: 35.8M candidates over 50k docs, 70x slower end-to-end).
+For such corpora use steeper bands at the same miss budget:
+``num_hashes=64, num_bands=16`` (r=4) drops the s=0.35 admit rate to
+~0.21 while a true 0.8-pair is still found with p ≈ 0.9998. The
+verified output is identical either way — geometry only moves cost.
+
 Seeds are fixed constants: results are deterministic across runs and
 cluster sizes.
 """

@@ -73,3 +73,18 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     assert h[0] == h[3]
     assert hamming(h[0], h[1]) <= 6       # near-dup: few bits differ
     assert hamming(h[0], h[2]) >= 8       # unrelated: many bits differ
+
+
+def test_minhash_band_geometry_same_output(spark):
+    # r=4 (steeper bands, for high-similarity corpora) must find the
+    # same verified pair set as the r=2 default — geometry moves
+    # candidate cost, never the output
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r2 = {(r.id1, r.id2) for r in minhash_lsh_pairs(docs).collect()}
+    r4 = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs, num_hashes=64, num_bands=16).collect()
+    }
+    assert r2 == r4 and len(r2) > 20

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Scale-up probe: run the heavy operators at K x the sf0.1 data and
+check the runtime grows ~linearly (the 100 TB design claim, measured).
+
+Documents are inflated by unioning K copies with every token suffixed
+with the copy digit — INSIDE the [a-z0-9] token charset, so each copy
+keeps the base corpus's token-stream shape with a disjoint vocabulary
+(the near-dup pair set is exactly K x the base corpus's, and the
+similarity distribution — the thing that drives LSH candidate volume —
+is unchanged). A separator-introducing suffix like "_i" instead
+interleaves digit tokens into every shingle and lifts average pairwise
+Jaccard to ~0.35, where r=2 banding admits ~90% of all pairs as
+candidates — a useful adversarial regime (see SCALE.md) but not a
+throughput measurement. Lineitem is inflated with offset order keys,
+so aggregates are exactly K x.
+
+Usage: python tools/scale_probe.py [K] [sf_dir]
+Prints one JSON line with per-op times at 1x and Kx and the ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def inflate_documents(docs: DataFrame, k: int) -> DataFrame:
+    out = None
+    for i in range(k):
+        copy = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"([a-z0-9]+)", rf"$1x{i}").alias("text"),
+        )
+        out = copy if out is None else out.unionAll(copy)
+    return out
+
+
+def inflate_lineitem(li: DataFrame, k: int) -> DataFrame:
+    out = None
+    for i in range(k):
+        copy = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+        out = copy if out is None else out.unionAll(copy)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+    from p6__mapreduce_spark.operators.analytics import pricing_summary
+    from p6__mapreduce_spark.operators.pipeline import repetition_stats
+    from p6__mapreduce_spark.session import get_session
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    spark = get_session("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    ops = {
+        "tpch_q1": (lambda d: pricing_summary(d), li, inflate_lineitem),
+        "repetition_stats": (lambda d: repetition_stats(d), docs, inflate_documents),
+        "dedup_minhash_lsh": (lambda d: minhash_lsh_pairs(d), docs, inflate_documents),
+    }
+    report: dict[str, dict] = {}
+    for name, (fn, base, inflate) in ops.items():
+        t0 = time.time()
+        rows1 = fn(base).count()
+        t1 = time.time() - t0
+        spark.catalog.clearCache()
+        big = inflate(base, k)
+        t0 = time.time()
+        rowsk = fn(big).count()
+        tk = time.time() - t0
+        spark.catalog.clearCache()
+        report[name] = {
+            "rows_1x": rows1,
+            "rows_kx": rowsk,
+            "sec_1x": round(t1, 2),
+            "sec_kx": round(tk, 2),
+            "time_ratio": round(tk / t1, 2),
+        }
+    print(json.dumps({"k": k, "sf_dir": sf_dir, "ops": report}))
+
+
+if __name__ == "__main__":
+    main()
