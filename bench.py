@@ -68,6 +68,9 @@ HEADLINE = [
     "tpch_q7_nation_volume",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
+    "tpch_q8_market_share",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting_supplier",
     # training-data pipeline passes
     "repetition_stats",
     "contamination_check",

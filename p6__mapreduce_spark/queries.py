@@ -1859,6 +1859,173 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(vol_cents) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT o_orderdate, n2.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 7-way star join where the
+    nation dimension plays two roles (customer's region gate, supplier's
+    share bucket), then a conditional-sum ratio per year. All dimension
+    sides broadcast; lineitem never shuffles before the final 2-row agg.
+    The share is a quotient of two exact BIGINT cent-sums, so the double
+    is bit-identical across engines and cluster sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("vol_cents")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), F.col("supp_nation"), vol.alias("vol_cents"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nation_vol).alias("nation_cents"),
+            F.sum("vol_cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents").cast("double") / F.col("total_cents").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    zero-order customers survive into the c_count=0 bucket, then a
+    second aggregation over the first's output. The reduced schema has
+    no o_comment, so the spec's NOT LIKE comment filter is replaced by
+    an o_orderpriority gate — same shape: the filter must sit in the
+    join condition (pre-join on the right side), NOT as a WHERE after
+    the outer join, or the 0-bucket vanishes. Two shuffles total; the
+    second input is one row per customer (tiny)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): count lines where
+    the supplier was the ONLY late supplier in a multi-supplier finished
+    order. The reduced schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 60 days. The spec's correlated EXISTS /
+    NOT EXISTS pair decorrelates into ONE per-order aggregate — distinct
+    suppliers and distinct LATE suppliers — rejoined on l_orderkey: a
+    line qualifies iff it is late, supp_cnt > 1, and late_supp_cnt = 1
+    (itself). Both the aggregate and the rejoin shuffle on the same key
+    (l_orderkey), so AQE/exchange-reuse co-locates them; supplier
+    (100 rows) broadcasts for the name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp_cnt"),
+    )
+    return (
+        lines.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("supp_cnt") > 1) & (F.col("late_supp_cnt") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on the
 # sf dir's own data, so it is generated on demand per sf dir rather
