@@ -77,6 +77,8 @@ HEADLINE = [
     "corpus_split_counts",
     "corpus_mixture_sample",
     "text_normalize",
+    "doc_chunks",
+    "sequence_packing",
     "order_price_percentiles",
     "qty_discount_corr",
     # text / dedup / similarity / multimodal

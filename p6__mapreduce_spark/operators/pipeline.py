@@ -25,10 +25,11 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+from p6__mapreduce_spark.functions.text import tokens_expr
 
 # first hex nibble of sha256(doc_id): '0'/'1' -> held-out eval (1/8)
 _EVAL_NIBBLES = ("0", "1")
@@ -139,3 +140,78 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
     weight_map = F.create_map(*[F.lit(x) for kv in bp.items() for x in kv])
     bucket = _key_hash_bucket(F.col("text"), 10_000)
     return docs.filter(bucket < weight_map[F.col("source")])
+
+
+def doc_chunks(docs: DataFrame, chunk_size: int = 64, overlap: int = 16) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks (stride = chunk_size - overlap) — the context-window prep
+    step before embedding or sequence packing.
+
+    One row per (doc_id, chunk_idx) with the chunk's token count and
+    re-joined text; the final chunk keeps the tail even when shorter.
+    Tokenize ONCE into a bound column, explode the chunk indexes into
+    rows, then slice per row — slicing inside an array-of-arrays
+    ``transform`` would re-expand the tokenizer per element. Pure
+    map-side (project + generate), no shuffle, no Python.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    base = (
+        docs.select("doc_id", tokens_expr("text").alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    n_chunks = F.when(F.col("n_toks") <= chunk_size, F.lit(1)).otherwise(
+        F.expr(f"((n_toks - {chunk_size} + {stride - 1}) div {stride}) + 1").cast("int")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return (
+        base.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def sequence_packing(docs: DataFrame, seq_len: int = 256, n_shards: int = 8) -> DataFrame:
+    """Assign each document a position in a fixed-token-budget training
+    sequence: shard by key, then within each shard lay documents
+    head-to-tail and bin by cumulative token offset.
+
+    Output per doc: shard, n_tokens, seq_id (which sequence in the
+    shard its FIRST token lands in) and offset_in_seq. Sharding is the
+    scale move — sequences never cross shards, so each shard packs
+    independently from its own running sum (window partitioned by
+    shard) and no global sort or single-partition window exists in the
+    plan; the waste is at most one partial sequence per shard. Long
+    documents that straddle a boundary are the caller's concern —
+    compose with :func:`doc_chunks` first to bound document length.
+    Deterministic: shard and order derive from doc_id, not layout.
+    """
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return (
+        t.select("doc_id", "shard", "n_tokens", start)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"start div {seq_len}").alias("seq_id"),
+            (F.col("start") % seq_len).alias("offset_in_seq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1467,6 +1467,64 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n_toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS n_chunks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+    FROM b, UNNEST(range(0, n_chunks)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks, 16-token overlap, tail
+    kept. Tokenize once -> explode chunk indexes -> slice per row; pure
+    map-side generate, no shuffle."""
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks
+
+    return doc_chunks(load_table(spark, sf_dir, "documents"), chunk_size=64, overlap=16)
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           start // 256 AS seq_id, start % 256 AS offset_in_seq
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: shard by doc_id, lay docs head-to-tail
+    per shard, bin by cumulative token offset into 256-token sequences.
+    The per-shard window is the scale move — no global sort in the plan."""
+    from p6__mapreduce_spark.operators.pipeline import sequence_packing
+
+    return sequence_packing(load_table(spark, sf_dir, "documents"), seq_len=256, n_shards=8)
+
+
+@register(
     "tpch_q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

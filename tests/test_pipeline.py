@@ -130,3 +130,42 @@ def test_streaming_join_equals_batch_twin(spark):
     # and the streaming run genuinely crossed a batch boundary: pairs on
     # both sides of the stage midpoint exist (guaranteed by staging)
     assert len({r.user_id for r in got}) > 1
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks
+
+    # 10 tokens, chunk_size=4, overlap=2 -> stride 2 -> starts 0,2,4,6
+    # (last chunk [g h i j] covers the tail exactly); short doc -> 1 chunk
+    rows = [
+        (1, "a b c d e f g h i j", "s"),
+        (2, "x y", "s"),
+        (3, "", "s"),  # empty: no tokens, no chunks
+    ]
+    out = doc_chunks(docs_df(spark, rows), chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.chunk_text for r in by_doc[1]] == ["a b c d", "c d e f", "e f g h", "g h i j"]
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [4, 4, 4, 4]
+    assert [r.chunk_text for r in by_doc[2]] == ["x y"]
+    assert 3 not in by_doc
+    # ragged tail: 9 tokens -> starts 0,2,4,6 with last chunk len 3
+    out9 = doc_chunks(docs_df(spark, [(1, "a b c d e f g h i", "s")]), 4, 2).collect()
+    assert [r.n_chunk_tokens for r in out9] == [4, 4, 4, 3]
+
+
+def test_sequence_packing_no_global_window(spark):
+    from p6__mapreduce_spark.operators.pipeline import sequence_packing
+
+    rows = [(i, " ".join(["tok"] * 10), "s") for i in range(16)]
+    out = sequence_packing(docs_df(spark, rows), seq_len=25, n_shards=4)
+    got = {r.doc_id: r for r in out.collect()}
+    # shard 0 holds docs 0,4,8,12 (10 tokens each): starts 0,10,20,30
+    # -> seq ids 0,0,0,1 and offsets 0,10,20,5
+    assert [(got[i].seq_id, got[i].offset_in_seq) for i in (0, 4, 8, 12)] == [
+        (0, 0), (0, 10), (0, 20), (1, 5)
+    ]
+    # scale guard: the window must be partitioned by shard, never global
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
