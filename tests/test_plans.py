@@ -6,12 +6,23 @@ a hot path) fails CI even though results stay correct.
 
 from __future__ import annotations
 
+import pytest
+
 from p6__mapreduce_spark.operators.analytics import pricing_summary, revenue_by_nation
 from p6__mapreduce_spark.operators.core import line_count
 from p6__mapreduce_spark.queries import QUERIES
 from p6__mapreduce_spark.sources.readers import load_table
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _no_cached_plans(spark):
+    # plan-shape assertions are meaningless if an earlier test left a
+    # cached DataFrame whose subtree the CacheManager substitutes
+    # (InMemoryTableScan) into the plan under inspection
+    spark.catalog.clearCache()
+    yield
 
 
 def plan_of(df) -> str:
