@@ -149,3 +149,34 @@ def test_declarative_queries_avoid_python_udfs(spark):
             continue
         plan = plan_of(fn(spark, SF))
         assert "EvalPython" not in plan, f"{name} fell back to Python UDF"
+
+
+def test_doc_chunks_is_map_side_single_tokenize(spark):
+    # chunking must tokenize once (the regexp split evaluated per doc,
+    # not re-expanded per chunk) and stay shuffle-free up to the output
+    # sort: project + generate only
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks
+
+    df = doc_chunks(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    # everything above the Generate (the per-chunk slice/join projections)
+    # must reference the bound toks column, never re-run the tokenizer —
+    # a transform-over-indexes formulation re-expands it per chunk
+    above_generate = plan.split("Generate")[0]
+    assert "split(" not in above_generate, above_generate
+    assert "Exchange hashpartitioning" not in plan  # map-side until the orderBy
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    from p6__mapreduce_spark.operators.pipeline import sequence_packing
+
+    plan = plan_of(sequence_packing(load_table(spark, SF, "documents")))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan  # never a global running sum
+
+
+def test_new_tpch_shapes_have_no_cartesian(spark):
+    for q in ("tpch_q8_market_share", "tpch_q13_custdist", "tpch_q21_waiting_supplier"):
+        plan = plan_of(QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
