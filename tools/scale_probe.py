@@ -49,14 +49,26 @@ def inflate_lineitem(li: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def inflate_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    # identical vectors under offset ids: bucket geometry is unchanged,
+    # per-bucket candidate volume grows exactly k x — the quantity that
+    # drives ANN cost
+    out = None
+    for i in range(k):
+        copy = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        out = copy if out is None else out.unionAll(copy)
+    return out
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
     from p6__mapreduce_spark.operators.analytics import pricing_summary
-    from p6__mapreduce_spark.operators.pipeline import repetition_stats
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks, repetition_stats, sequence_packing
     from p6__mapreduce_spark.session import get_session
+    from p6__mapreduce_spark.similarity.lsh import knn_lsh
     from p6__mapreduce_spark.sources.readers import load_table
 
     spark = get_session("scale-probe")
@@ -64,11 +76,20 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     li = load_table(spark, sf_dir, "lineitem")
+    emb = load_table(spark, sf_dir, "embeddings")
 
     ops = {
         "tpch_q1": (lambda d: pricing_summary(d), li, inflate_lineitem),
         "repetition_stats": (lambda d: repetition_stats(d), docs, inflate_documents),
         "dedup_minhash_lsh": (lambda d: minhash_lsh_pairs(d), docs, inflate_documents),
+        "doc_chunks": (lambda d: doc_chunks(d), docs, inflate_documents),
+        "sequence_packing": (lambda d: sequence_packing(d), docs, inflate_documents),
+        "knn_lsh": (
+            # fixed 16-query set (copy 0 only) against the k x corpus
+            lambda d: knn_lsh(d, d.filter(F.col("vec_id") < 16), k=5),
+            emb,
+            inflate_embeddings,
+        ),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
