@@ -79,6 +79,8 @@ HEADLINE = [
     "text_normalize",
     "doc_chunks",
     "sequence_packing",
+    "profile_orders",
+    "winsorized_event_values",
     "order_price_percentiles",
     "qty_discount_corr",
     # text / dedup / similarity / multimodal

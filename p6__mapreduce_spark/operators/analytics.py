@@ -180,3 +180,77 @@ def event_json_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass data-quality profile: one output row per column with
+    row/null/distinct counts and min/max (rendered as strings so the
+    schema is uniform across column types).
+
+    ONE aggregation computes every metric for every column (a per-column
+    loop would rescan the table N times — at 100 TB that's N scans), and
+    the scan reads only ``cols``. The wide 1-row aggregate then unpivots
+    via ``stack`` — driver-free, no collect.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Clip each group's values to its [lo, hi] discrete percentiles —
+    the outlier-capping pass before training-statistics aggregation.
+
+    Thresholds are POSITIONAL (the value at ceil(q*n) in sort order),
+    not interpolated: picking an element involves no float arithmetic,
+    so results are bit-identical across engines and partitionings even
+    on double columns. One window (rank within group) + a tiny per-group
+    threshold aggregate broadcast back; the window shuffles once on the
+    group key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(
+        group_col,
+        value_col,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    thresholds = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(lo * F.col("n"))) | (F.col("rn") == F.ceil(hi * F.col("n")))
+        )
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.min(value_col).alias("p_lo"), F.max(value_col).alias("p_hi"))
+    )
+    return (
+        df.join(F.broadcast(thresholds), F.col(group_col) == F.col("g"))
+        .select(
+            group_col,
+            value_col,
+            F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))).alias(
+                "clipped"
+            ),
+        )
+    )

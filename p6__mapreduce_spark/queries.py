@@ -1918,6 +1918,63 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows, COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val, CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile: row/null/distinct counts and min/max
+    per column from ONE aggregation pass (the oracle's UNION ALL rescans
+    per column — the engine doesn't), unpivoted with stack()."""
+    from p6__mapreduce_spark.operators.analytics import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+
+@register(
+    "winsorized_event_values",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), th AS (
+      SELECT event_type AS g, MIN(value) AS p_lo, MAX(value) AS p_hi
+      FROM ranked
+      WHERE rn = CEIL(0.05 * n) OR rn = CEIL(0.95 * n)
+      GROUP BY 1
+    )
+    SELECT e.event_type, e.value, GREATEST(p_lo, LEAST(p_hi, e.value)) AS clipped
+    FROM events e JOIN th ON e.event_type = th.g
+    """,
+)
+def q_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clip each event type's values to its
+    exact positional [p05, p95]. Thresholds are picked elements (no
+    interpolation arithmetic), so doubles match bit-for-bit in both
+    engines; the tiny per-group threshold table broadcasts back."""
+    from p6__mapreduce_spark.operators.analytics import winsorize_by_group
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return winsorize_by_group(ev, "event_type", "value", lo=0.05, hi=0.95)
+
+
+@register(
     "tpch_q8_market_share",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -57,3 +57,34 @@ def test_approx_stats_close_to_exact(spark):
     for r in approx_stats(li).collect():
         assert abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.1
         assert r.price_p50 <= r.price_p95
+
+
+def test_profile_columns_single_pass_counts(spark):
+    from p6__mapreduce_spark.operators.analytics import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nonnull == 3 and rows["k"].n_distinct == 2
+    assert rows["k"].min_val == "1" and rows["k"].max_val == "2"
+    assert rows["s"].n_nonnull == 3 and rows["s"].n_distinct == 2
+    # single pass: the source is scanned exactly once (multi-column
+    # countDistinct rewrites to Expand + 2-level Aggregate, but never a
+    # per-column rescan like the oracle's UNION ALL)
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_winsorize_small_groups_and_ties(spark):
+    from p6__mapreduce_spark.operators.analytics import winsorize_by_group
+
+    rows = [("g", float(v)) for v in range(1, 21)] + [("tiny", 7.0), ("tiny", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = winsorize_by_group(df, "grp", "value", lo=0.05, hi=0.95).collect()
+    g = sorted(r.clipped for r in out if r.grp == "g")
+    # p05 = value at ceil(0.05*20)=rank 1 -> 1.0; p95 = rank 19 -> 19.0
+    assert g[0] == 1.0 and g[-1] == 19.0 and 20.0 not in g
+    tiny = sorted(r.clipped for r in out if r.grp == "tiny")
+    # 2-row group: lo rank ceil(0.1)=1, hi rank ceil(1.9)=2 -> untouched
+    assert tiny == [7.0, 9.0]
