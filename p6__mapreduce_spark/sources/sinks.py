@@ -8,6 +8,8 @@ The reference's only sink is lines printed to stdout by the Reducer
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -47,3 +49,36 @@ def write_bucketed(
     if sort_key:
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(table)
+
+
+def publish_parquet_atomic(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> str:
+    """All-or-nothing batch publish: write to a staging directory
+    beside the target, then swap it in with directory renames.
+
+    Readers of ``path`` never observe a half-written dataset: they see
+    the complete old version until the rename, then the complete new
+    one (rename is atomic on POSIX filesystems and HDFS; on object
+    stores use a manifest/lakehouse format instead — see
+    ``lakehouse.read_table_format``). A failed job leaves the target
+    untouched and only a ``<path>.staging`` directory to garbage-collect;
+    re-running the job is idempotent. This is the poor-man's
+    transactional commit underlying every lakehouse format's v0.
+
+    Returns the path of the previous version (``<path>.old``) so the
+    caller can retain or delete it.
+    """
+    import shutil
+
+    staging = path + ".staging"
+    old = path + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    # swap: current -> .old, staging -> current
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    return old

@@ -59,3 +59,25 @@ def test_lakehouse_connectors_are_gated(spark, tmp_path):
             read_table_format(spark, fmt, str(tmp_path))
     with _pytest.raises(ValueError):
         read_table_format(spark, "bogus", str(tmp_path))
+
+
+def test_publish_parquet_atomic_swaps_versions(spark, tmp_path):
+    from p6__mapreduce_spark.sources.sinks import publish_parquet_atomic
+
+    target = str(tmp_path / "dataset")
+    v1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    publish_parquet_atomic(v1, target)
+    assert spark.read.parquet(target).count() == 5
+
+    v2 = spark.range(9).selectExpr("id", "id * 3 AS v")
+    old = publish_parquet_atomic(v2, target)
+    assert spark.read.parquet(target).count() == 9
+    assert spark.read.parquet(old).count() == 5  # previous version retained
+
+    # a failed write leaves the published data untouched
+    import pytest as _pytest
+
+    bad = spark.range(3).selectExpr("raise_error('boom') AS x")
+    with _pytest.raises(Exception):
+        publish_parquet_atomic(bad, target)
+    assert spark.read.parquet(target).count() == 9
