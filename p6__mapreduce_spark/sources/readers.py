@@ -49,10 +49,36 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across partitions written under EVOLVING schemas
+    (columns added over time): ``mergeSchema`` reconciles per-file
+    footers into the union schema; files predating a column yield NULL.
+
+    Off by default in Spark because footer-merging costs a driver pass
+    over file metadata — use this reader only for datasets known to
+    evolve; pin the final schema once evolution stops.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, *, keep_corrupt: bool = False) -> DataFrame:
+    """JSON-lines scan. With ``keep_corrupt``, malformed rows land in a
+    ``_corrupt_record`` column instead of poisoning the job (PERMISSIVE
+    mode) — at 100 TB of crawled data some records are ALWAYS broken,
+    and a fail-fast read of a petabyte that dies at 99% is the
+    expensive way to find that out. Filter
+    ``_corrupt_record IS NOT NULL`` into a quarantine sink and keep the
+    pipeline moving. (Spark refuses a query that projects ONLY the
+    corrupt column off the raw scan — write/cache the parsed frame
+    first, then split good/quarantine from the materialized result.)
+    """
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if keep_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
     return reader.json(path)
 
 

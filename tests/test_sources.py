@@ -81,3 +81,31 @@ def test_publish_parquet_atomic_swaps_versions(spark, tmp_path):
     with _pytest.raises(Exception):
         publish_parquet_atomic(bad, target)
     assert spark.read.parquet(target).count() == 9
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from p6__mapreduce_spark.sources.readers import read_parquet_evolving
+
+    root = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id").write.parquet(root + "/batch=1")
+    spark.range(3).selectExpr("id", "id * 2 AS extra").write.parquet(root + "/batch=2")
+    df = read_parquet_evolving(spark, root)
+    assert set(df.columns) == {"id", "extra", "batch"}
+    rows = df.orderBy("batch", "id").collect()
+    assert all(r.extra is None for r in rows if r.batch == 1)  # pre-evolution files -> NULL
+    assert any(r.extra == 4 for r in rows if r.batch == 2)
+
+
+def test_read_json_quarantines_corrupt_records(spark, tmp_path):
+    from p6__mapreduce_spark.sources.readers import read_json
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\n{BROKEN\n{"k": 2, "v": "b"}\n')
+    schema = "k long, v string, _corrupt_record string"
+    # Spark disallows projecting ONLY _corrupt_record off the raw scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first
+    df = read_json(spark, str(p), schema=schema, keep_corrupt=True).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.collect()[0]._corrupt_record.startswith("{BROKEN")
