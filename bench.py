@@ -81,6 +81,7 @@ HEADLINE = [
     "sequence_packing",
     "profile_orders",
     "winsorized_event_values",
+    "sketch_weekly_users",
     "order_price_percentiles",
     "qty_discount_corr",
     # text / dedup / similarity / multimodal

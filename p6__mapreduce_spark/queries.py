@@ -1974,6 +1974,17 @@ def q_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_by_group(ev, "event_type", "value", lo=0.05, hi=0.95)
 
 
+@register("sketch_weekly_users")  # rows-only: HLL estimator is engine-specific
+def q_sketch_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users
+    unioned into weekly estimates without rescanning days — the
+    incremental pattern for distinct-counting a 100 TB event store
+    (estimates asserted within HLL error of exact in tests)."""
+    from p6__mapreduce_spark.operators.analytics import distinct_users_sketch_rollup
+
+    return distinct_users_sketch_rollup(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "tpch_q8_market_share",
     oracle="""

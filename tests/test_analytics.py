@@ -88,3 +88,28 @@ def test_winsorize_small_groups_and_ties(spark):
     tiny = sorted(r.clipped for r in out if r.grp == "tiny")
     # 2-row group: lo rank ceil(0.1)=1, hi rank ceil(1.9)=2 -> untouched
     assert tiny == [7.0, 9.0]
+
+
+def test_sketch_rollup_within_hll_error_of_exact(spark):
+    from p6__mapreduce_spark.operators.analytics import distinct_users_sketch_rollup
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {r.week: r for r in distinct_users_sketch_rollup(ev).collect()}
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.week: r.exact
+        for r in ev.select(F.weekofyear(F.to_date("ts")).alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 3
+    for wk, r in got.items():
+        # default lgConfigK=12 -> relative error ~1.6%; allow 5%
+        assert abs(r.approx_weekly_users - exact[wk]) <= max(2, 0.05 * exact[wk]), (
+            wk, r.approx_weekly_users, exact[wk]
+        )
+        # and the naive sum-of-daily-exacts overcounts (why sketches exist)
+        assert r.sum_daily_naive >= exact[wk]
