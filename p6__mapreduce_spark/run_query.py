@@ -8,6 +8,9 @@ were. Three modes:
     python -m p6__mapreduce_spark.run_query NAME [--sf-dir DIR] [--limit N]
     python -m p6__mapreduce_spark.run_query --sql "SELECT ..." [--sf-dir DIR]
 
+``--explain`` prints the formatted physical plan instead of rows (both
+modes) — the from-a-shell way to check pushdown/broadcast/shuffle shape.
+
 ``NAME`` is any registry entry (``p6__mapreduce_spark.queries``);
 ``--sql`` registers the star-schema tables as views first, so ad-hoc
 ANSI SQL runs against the same data through the same Catalyst planner.
@@ -22,7 +25,12 @@ import sys
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _emit(df, limit: int | None) -> None:
+def _emit(df, limit: int | None, explain: bool = False) -> None:
+    if explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        )
+        return
     if limit is not None:
         df = df.limit(limit)
     cols = df.columns
@@ -38,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sql", metavar="QUERY", help="run ad-hoc SQL over the star schema")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--limit", type=int, default=None, help="cap printed rows")
+    ap.add_argument(
+        "--explain", action="store_true", help="print the physical plan instead of rows"
+    )
     args = ap.parse_args(argv)
 
     from p6__mapreduce_spark.queries import QUERIES
@@ -54,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_session("run-query-sql")
         register_tables(spark, args.sf_dir)
-        _emit(sql(spark, args.sql), args.limit)
+        _emit(sql(spark, args.sql), args.limit, args.explain)
         return 0
 
     if not args.name:
@@ -64,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query: {args.name} (try --list)", file=sys.stderr)
         return 2
     spark = get_session(f"run-query-{args.name}")
-    _emit(QUERIES[args.name](spark, args.sf_dir), args.limit)
+    _emit(QUERIES[args.name](spark, args.sf_dir), args.limit, args.explain)
     return 0
 
 
