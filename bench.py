@@ -95,6 +95,7 @@ HEADLINE = [
     # pair plan, so the shared codegen is already compiled (the order a
     # real dedup session would run them in anyway)
     "dedup_components",
+    "canonical_best_quality",
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",

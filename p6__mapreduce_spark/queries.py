@@ -1974,6 +1974,92 @@ def q_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_by_group(ev, "event_type", "value", lo=0.05, hi=0.95)
 
 
+_CANONICAL_BEST_ORACLE = f"""
+WITH RECURSIVE
+edges AS (SELECT id1, id2 FROM ({{jaccard}})),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM edges
+  UNION ALL
+  SELECT id2, id1 FROM edges
+),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1),
+toksq AS (SELECT doc_id, length(trim(text)) AS chars, {{toks}} AS w FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(w) >= 20 AND chars <= 2000 THEN 1 ELSE 0 END
+            + CASE WHEN chars * 1.0 / len(w) >= 2.0 AND chars * 1.0 / len(w) <= 12.0 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_distinct(w)) * 1.0 / len(w) >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS q3
+  FROM toksq
+),
+ranked AS (
+  SELECT comp.component, comp.doc_id, q.q3,
+         row_number() OVER (PARTITION BY comp.component ORDER BY q.q3 DESC, comp.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+)
+SELECT component, doc_id AS kept_doc, q3 AS kept_quality, n_members
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
+@register(
+    "canonical_best_quality",
+    oracle=None,  # assembled below from the shared fragments
+)
+def q_canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation keep-policy: within each near-dup component keep the
+    HIGHEST-quality member (ties -> min id), not the min-id one — the
+    policy a real corpus curator wants. Components by min-label
+    propagation over LSH pair edges; quality is the 0-3 integer gate
+    score; one window per component picks the keeper and counts
+    members."""
+    from p6__mapreduce_spark.dedup.components import dedup_components
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+    from p6__mapreduce_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(docs, minhash_lsh_pairs(docs, threshold=0.8))
+    q3 = (
+        F.col("len_ok")
+        + F.col("tok_len_ok")
+        + F.when(F.col("diversity") >= 0.3, 1).otherwise(0)
+    ).cast("int")
+    quality = quality_score(docs).select("doc_id", q3.alias("q3"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc("q3"), "doc_id")
+    wc = Window.partitionBy("component")
+    return (
+        comp.join(quality, "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            "q3",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("q3").alias("kept_quality"),
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+ORACLE_SQL["canonical_best_quality"] = _CANONICAL_BEST_ORACLE.format(
+    jaccard=_JACCARD_08.replace("ORDER BY 1, 2", ""), toks=_TOKS
+)
+
+
 @register("sketch_weekly_users")  # rows-only: HLL estimator is engine-specific
 def q_sketch_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: daily HLL sketches of distinct users
