@@ -12,8 +12,10 @@ isn't attributed to the first query.
 
 Excluded from the headline set (still available in queries()):
 embedding_neardup_exact (opt-in O(n^2) baseline — the timed scale path
-is embedding_neardup's LSH bucketing) and the hypothesis-style micro
-ops.
+is embedding_neardup's LSH bucketing), dedup_simhash_pairs (this
+synthetic shared-vocabulary corpus puts ~10% of ALL doc pairs within
+hamming 3, so its runtime measures output cardinality — a data
+property — not the banded plan), and the hypothesis-style micro ops.
 
 If a previous round's BENCH_r*.json exists in the repo root, the JSON
 line also carries "prev_total", "delta_total" and a "regressions" map

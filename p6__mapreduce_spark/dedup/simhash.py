@@ -69,3 +69,67 @@ def simhash_oracle_sql() -> str:
     )
     SELECT doc_id, {bit_terms} AS simhash FROM hashed ORDER BY doc_id
     """
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id1, id2, hamming) — document pairs whose simhashes differ in at
+    most ``max_hamming`` of the 32 bits.
+
+    Banding is EXACT here, not probabilistic: the fingerprint splits
+    into 4 byte-bands, and <= 3 flipped bits cannot touch all 4 bands
+    (pigeonhole), so every qualifying pair shares at least one intact
+    band and is found by the equi-join on (band, byte). One shuffle on
+    the band key, O(bucket^2) verify per bucket — at larger corpora
+    widen the fingerprint (64-bit) and band count so buckets stay
+    small; exactness holds whenever bands > max_hamming.
+    """
+    if max_hamming >= 4:
+        raise ValueError("4-band/32-bit geometry is exact only for max_hamming <= 3")
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id1"), F.col("simhash").alias("sa"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id2"), F.col("simhash").alias("sb"), "band", "key"
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sa", "sb")
+        .distinct()
+        .filter(hamming <= max_hamming)
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
+        .orderBy("id1", "id2")
+    )
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB SQL for the identical pair set (exact banding argument)."""
+    base = simhash_oracle_sql().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH s AS ({base}),
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS key
+      FROM s, UNNEST([0, 1, 2, 3]) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY 1, 2
+    """

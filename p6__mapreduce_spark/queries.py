@@ -416,6 +416,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_pairs_oracle() -> str:
+    from p6__mapreduce_spark.dedup.simhash import simhash_pairs_oracle_sql
+
+    return simhash_pairs_oracle_sql(max_hamming=3)
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 4-byte banding is EXACT for Hamming <= 3
+    (pigeonhole — 3 flipped bits can't break all 4 bands), so the
+    banded join + xor/bit_count verify equals the exact pair set."""
+    from p6__mapreduce_spark.dedup.simhash import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def _embedding_neardup_lsh_oracle() -> str:
     from p6__mapreduce_spark.dedup.embedding import cosine_neardup_lsh_oracle_sql
 

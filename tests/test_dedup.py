@@ -88,3 +88,30 @@ def test_minhash_band_geometry_same_output(spark):
         for r in minhash_lsh_pairs(docs, num_hashes=64, num_bands=16).collect()
     }
     assert r2 == r4 and len(r2) > 20
+
+
+def test_simhash_pairs_banding_is_complete(spark):
+    # pigeonhole exactness: banded join must find EXACTLY the pairs a
+    # brute-force hamming filter finds (for max_hamming < n_bands)
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.dedup.simhash import simhash, simhash_pairs
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    got = {(r.id1, r.id2, r.hamming) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
