@@ -74,3 +74,12 @@ def test_run_query_cli_list_and_run(spark, capsys):
     assert out == ["n", "5"]
 
     assert main(["no_such_query"]) == 2
+
+
+def test_run_query_cli_explain(spark, capsys):
+    from p6__mapreduce_spark.run_query import main
+
+    assert main(["tpch_q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out and "Scan parquet" in out
+    assert "PushedFilters" in out  # the plan detail a user runs --explain FOR
