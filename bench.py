@@ -86,6 +86,7 @@ HEADLINE = [
     "sketch_weekly_users",
     "order_price_percentiles",
     "qty_discount_corr",
+    "rare_bigram_ratio",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -620,6 +620,29 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_freq(load_table(spark, sf_dir, "documents"), n=2)
 
 
+@register(
+    "rare_bigram_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2),
+    grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS ngram FROM idx),
+    corpus AS (SELECT ngram, COUNT(*) AS corpus_cnt FROM grams GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN corpus_cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN corpus_cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS rare_ratio
+    FROM grams JOIN corpus USING (ngram)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_rare_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty/garbage signal: fraction of each doc's bigram occurrences
+    that are corpus-rare — the exact-integer stand-in for LM-perplexity
+    filtering (a float log-prob sum would be addition-order-dependent)."""
+    from p6__mapreduce_spark.operators.text_analysis import rare_ngram_ratio
+
+    return rare_ngram_ratio(load_table(spark, sf_dir, "documents"), n=2, rare_max=2)
+
+
 # ---------------------------------------------------------------------------
 # Set operations / global top-k (completing the relational surface)
 # ---------------------------------------------------------------------------
