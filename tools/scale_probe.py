@@ -67,6 +67,7 @@ def main() -> None:
     from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
     from p6__mapreduce_spark.operators.analytics import pricing_summary
     from p6__mapreduce_spark.operators.pipeline import doc_chunks, repetition_stats, sequence_packing
+    from p6__mapreduce_spark.operators.text_analysis import rare_ngram_ratio
     from p6__mapreduce_spark.session import get_session
     from p6__mapreduce_spark.similarity.lsh import knn_lsh
     from p6__mapreduce_spark.sources.readers import load_table
@@ -90,6 +91,7 @@ def main() -> None:
             emb,
             inflate_embeddings,
         ),
+        "rare_bigram_ratio": (lambda d: rare_ngram_ratio(d), docs, inflate_documents),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
