@@ -45,3 +45,57 @@ def test_distinct_output_sorted_and_unique(spark, lines):
 def test_djb2_in_range_and_deterministic(key, n):
     assert 0 <= djb2(key, n) < n
     assert djb2(key, n) == djb2(key, n)
+
+
+def test_new_pipeline_ops_partition_invariant(spark):
+    # the determinism claim: output is a pure function of the DATA, not
+    # the layout. Same result at 1 partition and at a skewed 13.
+    from p6__mapreduce_spark.operators.analytics import winsorize_by_group
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks, sequence_packing
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_type", "value")
+        .limit(2000)
+    )
+    for op, src in (
+        (lambda d: doc_chunks(d), docs),
+        (lambda d: sequence_packing(d), docs),
+        (lambda d: winsorize_by_group(d, "event_type", "value"), ev),
+    ):
+        a = sorted(map(tuple, op(src.repartition(1)).collect()))
+        b = sorted(map(tuple, op(src.repartition(13)).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_doc_chunks_reconstructs_token_stream(spark):
+    # stitching chunks back together (dropping each chunk's leading
+    # `overlap` tokens after the first) must reproduce the exact token
+    # stream — no token lost or duplicated at any boundary
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+    from p6__mapreduce_spark.operators.pipeline import doc_chunks
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    chunks = doc_chunks(docs, chunk_size=16, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text.split(" ")))
+    want = {
+        r.doc_id: r.toks
+        for r in docs.select("doc_id", tokens_expr("text").alias("toks")).collect()
+        if r.toks
+    }
+    assert set(by_doc) == set(want)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        stream = list(parts[0][1])
+        for idx, toks in parts[1:]:
+            start = idx * 12  # stride = 16 - 4
+            # tokens before len(stream) are already emitted; append the rest
+            stream += toks[len(stream) - start :]
+        assert stream == want[doc_id], doc_id
