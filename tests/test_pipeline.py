@@ -169,3 +169,27 @@ def test_sequence_packing_no_global_window(spark):
     # scale guard: the window must be partitioned by shard, never global
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    # the capstone tool: quality -> dedup -> chunk -> pack -> atomic
+    # publish, one subprocess, readable output at the end
+    import json
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "tools/run_pipeline.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    c = payload["counts"]
+    assert c["after_dedup"] < c["input"]  # the near-dups really left
+    assert c["published"] == c["chunks"] > 0
+    out = spark.read.parquet(str(tmp_path / "training_chunks"))
+    assert {"doc_id", "shard", "seq_id", "offset_in_seq", "chunk_text"} <= set(out.columns)
+    assert out.count() == c["published"]
