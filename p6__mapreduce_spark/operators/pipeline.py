@@ -38,9 +38,13 @@ _EVAL_NIBBLES = ("0", "1")
 def _key_hash_bucket(col, buckets: int):
     """Deterministic uniform bucket in [0, buckets) from sha256 of a
     column, portable bit-for-bit to the DuckDB oracle
-    (CAST('0x' || substr(sha256(x), 1, 4) AS INT) % buckets)."""
-    nib4 = F.substring(F.sha2(col.cast("string"), 256), 1, 4)
-    return (F.conv(nib4, 16, 10).cast("int") % F.lit(buckets)).alias("bucket")
+    (CAST('0x' || substr(sha256(x), 1, 8) AS BIGINT) % buckets).
+
+    Eight hex nibbles give a 2**32 hash space, so the modulo bias for
+    any buckets <= 10**5 is < 3e-5 relative (four nibbles' 65536-space
+    skewed keep rates by up to ~9% relative at 10000 buckets)."""
+    nib8 = F.substring(F.sha2(col.cast("string"), 256), 1, 8)
+    return (F.conv(nib8, 16, 10).cast("long") % F.lit(buckets)).alias("bucket")
 
 
 def repetition_stats(docs: DataFrame, k: int = 3) -> DataFrame:

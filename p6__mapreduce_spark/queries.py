@@ -1457,7 +1457,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
       FROM (
         SELECT source,
-               CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+               CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         FROM documents
       )
     ) GROUP BY 1, 2 ORDER BY 1, 2
@@ -1489,7 +1489,7 @@ def _mixture_oracle() -> str:
     return f"""
     WITH w(source, keep_bp) AS (VALUES {values})
     SELECT doc_id, source FROM documents JOIN w USING (source)
-    WHERE CAST(concat('0x', substr(sha256(text), 1, 4)) AS INTEGER) % 10000 < keep_bp
+    WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 10000 < keep_bp
     ORDER BY doc_id
     """
 

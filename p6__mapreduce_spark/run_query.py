@@ -27,9 +27,9 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 def _emit(df, limit: int | None, explain: bool = False) -> None:
     if explain:
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-        )
+        # public API (prints to stdout) — survives Spark Connect and
+        # PySpark upgrades, unlike the JVM-private explainString call
+        df.explain(mode="formatted")
         return
     if limit is not None:
         df = df.limit(limit)

@@ -51,34 +51,81 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def publish_parquet_atomic(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> str:
-    """All-or-nothing batch publish: write to a staging directory
-    beside the target, then swap it in with directory renames.
+def publish_parquet_atomic(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    keep_versions: int = 2,
+) -> str | None:
+    """All-or-nothing batch publish: write to a fresh version directory
+    under ``<path>.versions/``, then repoint ``path`` (a symlink) at it
+    with a SINGLE ``rename(2)``.
 
-    Readers of ``path`` never observe a half-written dataset: they see
-    the complete old version until the rename, then the complete new
-    one (rename is atomic on POSIX filesystems and HDFS; on object
-    stores use a manifest/lakehouse format instead — see
-    ``lakehouse.read_table_format``). A failed job leaves the target
-    untouched and only a ``<path>.staging`` directory to garbage-collect;
-    re-running the job is idempotent. This is the poor-man's
+    Because the swap is one atomic rename of a symlink, a reader of
+    ``path`` at any instant resolves either the complete previous
+    version or the complete new one — there is no window where the
+    target is missing or partial (the two-rename dir swap this
+    replaced had exactly that window). Crash recovery is equally
+    simple: a job that dies before the swap leaves ``path`` untouched
+    and only an orphan version directory, which the next successful
+    publish garbage-collects; re-running the job is idempotent. On
+    object stores (no rename) use a manifest/lakehouse format instead
+    — see ``lakehouse.read_table_format``. This is the poor-man's
     transactional commit underlying every lakehouse format's v0.
 
-    Returns the path of the previous version (``<path>.old``) so the
-    caller can retain or delete it.
+    The newest ``keep_versions`` versions are retained (so the
+    returned previous-version path stays readable for rollback);
+    older ones are deleted. Returns the previous version's directory,
+    or ``None`` on first publish.
     """
     import shutil
 
-    staging = path + ".staging"
-    old = path + ".old"
-    shutil.rmtree(staging, ignore_errors=True)
+    versions_root = path + ".versions"
+    os.makedirs(versions_root, exist_ok=True)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(versions_root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    current_real = os.path.realpath(path) if os.path.islink(path) else None
+    # any version dir NEWER than the one the symlink points at is an
+    # orphan from a dead/failed run (publishes are serialized): remove
+    # them so they neither get counted as versions nor shift GC
+    current_v = -1
+    if current_real and os.path.dirname(current_real) == os.path.abspath(versions_root):
+        base = os.path.basename(current_real)
+        if base.startswith("v") and base[1:].isdigit():
+            current_v = int(base[1:])
+    for v in _versions():
+        if v > current_v:
+            shutil.rmtree(os.path.join(versions_root, f"v{v}"), ignore_errors=True)
+    existing = _versions()
+    target = os.path.join(versions_root, f"v{(existing[-1] + 1) if existing else 1}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    # swap: current -> .old, staging -> current
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    return old
+    writer.parquet(target)
+    # migrate a legacy plain-directory layout once (not atomic, but
+    # only ever taken for pre-versioning datasets)
+    if os.path.exists(path) and not os.path.islink(path):
+        current_real = os.path.join(versions_root, "v0")
+        os.rename(path, current_real)
+    # the atomic swap: build the new link aside, rename over `path`
+    tmp_link = path + ".link.tmp"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.abspath(target), tmp_link)
+    os.replace(tmp_link, path)
+    # GC everything older than the newest keep_versions
+    survivors = sorted(
+        int(d[1:])
+        for d in os.listdir(versions_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )[:-max(keep_versions, 1)]
+    for v in survivors:
+        shutil.rmtree(os.path.join(versions_root, f"v{v}"), ignore_errors=True)
+    return current_real

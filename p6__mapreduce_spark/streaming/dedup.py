@@ -57,5 +57,8 @@ def run_streaming_dedup(
         query.processAllAvailable()
     finally:
         query.stop()
+        # the memory sink owns the rows once the run finishes; keeping
+        # the staged parquet copies would leak 2x the input per call
+        shutil.rmtree(src, ignore_errors=True)
     out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 - generated name
     return out.orderBy(*keys)

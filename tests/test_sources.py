@@ -64,10 +64,15 @@ def test_lakehouse_connectors_are_gated(spark, tmp_path):
 def test_publish_parquet_atomic_swaps_versions(spark, tmp_path):
     from p6__mapreduce_spark.sources.sinks import publish_parquet_atomic
 
+    import os
+
     target = str(tmp_path / "dataset")
     v1 = spark.range(5).selectExpr("id", "id * 2 AS v")
-    publish_parquet_atomic(v1, target)
+    assert publish_parquet_atomic(v1, target) is None  # no previous version
     assert spark.read.parquet(target).count() == 5
+    # the published path is a symlink into the version store: the swap
+    # is ONE rename, so readers always resolve a complete version
+    assert os.path.islink(target)
 
     v2 = spark.range(9).selectExpr("id", "id * 3 AS v")
     old = publish_parquet_atomic(v2, target)
@@ -81,6 +86,14 @@ def test_publish_parquet_atomic_swaps_versions(spark, tmp_path):
     with _pytest.raises(Exception):
         publish_parquet_atomic(bad, target)
     assert spark.read.parquet(target).count() == 9
+
+    # GC: a third publish keeps the newest keep_versions=2 and drops v1
+    v3 = spark.range(2).selectExpr("id", "id AS v")
+    old2 = publish_parquet_atomic(v3, target)
+    assert spark.read.parquet(target).count() == 2
+    assert spark.read.parquet(old2).count() == 9
+    versions = sorted(os.listdir(target + ".versions"))
+    assert len(versions) == 2  # v1 garbage-collected
 
 
 def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
