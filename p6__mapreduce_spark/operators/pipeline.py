@@ -182,7 +182,9 @@ def doc_chunks(docs: DataFrame, chunk_size: int = 64, overlap: int = 16) -> Data
     )
 
 
-def sequence_packing(docs: DataFrame, seq_len: int = 256, n_shards: int = 8) -> DataFrame:
+def sequence_packing(
+    docs: DataFrame, seq_len: int = 256, n_shards: int | None = None
+) -> DataFrame:
     """Assign each document a position in a fixed-token-budget training
     sequence: shard by key, then within each shard lay documents
     head-to-tail and bin by cumulative token offset.
@@ -196,7 +198,16 @@ def sequence_packing(docs: DataFrame, seq_len: int = 256, n_shards: int = 8) -> 
     documents that straddle a boundary are the caller's concern —
     compose with :func:`doc_chunks` first to bound document length.
     Deterministic: shard and order derive from doc_id, not layout.
+
+    ``n_shards`` defaults to the cluster's ``defaultParallelism``
+    (floored at 8) so the per-shard windows saturate whatever cluster
+    runs the job — a fixed shard count would cap parallelism at any
+    data size. Pin it explicitly when the OUTPUT must be reproducible
+    across differently-sized clusters (shard assignment, and hence
+    seq_id/offset, depends on it).
     """
+    if n_shards is None:
+        n_shards = max(8, docs.sparkSession.sparkContext.defaultParallelism)
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % n_shards).alias("shard"),

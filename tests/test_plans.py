@@ -170,9 +170,15 @@ def test_doc_chunks_is_map_side_single_tokenize(spark):
 def test_sequence_packing_window_is_sharded(spark):
     from p6__mapreduce_spark.operators.pipeline import sequence_packing
 
-    plan = plan_of(sequence_packing(load_table(spark, SF, "documents")))
+    df = sequence_packing(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
     assert "Window" in plan
     assert "SinglePartition" not in plan  # never a global running sum
+    # the shard-count default tracks the cluster: defaultParallelism
+    # shards (floored at 8), so window parallelism grows with the
+    # cluster instead of being capped by a local-mode constant
+    expected = max(8, spark.sparkContext.defaultParallelism)
+    assert f"% {expected})" in plan, plan
 
 
 def test_new_tpch_shapes_have_no_cartesian(spark):

@@ -104,3 +104,26 @@ def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_verified_window_spends_all_50_slots_on_oracles():
+    """The driver verifies the first 50 registered queries; every one
+    of those slots must be oracle-backed, parity + the LLM-pipeline
+    core must sit inside the window, and the rows-only estimator
+    queries must sit outside it."""
+    from p6__mapreduce_spark.queries import QUERIES, VERIFIED_WINDOW, get_oracle_sql
+
+    keys = list(QUERIES)
+    assert keys[: len(VERIFIED_WINDOW)] == list(VERIFIED_WINDOW)
+    assert len(VERIFIED_WINDOW) == 50
+    oracles = get_oracle_sql()
+    assert all(k in oracles for k in VERIFIED_WINDOW)
+    core = {
+        "wordcount_lines", "mr_facade_sort", "pii_redact", "clean_corpus",
+        "dedup_components", "canonical_best_quality", "dedup_incremental",
+        "doc_chunks", "sequence_packing", "repetition_stats",
+        "contamination_check", "dedup_minhash_lsh", "knn_ivf",
+    }
+    assert core <= set(VERIFIED_WINDOW)
+    for rows_only in ("approx_stats", "sketch_weekly_users"):
+        assert rows_only in keys and rows_only not in keys[:50]
