@@ -115,3 +115,71 @@ def test_simhash_pairs_banding_is_complete(spark):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+# --- cross-doc duplicated-substring coverage (dedup/substring.py) ----------
+
+
+def test_dup_ngram_coverage_planted_duplicate_run(spark):
+    from p6__mapreduce_spark.dedup.substring import dup_ngram_coverage
+
+    rows = {r.doc_id: r for r in dup_ngram_coverage(docs_df(spark), k=8).collect()}
+    # docs 0 and 3 are byte-identical -> every position duplicated
+    assert rows[0].dup_fraction == 1.0 and rows[3].dup_fraction == 1.0
+    # doc 1 differs by one word mid-text: shares long runs with 0/3 but
+    # the edit breaks coverage around the changed token
+    assert 0.0 < rows[1].dup_fraction < 1.0
+    # unrelated doc shares no 8-token run
+    assert rows[2].dup_tokens == 0 and rows[2].dup_fraction == 0.0
+    for r in rows.values():
+        assert 0 <= r.dup_tokens <= r.n_tokens
+
+
+def test_dup_ngram_coverage_short_doc_is_zero_not_garbage(spark):
+    from p6__mapreduce_spark.dedup.substring import dup_ngram_coverage
+
+    df = spark.createDataFrame(
+        [(0, "only three tokens"), (1, "only three tokens")], "doc_id long, text string"
+    )
+    rows = dup_ngram_coverage(df, k=8).collect()
+    # shorter than k: no shingles even though the docs are identical
+    assert all(r.dup_tokens == 0 and r.dup_fraction == 0.0 for r in rows)
+    assert all(r.n_tokens == 3 for r in rows)
+
+
+def test_drop_high_dup_docs_keeps_low_coverage(spark):
+    from p6__mapreduce_spark.dedup.substring import drop_high_dup_docs
+
+    kept = [r.doc_id for r in drop_high_dup_docs(docs_df(spark), k=8, max_fraction=0.5).collect()]
+    assert 2 in kept  # unrelated doc survives
+    assert 0 not in kept and 3 not in kept  # exact duplicates dropped
+
+
+# --- SemDeDup (dedup/semantic.py) ------------------------------------------
+
+
+def _emb_df(spark):
+    # two tight clusters on orthogonal axes + one exact duplicate pair
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [0.999, 0.01, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    b_far = [0.1, 0.9, 0.3, 0.1]
+    return spark.createDataFrame(
+        [(0, a), (1, a), (2, a2), (3, b), (4, b_far)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_drops_higher_id_within_cluster(spark):
+    from p6__mapreduce_spark.dedup.semantic import semantic_dedup
+
+    rows = {r.vec_id: r for r in semantic_dedup(
+        _emb_df(spark), n_centroids=2, threshold=0.95
+    ).collect()}
+    assert len(rows) == 5
+    assert rows[0].keep  # lowest id of the a-cluster survives
+    assert not rows[1].keep and not rows[2].keep  # cosine ~1 with vec 0
+    # b and b_far: cosine ~0.93 < 0.95 -> both kept
+    assert rows[3].keep and rows[4].keep
+    # cluster assignment separates the two axes
+    assert rows[0].list_id != rows[3].list_id
