@@ -91,7 +91,9 @@ HEADLINE = [
     "token_stats",
     "word_freq",
     "doc_fingerprints",
+    "pii_redact",
     "dedup_exact",
+    "dup_ngram_coverage",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     # runs after dedup_minhash_lsh on purpose: it reuses the same LSH
@@ -104,6 +106,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "embedding_neardup",
+    "semantic_dedup",
     "cube_flag_status",
     "orders_status_pivot",
     "rollup_orders_by_month",
