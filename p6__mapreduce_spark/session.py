@@ -48,6 +48,11 @@ def get_session(app_name: str = "p6__mapreduce_spark", *, shuffle_partitions: in
         # read TIMESTAMP(NANOS) parquet columns as raw nanos longs
         # (Spark has no nanos timestamp type); readers convert to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamp[us] without isAdjustedToUTC must read as
+        # TIMESTAMP, not TIMESTAMP_NTZ: watermarks/unix_micros need an
+        # instant type, and with the session pinned to UTC the two are
+        # value-identical
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),

@@ -111,6 +111,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # timestamp[us] parquet (no isAdjustedToUTC) must come back as
+        # TIMESTAMP, not NTZ — watermarks reject NTZ; UTC session makes
+        # the two value-identical
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:  # pragma: no cover - conf locked down
         pass
 
