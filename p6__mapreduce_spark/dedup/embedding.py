@@ -90,19 +90,27 @@ def cosine_neardup_pairs_lsh(
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
     )
-    a = bucketed.select("id", "v", "n", F.explode(probes).alias("pb"))
-    pairs = (
+    # candidate generation and dedup run on (id, bucket) rows ONLY —
+    # shuffling the 64-double vectors through the pair-dedup exchange
+    # would move ~1 KB per candidate instead of 16 bytes; the vectors
+    # re-attach afterwards via two slim equi-joins on the n-row input
+    ids = bucketed.select("id", "bucket")
+    a = ids.select("id", F.explode(probes).alias("pb"))
+    id_pairs = (
         a.alias("a")
-        .join(bucketed.alias("b"), (F.col("a.pb") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.v").alias("v1"),
-            F.col("a.n").alias("n1"),
-            F.col("b.v").alias("v2"),
-            F.col("b.n").alias("n2"),
-        )
+        .join(ids.alias("b"), (F.col("a.pb") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
+    )
+    vecs = bucketed.select("id", "v", "n")
+    pairs = (
+        id_pairs.join(
+            vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")),
+            "id1",
+        ).join(
+            vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")),
+            "id2",
+        )
     )
     return (
         pairs.withColumn("cosine", dot_product("v1", "v2") / (F.col("n1") * F.col("n2")))

@@ -28,13 +28,16 @@ def shingle_postings(
     analysis needs).
 
     Map-side shape: tokenize once per row, zip the token array with its
-    own k-1 shifted slices (``arrays_zip``), explode, concat — the only
-    shuffle is the final distinct. Two rejected alternatives, both
-    measured slower at sf0.1: a posexplode + lead()-window formulation
-    adds a full shuffle+sort per doc_id before the distinct (~2x cold);
-    a transform-over-index-range lambda re-expands the tokenizer
-    expression inside every shingle element (~4x). Here the zip lambda
-    only touches struct fields, so the tokenizer runs exactly once per
+    own k-1 shifted slices (``arrays_zip``), concat each struct to a
+    shingle string, dedup *within the row* via ``array_distinct``, then
+    explode — distinctness is per-document, so NO shuffle is needed
+    anywhere (a global ``.distinct()`` exchanged the full posting list;
+    dropping it cut the sf0.1 build ~2x). Two other rejected shapes,
+    both measured slower at sf0.1: a posexplode + lead()-window
+    formulation adds a shuffle+sort per doc_id (~2x cold); a
+    transform-over-index-range lambda re-expands the tokenizer
+    expression inside every shingle element (~4x). Here the lambdas
+    only touch struct fields, so the tokenizer runs exactly once per
     row (asserted in tests/test_plans.py).
     """
     from p6__mapreduce_spark.functions.text import tokens_expr
@@ -44,12 +47,10 @@ def shingle_postings(
     zipped = F.arrays_zip(
         *[F.slice("w", i + 1, n_shingles).alias(f"t{i}") for i in range(k)]
     )
-    postings = toks.select("doc_id", F.explode(zipped).alias("z")).select(
-        "doc_id",
-        F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)]).alias("shingle"),
-    )
+    sh_arr = F.transform(zipped, lambda z: F.concat_ws(" ", *[z[f"t{i}"] for i in range(k)]))
     if distinct:
-        postings = postings.distinct()
+        sh_arr = F.array_distinct(sh_arr)
+    postings = toks.select("doc_id", F.explode(sh_arr).alias("shingle"))
     if max_doc_freq is not None:
         keep = (
             postings.groupBy("shingle")

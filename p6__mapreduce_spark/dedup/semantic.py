@@ -52,10 +52,17 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, list_id, keep) — keep=false for the higher-id member of
-    every within-cluster pair with cosine >= threshold."""
-    cents = train_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    every within-cluster pair with cosine >= threshold.
+
+    ``centroids`` lets callers share one trained model across operators
+    (knn_ivf and semantic_dedup train identically); training is a Spark
+    sample job, so reuse saves a full scan per extra caller."""
+    cents = centroids if centroids is not None else train_centroids(
+        embeddings, n_centroids=n_centroids, vec_col=vec_col
+    )
     assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
     a = assigned.select(
         F.col(id_col).alias("id1"),

@@ -76,6 +76,24 @@ def _lsh_components(spark: SparkSession, sf_dir: str, threshold: float = 0.8) ->
     )
 
 
+_CENTROIDS: dict[tuple[str, str, int], tuple[SparkSession, list[list[float]]]] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str, n_centroids: int = 16) -> list[list[float]]:
+    """Memoized IVF/SemDeDup coarse centroids per (session, sf_dir, k):
+    knn_ivf and semantic_dedup train the identical model (same sample,
+    same seed), so the sample job and k-means run once per process."""
+    key = ("centroids", sf_dir, n_centroids)
+    hit = _CENTROIDS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from p6__mapreduce_spark.similarity.ivf import train_centroids
+
+    cents = train_centroids(load_table(spark, sf_dir, "embeddings"), n_centroids)
+    _CENTROIDS[key] = (spark, cents)
+    return cents
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -867,7 +885,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.similarity.ivf import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(emb, queries=emb.filter(F.col("vec_id") < 16), k=5)
+    return knn_ivf(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 16),
+        k=5,
+        centroids=_trained_centroids(spark, sf_dir),
+    )
 
 
 @register("semantic_dedup")  # oracle generated per sf-dir in get_oracle_sql()
@@ -879,7 +902,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n²/n_clusters scale path for embedding-level dedup."""
     from p6__mapreduce_spark.dedup.semantic import semantic_dedup
 
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=_trained_centroids(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

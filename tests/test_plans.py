@@ -96,8 +96,9 @@ def test_shingle_postings_tokenize_once_no_window(spark):
     plan = plan_of(df)
     assert plan.count("split") == 1, f"tokenizer evaluated {plan.count('split')}x"
     assert "Window" not in plan
-    # one shuffle total: the distinct
-    assert plan.count("Exchange") == 1
+    # fully map-side: per-doc array_distinct replaced the global
+    # distinct, so the posting build plans ZERO shuffles
+    assert plan.count("Exchange") == 0
 
 
 def test_minhash_verify_carries_sizes_no_size_joins(spark):
