@@ -87,9 +87,13 @@ HEADLINE = [
     "order_price_percentiles",
     "qty_discount_corr",
     "rare_bigram_ratio",
+    "stratified_sample",
+    "source_cap_sample",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",
+    "tfidf_doc_terms",
+    "bm25_scores",
     "doc_fingerprints",
     "pii_redact",
     "dedup_exact",
@@ -100,6 +104,7 @@ HEADLINE = [
     # pair plan, so the shared codegen is already compiled (the order a
     # real dedup session would run them in anyway)
     "dedup_components",
+    "dedup_cluster_stats",
     "canonical_best_quality",
     "dedup_simhash",
     "knn_bruteforce",

@@ -146,6 +146,26 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
     return docs.filter(bucket < weight_map[F.col("source")])
 
 
+def stratified_sample(
+    rows: DataFrame,
+    rates: dict[str, float],
+    *,
+    key_col: str = "event_id",
+    stratum_col: str = "event_type",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep each row with its
+    stratum's configured rate (e.g. keep every purchase, 5% of error
+    noise), decided by a key hash — map-side, reproducible across runs
+    and engines, composable with later stages (unlike rand(), which
+    resamples on every retry/recompute). Strata absent from ``rates``
+    are dropped, mirroring ``mixture_sample``.
+    """
+    bp = {s: int(round(r * 10_000)) for s, r in rates.items()}
+    rate_map = F.create_map(*[F.lit(x) for kv in bp.items() for x in kv])
+    bucket = _key_hash_bucket(F.col(key_col), 10_000)
+    return rows.filter(bucket < rate_map[F.col(stratum_col)])
+
+
 def doc_chunks(docs: DataFrame, chunk_size: int = 64, overlap: int = 16) -> DataFrame:
     """Split each document's token stream into fixed-size overlapping
     chunks (stride = chunk_size - overlap) — the context-window prep

@@ -1,0 +1,179 @@
+"""Corpus-statistics relevance scoring: TF-IDF vectors and BM25.
+
+The two classic lexical scoring functions a retrieval / data-curation
+pipeline needs (rank documents against a query, weight terms for
+near-dup shingle pruning, feed features to a quality classifier).
+
+Scale shape: everything is one explode + two hash aggregations — tf is
+a (doc_id, token) groupBy (partial map-side), df reuses the tf rows
+(one row per posting, so COUNT(*) per token == document frequency), and
+the corpus constants (N, avgdl) ride a broadcast 1-row cross join.
+Nothing is quadratic and no driver action is needed to build the plan.
+
+Cross-engine float policy: scores involve ``ln``, whose last bit is not
+guaranteed identical across libm implementations, so both engines
+quantize scores to fixed-point 1e-4 BIGINTs (floor(x * 10000 + 0.5)).
+A mismatch would need the two ``ln`` results to straddle a rounding
+boundary — the functions agree to ~1 ulp (~1e-16 relative), so the
+boundary-hit probability per row is ~1e-12.
+
+Reference scope: the reference engine (mapreduce.c) has no scoring
+operators; this extends the text-analysis surface per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.functions.text import tokens_expr
+from p6__mapreduce_spark.operators.text_analysis import TOKENS_ORACLE
+
+_Q4 = 10_000
+
+
+def _q4(col: F.Column) -> F.Column:
+    return F.floor(col * F.lit(float(_Q4)) + F.lit(0.5)).cast("long")
+
+
+def tfidf_doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf_q4) for every posting — the sparse
+    TF-IDF matrix of the corpus, scores as fixed-point 1e-4.
+
+    tfidf = tf * ln(N / df). One explode feeds BOTH aggregations: tf is
+    the (doc_id, token) count, df counts tf's rows per token (one
+    posting row per doc-token pair), and N arrives via a broadcast
+    1-row aggregate — no ``.count()`` on the driver, the plan stays
+    fully declarative/incremental.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            _q4(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias("tfidf_q4"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+# float literals in e-notation: DuckDB parses plain `1.0`/`0.5` as
+# DECIMAL (exact arithmetic, different results), `1.0e0` as DOUBLE
+TFIDF_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_ORACLE.format(col="text")}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, token, tf, df,
+       CAST(floor(tf * ln(n * 1.0e0 / df) * 10000 + 5.0e-1) AS BIGINT) AS tfidf_q4
+FROM tf JOIN df USING (token) CROSS JOIN n
+ORDER BY doc_id, token
+"""
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, dl, score_q4): Okapi BM25 of each document against a
+    fixed bag of query terms, fixed-point 1e-4.
+
+    score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5) / (df + 0.5)).
+
+    Per-term tf is a map-side array count (``size(filter(toks, ...))``)
+    — no explode, no shuffle on the document side. The corpus constants
+    (N, avgdl, per-term df) collapse into ONE broadcast row built by a
+    single conditional aggregation, so the whole operator costs one
+    corpus scan for the stats + one map-side scoring pass. The term sum
+    folds left-to-right in declaration order; the oracle mirrors the
+    exact expression shape so both engines run the identical float ops.
+    """
+    toks = docs.select("doc_id", tokens_expr("text").alias("w")).select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        # NOTE: the lambda must be unary — a second (even defaulted)
+        # parameter makes F.filter treat it as an (element, index)
+        # lambda. It is evaluated eagerly per iteration, so closing
+        # over the loop variable is safe.
+        *[
+            F.size(F.filter("w", lambda t: t == F.lit(term))).alias(f"tf_{i}")
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") * F.lit(1.0) / F.col("n")
+    )
+    term_score = [
+        F.log((F.col("n") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5)))
+        * (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+        / (
+            F.col(f"tf_{i}")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        for i in range(len(query_terms))
+    ]
+    total = term_score[0]
+    for t in term_score[1:]:
+        total = total + t
+    return scored.select("doc_id", "dl", _q4(total).alias("score_q4")).orderBy("doc_id")
+
+
+def _e(x: float) -> str:
+    """Float literal that parses as DOUBLE in DuckDB (plain decimals
+    parse as DECIMAL and run exact arithmetic instead of IEEE754)."""
+    return f"{x:.17e}"
+
+
+def bm25_oracle_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of ``bm25_scores``: identical tokenizer, identical
+    per-term expression shape and left-to-right sum order."""
+    toks = TOKENS_ORACLE.format(col="text")
+    tf_cols = ", ".join(
+        f"len(list_filter(w, t -> t = '{term}')) AS tf_{i}" for i, term in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    terms = " + ".join(
+        f"(ln((n - df_{i} + {_e(0.5)}) / (df_{i} + {_e(0.5)}))"
+        f" * (tf_{i} * {_e(k1 + 1.0)}) / (tf_{i} + {_e(k1)} * ({_e(1.0 - b)} + {_e(b)} * dl / avgdl)))"
+        for i in range(len(query_terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, len(w) AS dl, {tf_cols}
+      FROM (SELECT doc_id, {toks} AS w FROM documents)
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sum_dl, {df_cols} FROM toks
+    ), scored AS (
+      SELECT doc_id, dl, ({terms}) AS score
+      FROM (SELECT *, sum_dl * {_e(1.0)} / n AS avgdl FROM toks CROSS JOIN stats)
+    )
+    SELECT doc_id, dl, CAST(floor(score * 10000 + {_e(0.5)}) AS BIGINT) AS score_q4
+    FROM scored ORDER BY doc_id
+    """

@@ -2647,6 +2647,138 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 surface growth: lexical relevance scoring (TF-IDF, BM25),
+# per-source frequency capping, stratified event sampling, near-dup
+# cluster-size profile.
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import TFIDF_ORACLE_SQL
+
+    return TFIDF_ORACLE_SQL
+
+
+@register("tfidf_doc_terms", oracle=_tfidf_oracle())
+def q_tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF matrix of the corpus: one explode, two hash
+    aggregations (tf, then df over tf's rows), corpus size via a
+    broadcast 1-row aggregate — no driver action, nothing quadratic.
+    Scores quantized to 1e-4 fixed point (ln is ~1-ulp reproducible
+    across libms, not bit-exact)."""
+    from p6__mapreduce_spark.operators.ranking import tfidf_doc_terms
+
+    return tfidf_doc_terms(load_table(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ["spark", "window", "join", "hash", "stream"]
+
+
+def _bm25_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
+
+
+@register("bm25_scores", oracle=_bm25_oracle())
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed query-term bag.
+    Per-term tf is a map-side array count (no explode); N/avgdl/df
+    collapse into ONE broadcast stats row, so the operator is a corpus
+    scan + a map-side scoring pass. The oracle mirrors the exact
+    expression shape, term order and float literals."""
+    from p6__mapreduce_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@register(
+    "source_cap_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY sha256(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 3 ORDER BY doc_id
+    """,
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (keep <= K docs per source/domain —
+    the anti-boilerplate step of corpus curation), rank decided by a
+    content hash so the kept set is layout- and engine-independent.
+    One shuffle (the per-source window). At 100 TB a skewed source
+    would pre-filter with a per-partition top-K (TakeOrdered shape)
+    before the global window; the kept set is identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.sha2(F.col("text"), 256), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_STRATA_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1, "error": 0.05}
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10_000))}" for s, r in _STRATA_RATES.items()
+    )
+    return f"""
+    SELECT event_id, event_type FROM events
+    WHERE CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < CASE event_type {cases} END
+    ORDER BY event_id
+    """
+
+
+@register("stratified_sample", oracle=_stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified event sampling: per-event-type keep rates (keep every
+    purchase, 5% of error noise), decided map-side by a key hash —
+    deterministic, no shuffle, no rand()-retry hazard."""
+    from p6__mapreduce_spark.operators.pipeline import stratified_sample
+
+    return (
+        stratified_sample(load_table(spark, sf_dir, "events"), _STRATA_RATES)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def _cluster_stats_oracle() -> str:
+    comp = _COMPONENTS_ORACLE.rstrip().removesuffix("ORDER BY 1")
+    return f"""
+    WITH comp AS ({comp}),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("dedup_cluster_stats", oracle=_cluster_stats_oracle())
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size profile (how much of the corpus is
+    boilerplate? what's the largest template family?) — two cheap
+    aggregations over the memoized connected-components assignment, so
+    it shares all heavy lifting (LSH edges + label propagation) with
+    dedup_components/clean_corpus."""
+    return (
+        _lsh_components(spark, sf_dir, threshold=0.8)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
 # The correctness driver oracle-checks the FIRST 50 entries of

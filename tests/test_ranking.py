@@ -1,0 +1,68 @@
+"""TF-IDF / BM25 scoring and sampling-operator tests on crafted data.
+
+Hand-computed expectations: corpus of 3 docs, so N, tf, df, dl and
+avgdl are all small enough to verify against the closed-form formulas.
+"""
+
+from __future__ import annotations
+
+import math
+
+from p6__mapreduce_spark.operators.pipeline import stratified_sample
+from p6__mapreduce_spark.operators.ranking import bm25_scores, tfidf_doc_terms
+
+
+def docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+CORPUS = ["a a b", "b c", "c c c d"]
+# tf: d0:{a:2,b:1} d1:{b:1,c:1} d2:{c:3,d:1}; df: a=1 b=2 c=2 d=1; N=3
+
+
+def test_tfidf_matches_closed_form(spark):
+    rows = tfidf_doc_terms(docs_df(spark, CORPUS)).collect()
+    got = {(r.doc_id, r.token): (r.tf, r.df, r.tfidf_q4) for r in rows}
+    assert len(got) == 6
+    for (doc, tok), (tf, df, q4) in got.items():
+        expect = math.floor(tf * math.log(3.0 / df) * 10000 + 0.5)
+        assert q4 == expect, (doc, tok, q4, expect)
+    assert got[(0, "a")][:2] == (2, 1)
+    assert got[(2, "c")][:2] == (3, 2)
+
+
+def test_bm25_matches_closed_form(spark):
+    k1, b = 1.2, 0.75
+    rows = bm25_scores(docs_df(spark, CORPUS), ["c", "zzz"], k1=k1, b=b).collect()
+    dls = [3, 2, 4]
+    avgdl = sum(dls) / 3
+    # df: c=2, zzz=0 -> idf(zzz) = ln(3.5/0.5) counted with tf=0 -> 0 term
+    tfs = [0, 1, 3]
+    for r, dl, tf in zip(sorted(rows, key=lambda r: r.doc_id), dls, tfs):
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5))
+        score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)) if tf else 0.0
+        assert r.dl == dl
+        assert r.score_q4 == math.floor(score * 10000 + 0.5), (r.doc_id, r.score_q4, score)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'd' appears in one doc, 'c' in two: the doc matching the rarer
+    # term with equal tf must score higher than one matching the common
+    rows = {r.doc_id: r.score_q4 for r in bm25_scores(docs_df(spark, ["c x", "d x"]), ["c", "d"]).collect()}
+    assert rows[0] == rows[1]  # symmetric corpus -> symmetric scores
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "cold") for i in range(2000)], "event_id long, event_type string"
+    )
+    out = stratified_sample(rows, {"hot": 1.0, "cold": 0.1})
+    got = out.groupBy("event_type").count().collect()
+    counts = {r.event_type: r["count"] for r in got}
+    assert counts["hot"] == 1000  # rate 1.0 keeps everything
+    assert 50 <= counts["cold"] <= 150  # ~10% of 1000, hash-deterministic
+    assert out.count() == out.count()  # recompute-stable (no rand())
+    # strata without a configured rate are dropped
+    assert stratified_sample(rows, {"hot": 1.0}).filter("event_type = 'cold'").count() == 0
