@@ -94,6 +94,7 @@ HEADLINE = [
     "word_freq",
     "tfidf_doc_terms",
     "bm25_scores",
+    "unigram_surprise",
     "doc_fingerprints",
     "pii_redact",
     "dedup_exact",

@@ -142,6 +142,58 @@ def bm25_scores(
     return scored.select("doc_id", "dl", _q4(total).alias("score_q4")).orderBy("doc_id")
 
 
+def unigram_surprise(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, surprise_q6): total surprisal of each document
+    under the corpus's own unigram language model — the cheap perplexity
+    proxy quality filters use (gibberish scores high, boilerplate low).
+
+    surprisal = -sum_t ln(cnt(t) / total_tokens), summed over token
+    *occurrences*. The per-token log-probability is quantized to 1e-6
+    fixed point BEFORE the per-doc sum, so the summation is exact
+    integer arithmetic — float SUM() order varies across engines and
+    partitionings, integer SUM() cannot.
+
+    Plan: one explode feeds both the unigram counts and the per-doc
+    join; the total rides a broadcast 1-row aggregate. Cost is two hash
+    aggregations and one token-keyed join — O(postings) at any scale.
+    """
+    tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    tokq = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(F.log(F.col("cnt") * F.lit(1.0) / F.col("total")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("logp_q6"),
+    )
+    return (
+        tok.join(tokq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("logp_q6")).cast("long").alias("surprise_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_SURPRISE_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_ORACLE.format(col="text")}) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), total AS (SELECT SUM(cnt) AS total FROM freq),
+tokq AS (
+  SELECT token,
+         CAST(floor(ln(cnt * 1.0e0 / total) * 1000000 + 5.0e-1) AS BIGINT) AS logp_q6
+  FROM freq CROSS JOIN total
+)
+SELECT doc_id, COUNT(*) AS n_tokens, CAST(-SUM(logp_q6) AS BIGINT) AS surprise_q6
+FROM tok JOIN tokq USING (token)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _e(x: float) -> str:
     """Float literal that parses as DOUBLE in DuckDB (plain decimals
     parse as DECIMAL and run exact arithmetic instead of IEEE754)."""

@@ -2751,6 +2751,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_surprise_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import UNIGRAM_SURPRISE_ORACLE_SQL
+
+    return UNIGRAM_SURPRISE_ORACLE_SQL
+
+
+@register("unigram_surprise", oracle=_unigram_surprise_oracle())
+def q_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the corpus unigram LM — the cheap
+    perplexity proxy for quality filtering. Per-token log-probs are
+    quantized to integers BEFORE the per-doc sum, so the aggregation is
+    exact at any partitioning (float SUM order is engine-dependent)."""
+    from p6__mapreduce_spark.operators.ranking import unigram_surprise
+
+    return unigram_surprise(load_table(spark, sf_dir, "documents"))
+
+
 def _cluster_stats_oracle() -> str:
     comp = _COMPONENTS_ORACLE.rstrip().removesuffix("ORDER BY 1")
     return f"""

@@ -93,6 +93,14 @@ def read_csv(spark: SparkSession, path: str, schema=None, *, header: bool = True
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """ORC scan — Spark-native columnar source with the same pushdown /
+    pruning behavior as parquet (vectorized reader, PushedFilters reach
+    the stripe level). No extra jars: ORC support ships in Spark core."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.orc(*paths)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic benchmark table from a scale-factor directory.
 

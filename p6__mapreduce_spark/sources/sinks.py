@@ -51,6 +51,15 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """ORC sink (Spark-native, no extra jars) — same partitioned-layout
+    semantics as ``write_parquet`` for ORC-consuming downstreams."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def publish_parquet_atomic(
     df: DataFrame,
     path: str,

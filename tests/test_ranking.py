@@ -54,6 +54,19 @@ def test_bm25_rare_term_outranks_common(spark):
     assert rows[0] == rows[1]  # symmetric corpus -> symmetric scores
 
 
+def test_unigram_surprise_closed_form(spark):
+    from p6__mapreduce_spark.operators.ranking import unigram_surprise
+
+    # corpus "a a b" + "b c": counts a=2 b=2 c=1, total=5
+    rows = {r.doc_id: r for r in unigram_surprise(docs_df(spark, ["a a b", "b c"])).collect()}
+    q6 = lambda cnt: math.floor(math.log(cnt / 5) * 1e6 + 0.5)
+    assert rows[0].n_tokens == 3
+    assert rows[0].surprise_q6 == -(2 * q6(2) + q6(2))
+    assert rows[1].surprise_q6 == -(q6(2) + q6(1))
+    # rare tokens -> higher surprisal
+    assert rows[1].surprise_q6 / 2 > rows[0].surprise_q6 / 3
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     rows = spark.createDataFrame(
         [(i, "hot" if i % 2 else "cold") for i in range(2000)], "event_id long, event_type string"

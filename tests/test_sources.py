@@ -2,8 +2,30 @@
 
 from __future__ import annotations
 
-from p6__mapreduce_spark.sources.readers import read_csv, read_json, read_lines, read_parquet
-from p6__mapreduce_spark.sources.sinks import collect_lines, write_parquet
+from p6__mapreduce_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_lines,
+    read_orc,
+    read_parquet,
+)
+from p6__mapreduce_spark.sources.sinks import collect_lines, write_orc, write_parquet
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "id long, v string, part string"
+    )
+    out = str(tmp_path / "orc_out")
+    write_orc(df, out, partition_by=["part"])
+    back = read_orc(spark, out)
+    assert {(r.id, r.v, r.part) for r in back.collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
+    plan = back.filter("part = 'x' and id = 1")._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on the dir column AND predicate pushdown to stripes
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
 
 
 def test_parquet_roundtrip_partitioned(spark, tmp_path):
