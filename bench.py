@@ -46,6 +46,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "events_window_5m",
     "user_sessions",
+    "session_funnel",
     "event_json_stats",
     "tpch_q5_local_supplier",
     "tpch_q4_priority_exists",

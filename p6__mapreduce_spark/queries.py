@@ -2751,6 +2751,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY 1
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click AT OR
+    AFTER that view, first purchase at or after that click — the staged
+    self-join pattern every product-analytics stack runs. Three
+    aggregations keyed by user_id; the stage joins reuse the same hash
+    partitioning, and AQE broadcasts the shrinking stage outputs."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _unigram_surprise_oracle() -> str:
     from p6__mapreduce_spark.operators.ranking import UNIGRAM_SURPRISE_ORACLE_SQL
 

@@ -67,6 +67,7 @@ def main() -> None:
     from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
     from p6__mapreduce_spark.operators.analytics import pricing_summary
     from p6__mapreduce_spark.operators.pipeline import doc_chunks, repetition_stats, sequence_packing
+    from p6__mapreduce_spark.operators.ranking import bm25_scores, tfidf_doc_terms, unigram_surprise
     from p6__mapreduce_spark.operators.text_analysis import rare_ngram_ratio
     from p6__mapreduce_spark.session import get_session
     from p6__mapreduce_spark.similarity.lsh import knn_lsh
@@ -92,6 +93,15 @@ def main() -> None:
             inflate_embeddings,
         ),
         "rare_bigram_ratio": (lambda d: rare_ngram_ratio(d), docs, inflate_documents),
+        # suffixed copies have disjoint vocab: tf-idf/unigram rows grow
+        # exactly k x, df/total recompute over the k x corpus
+        "tfidf_doc_terms": (lambda d: tfidf_doc_terms(d), docs, inflate_documents),
+        "bm25_scores": (
+            lambda d: bm25_scores(d, ["spark", "window", "join", "hash", "stream"]),
+            docs,
+            inflate_documents,
+        ),
+        "unigram_surprise": (lambda d: unigram_surprise(d), docs, inflate_documents),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
