@@ -189,6 +189,7 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     payload = json.loads(res.stdout.strip().splitlines()[-1])
     c = payload["counts"]
     assert c["after_dedup"] < c["input"]  # the near-dups really left
+    assert 0 < c["after_surprisal"] <= c["after_quality"]  # gibberish gate ran
     assert c["published"] == c["chunks"] > 0
     out = spark.read.parquet(str(tmp_path / "training_chunks"))
     assert {"doc_id", "shard", "seq_id", "offset_in_seq", "chunk_text"} <= set(out.columns)

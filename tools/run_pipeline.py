@@ -5,11 +5,14 @@ packed, deduplicated, atomically-published training chunks.
 Stages (each a registered operator; see COVERAGE.md):
   1. profile     — column data-quality audit of the input (printed)
   2. quality     — Gopher-style gate: keep docs scoring >= 2 of 3
-  3. dedup       — MinHash-LSH pairs -> connected components -> keep
+  3. surprisal   — perplexity-proxy gate: drop docs whose mean token
+                   surprisal under the corpus unigram LM exceeds
+                   1.25x the corpus mean (gibberish filter)
+  4. dedup       — MinHash-LSH pairs -> connected components -> keep
                    the best-quality doc per near-dup cluster
-  4. chunk       — 64-token context windows, 16-token overlap
-  5. pack        — fixed-budget sequence ids per shard
-  6. publish     — atomic parquet publish (readers never see a
+  5. chunk       — 64-token context windows, 16-token overlap
+  6. pack        — fixed-budget sequence ids per shard
+  7. publish     — atomic parquet publish (readers never see a
                    half-written dataset)
 
 Everything is one lazily-composed set of Catalyst plans; nothing is
@@ -59,6 +62,24 @@ def main() -> int:
     q = quality_score(docs).filter(F.col("quality") >= 2.0 / 3.0).select("doc_id")
     kept_q = docs.join(q, "doc_id")
     counts["after_quality"] = kept_q.count()
+
+    # 2b. surprisal gate: mean token surprisal <= 1.25x the corpus mean
+    # (1.25 is exact in binary, and both sides are correctly-rounded
+    # divisions of exact integers — deterministic at any partitioning)
+    from p6__mapreduce_spark.operators.ranking import unigram_surprise
+
+    sup = unigram_surprise(kept_q)
+    tot = sup.agg(F.sum("surprise_q6").alias("s_all"), F.sum("n_tokens").alias("t_all"))
+    calm = (
+        sup.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("surprise_q6") / F.col("n_tokens")
+            <= F.lit(1.25) * (F.col("s_all") / F.col("t_all"))
+        )
+        .select("doc_id")
+    )
+    kept_q = kept_q.join(calm, "doc_id")
+    counts["after_surprisal"] = kept_q.count()
 
     # 3. near-dup removal, keep the best-quality member per cluster
     comp = dedup_components(kept_q, minhash_lsh_pairs(kept_q, threshold=0.8))
