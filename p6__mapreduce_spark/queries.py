@@ -2752,6 +2752,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 5.0e-1) AS BIGINT)) AS BIGINT)
+             AS value_cents_total
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState): per-user
+    running counters updated across two forced micro-batches; the final
+    state equals the batch GROUP BY, which is the oracle. State lives
+    partitioned by user_id — the horizontal-scale shape for arbitrary
+    per-key accumulators the built-in windowed aggregates can't express."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.stateful import run_streaming_running_totals
+
+    return run_streaming_running_totals(spark, _os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
     "session_funnel",
     oracle="""
     WITH v AS (
