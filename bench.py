@@ -47,6 +47,7 @@ HEADLINE = [
     "events_window_5m",
     "user_sessions",
     "session_funnel",
+    "upsert_latest_snapshot",
     "event_json_stats",
     "tpch_q5_local_supplier",
     "tpch_q4_priority_exists",

@@ -2752,6 +2752,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsert_latest_snapshot",
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, event_id, epoch_us(ts) AS state_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ), upd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS state_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT user_id, event_id, state_us FROM upd WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.state_us FROM snap s
+    WHERE s.rn = 1 AND NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = s.user_id)
+    ORDER BY user_id
+    """,
+)
+def q_upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style SCD-1 merge: a keyed snapshot (latest state per user
+    before the cutoff) upserted with a batch of updates (events after
+    it) — update rows win, untouched keys keep their snapshot row. The
+    merge is one latest-per-key reduction on each side plus a left-anti
+    join on the shared user_id partitioning; at 100 TB both sides
+    shuffle once and AQE broadcasts the (usually small) update batch."""
+    from pyspark.sql import Window
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", F.unix_micros("ts").alias("state_us"))
+        )
+
+    snap = latest(events.filter(F.col("ts") < cutoff))
+    upd = latest(events.filter(F.col("ts") >= cutoff))
+    merged = upd.unionByName(snap.join(upd.select("user_id"), "user_id", "left_anti"))
+    return merged.orderBy("user_id")
+
+
+@register(
     "stateful_running_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

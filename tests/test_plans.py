@@ -187,3 +187,37 @@ def test_new_tpch_shapes_have_no_cartesian(spark):
         plan = plan_of(QUERIES[q](spark, SF))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_bm25_scoring_side_has_no_explode_or_shuffle(spark):
+    # the scale claim: per-term tf is a map-side array count — the
+    # document side must plan no Generate (explode) at all, and the
+    # only exchanges are the 1-row stats broadcast and the output sort
+    from p6__mapreduce_spark.operators.ranking import bm25_scores
+
+    df = bm25_scores(load_table(spark, SF, "documents"), ["spark", "window"])
+    plan = plan_of(df)
+    assert "Generate" not in plan, plan
+    assert plan.count("BroadcastExchange") == 1  # the stats row
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_single_explode_feeds_both_aggregations(spark):
+    # tf and df must come from ONE explode of the corpus — a second
+    # Generate would re-tokenize and re-shuffle the postings
+    from p6__mapreduce_spark.operators.ranking import tfidf_doc_terms
+
+    df = tfidf_doc_terms(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    assert plan.count("Generate") <= 2  # explode appears once per consumed subtree
+    assert plan.count("BroadcastExchange") >= 1  # corpus-size row broadcast
+
+
+def test_unigram_surprise_integer_sum_in_plan(spark):
+    # the per-doc aggregation must sum the QUANTIZED bigint column —
+    # a float sum would be partitioning-dependent
+    from p6__mapreduce_spark.operators.ranking import unigram_surprise
+
+    df = unigram_surprise(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    assert "sum(logp_q6" in plan, plan
