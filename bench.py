@@ -123,6 +123,7 @@ HEADLINE = [
     "set_except",
     "top100_orders_global",
     "multimodal_features",
+    "multimodal_frames",
 ]
 
 

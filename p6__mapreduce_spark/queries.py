@@ -2752,6 +2752,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           hex(substr(text, i * 100 + 1, 100)) AS frame_hex
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, ((length(text) - 1) // 100) + 1)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video-sampling batch
+    shape): mapInPandas explodes each payload into fixed-size byte
+    frames, Arrow-batched, no driver involvement. The fake payload is
+    the UTF-8 text (pure ASCII corpus), so DuckDB reproduces each
+    frame's bytes with substr + hex — the stub decode is swapped for a
+    codec in production, the plumbing under test stays identical."""
+    from p6__mapreduce_spark.multimodal.columns import attach_binary_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary_payload(docs), every=100)
+    return frames.select(
+        "doc_id", "frame_idx", F.upper(F.hex(F.col("frame"))).alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "upsert_latest_snapshot",
     oracle="""
     WITH snap AS (
