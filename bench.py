@@ -108,6 +108,7 @@ HEADLINE = [
     # real dedup session would run them in anyway)
     "dedup_components",
     "dedup_cluster_stats",
+    "minhash_estimate_error",
     "canonical_best_quality",
     "dedup_simhash",
     "knn_bruteforce",

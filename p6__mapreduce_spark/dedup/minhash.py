@@ -212,3 +212,79 @@ def incremental_neardup_pairs(
         .select("id1", "id2", "jaccard")
         .orderBy("id1", "id2")
     )
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(id1, id2, jaccard, minhash_est, abs_err) over the exact near-dup
+    pair set: the signature-based Jaccard estimate (matching positions /
+    num_hashes) next to the exact value — the sketch-accuracy audit a
+    pipeline runs before trusting estimate-only thresholds at scale.
+
+    Every arithmetic step is exact-from-integers (two correctly-rounded
+    divisions and one subtraction), and the permutations are plan
+    constants, so the whole measurement — including the estimates —
+    reproduces bit-for-bit in the DuckDB oracle
+    (``minhash_estimate_oracle_sql``).
+    """
+    postings = shingle_postings(docs, k)
+    sigs = minhash_signatures(docs, k, num_hashes, postings=postings).select("doc_id", "sig")
+    exact = ngram_jaccard_pairs(docs, threshold, k, postings=postings)
+    n_match = F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y), lambda b: b))
+    est = F.col("n_match") * F.lit(1.0) / F.lit(float(num_hashes))
+    return (
+        exact.join(sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1")), "id1")
+        .join(sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2")), "id2")
+        .withColumn("n_match", n_match)
+        .withColumn("minhash_est", est)
+        .withColumn("abs_err", F.abs(F.col("minhash_est") - F.col("jaccard")))
+        .select("id1", "id2", "jaccard", "minhash_est", "abs_err")
+        .orderBy("id1", "id2")
+    )
+
+
+def minhash_estimate_oracle_sql(
+    threshold: float = 0.8, k: int = 3, num_hashes: int = 32
+) -> str:
+    """DuckDB mirror: same shingles, same poly-hash, same affine
+    permutations (plan constants), same exact pair set."""
+    from p6__mapreduce_spark.dedup.jaccard import JACCARD_ORACLE_SQL
+    from p6__mapreduce_spark.operators.text_analysis import poly_hash_oracle_sql
+
+    perms = []
+    for i in range(num_hashes):
+        a = (_A0 + 2 * i + 1) % POLY_MOD
+        b = (_B0 + 7919 * i) % POLY_MOD
+        perms.append((a, b))
+    sig_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {POLY_MOD}) AS s{i}" for i, (a, b) in enumerate(perms)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN g1.s{i} = g2.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    exact = JACCARD_ORACLE_SQL.format(k=k, threshold=threshold).replace("ORDER BY 1, 2", "")
+    return f"""
+    WITH exact_pairs AS ({exact}),
+    toks2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+      FROM documents
+    ), idx2 AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS i FROM toks2 WHERE len(w) >= {k}
+    ), sh2 AS (
+      SELECT DISTINCT doc_id, list_aggregate(w[i : i + {k} - 1], 'string_agg', ' ') AS shingle
+      FROM idx2
+    ), hashes AS (
+      SELECT doc_id, {poly_hash_oracle_sql("shingle")} AS h FROM sh2
+    ), sig AS (
+      SELECT doc_id, {sig_cols} FROM hashes GROUP BY 1
+    )
+    SELECT p.id1, p.id2, p.jaccard,
+           ({matches}) * 1.0e0 / {float(num_hashes)!r} AS minhash_est,
+           abs(({matches}) * 1.0e0 / {float(num_hashes)!r} - p.jaccard) AS abs_err
+    FROM exact_pairs p
+    JOIN sig g1 ON g1.doc_id = p.id1
+    JOIN sig g2 ON g2.doc_id = p.id2
+    ORDER BY 1, 2
+    """

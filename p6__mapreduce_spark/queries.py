@@ -2913,6 +2913,24 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_estimate_oracle() -> str:
+    from p6__mapreduce_spark.dedup.minhash import minhash_estimate_oracle_sql
+
+    return minhash_estimate_oracle_sql()
+
+
+@register("minhash_estimate_error", oracle=_minhash_estimate_oracle())
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: the 32-perm MinHash Jaccard estimate next
+    to the exact value on every true near-dup pair — run before trusting
+    estimate-only thresholds at corpus scale. Deterministic permutations
+    are plan constants, so even the ESTIMATES are bit-exact against the
+    DuckDB replica."""
+    from p6__mapreduce_spark.dedup.minhash import minhash_estimate_vs_exact
+
+    return minhash_estimate_vs_exact(load_table(spark, sf_dir, "documents"))
+
+
 def _unigram_surprise_oracle() -> str:
     from p6__mapreduce_spark.operators.ranking import UNIGRAM_SURPRISE_ORACLE_SQL
 

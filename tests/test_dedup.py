@@ -183,3 +183,21 @@ def test_semantic_dedup_drops_higher_id_within_cluster(spark):
     assert rows[3].keep and rows[4].keep
     # cluster assignment separates the two axes
     assert rows[0].list_id != rows[3].list_id
+
+
+def test_minhash_estimate_vs_exact(spark):
+    from p6__mapreduce_spark.dedup.minhash import minhash_estimate_vs_exact
+
+    rows = {
+        (r.id1, r.id2): r
+        for r in minhash_estimate_vs_exact(docs_df(spark), threshold=0.7).collect()
+    }
+    # identical docs: every signature position matches -> estimate 1.0, err 0
+    assert rows[(0, 3)].minhash_est == 1.0 and rows[(0, 3)].abs_err == 0.0
+    # the 1-word near-dup pair (jaccard ~0.79) carries a sane estimate
+    for pair in ((0, 1), (1, 3)):
+        r = rows[pair]
+        assert 0.7 <= r.jaccard < 1.0
+        assert 0.0 <= r.minhash_est <= 1.0
+        assert r.abs_err <= 0.35  # 32 perms: std err ~ sqrt(j(1-j)/32) ~ 0.07
+        assert r.abs_err == abs(r.minhash_est - r.jaccard)
