@@ -114,6 +114,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "ann_recall_audit",
     "embedding_neardup",
     "semantic_dedup",
     "cube_flag_status",

@@ -574,9 +574,7 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "knn_bruteforce",
-    oracle="""
+_KNN_BF_ORACLE = """
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              row_number() OVER (
@@ -588,8 +586,10 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
       WHERE q.vec_id < 16
     ) WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("knn_bruteforce", oracle=_KNN_BF_ORACLE)
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.similarity.bruteforce import knn_bruteforce
 
@@ -2480,6 +2480,21 @@ def get_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         out["semantic_dedup"] = semantic_dedup_oracle_sql(f"{sf_dir}/embeddings.parquet")
     except Exception:  # parquet absent -> semantic_dedup stays rows-only
         pass
+    if "knn_ivf" in out:
+        ivf_sql = out["knn_ivf"].replace("ORDER BY query_id, rank", "")
+        bf_sql = _KNN_BF_ORACLE.replace("ORDER BY query_id, rank", "")
+        out["ann_recall_audit"] = f"""
+        WITH bf AS ({bf_sql}), ivf AS ({ivf_sql}),
+        hits AS (
+          SELECT b.query_id, b.neighbor_id
+          FROM bf b JOIN ivf v ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+        )
+        SELECT q.query_id, COUNT(h.neighbor_id) AS n_hits,
+               COUNT(h.neighbor_id) * 1.0e0 / 5 AS recall_at_5
+        FROM (SELECT DISTINCT query_id FROM bf) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+        GROUP BY 1 ORDER BY 1
+        """
     return out
 
 
@@ -2910,6 +2925,41 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
         .orderBy("user_id")
+    )
+
+
+@register("ann_recall_audit")  # oracle generated per sf-dir in get_oracle_sql
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@5 of the IVF index against the exact
+    brute-force top-5 per query — the measurement that decides nprobe /
+    n_centroids before trusting the index at corpus scale. Both sides
+    are deterministic (centroids are plan literals), so the audit —
+    including the recall fractions — is exactly oracle-checked.
+
+    On this synthetic corpus the embeddings are near-uniform, so
+    nprobe=4/16 lands ~0.6 mean recall — precisely the signal that says
+    "raise nprobe here"; on clustered data the same index holds >= 0.9
+    (tests/test_similarity.py pins that)."""
+    from p6__mapreduce_spark.similarity.bruteforce import knn_bruteforce
+    from p6__mapreduce_spark.similarity.ivf import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    bf = knn_bruteforce(emb, queries=queries, k=5).select("query_id", "neighbor_id")
+    ivf = knn_ivf(
+        emb, queries=queries, k=5, centroids=_trained_centroids(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).select("query_id", "neighbor_id")
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0) / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
     )
 
 
