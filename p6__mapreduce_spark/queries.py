@@ -2928,6 +2928,42 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "append_finalized_windows_streaming",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events
+    )
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY time_bucket(INTERVAL 5 MINUTES, ts)
+    HAVING time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= (SELECT w FROM wm)
+    ORDER BY 1
+    """,
+)
+def q_append_finalized_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark FINALIZATION under test: events arrive in
+    two forced micro-batches (later half first, earlier half second),
+    and the memory sink must contain exactly the windows whose end <=
+    the final watermark (max event time - 1 minute) — open tail windows
+    stay unemitted. The oracle encodes the finalization rule in SQL, so
+    an emission-policy regression hash-fails.
+
+    Engineering note (measured on this PySpark build): rows arriving in
+    a batch whose event time is far below the current watermark are NOT
+    dropped from a streaming aggregation's input
+    (numRowsDroppedByWatermark == 0) — they create fresh state that the
+    same batch's eviction immediately finalizes and emits. The
+    guarantee append mode does keep, and what this query pins, is that
+    nothing past the watermark frontier is ever emitted."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.windows import run_streaming_late_drop
+
+    return run_streaming_late_drop(spark, _os.path.join(sf_dir, "events.parquet"))
+
+
 @register("ann_recall_audit")  # oracle generated per sf-dir in get_oracle_sql
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit: recall@5 of the IVF index against the exact

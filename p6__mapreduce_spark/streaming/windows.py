@@ -100,3 +100,72 @@ def stream_event_counts(
         .queryName(query_name)
         .start()
     )
+
+
+def run_streaming_late_drop(
+    spark: SparkSession,
+    events_parquet: str,
+    cutoff: str = "2024-01-16",
+    minutes: int = 5,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Append-mode windowed counts driven across two forced
+    micro-batches: events at/after ``cutoff`` arrive in batch 0,
+    everything before it arrives in batch 1, and the memory sink ends
+    up with exactly the FINALIZED windows — end <= final watermark
+    (global max event time - ``watermark``); the open tail windows are
+    never emitted. The finalized set is order-independent (the final
+    watermark is the max over batches), but staging still pins file
+    mtimes so the trigger order itself is deterministic.
+
+    Measured engine note: input rows below the current watermark are
+    NOT dropped by the aggregation on this PySpark build
+    (numRowsDroppedByWatermark == 0) — they create fresh state that the
+    same batch's eviction finalizes and emits. What append mode does
+    guarantee — and what callers may rely on — is the emission
+    frontier: nothing past the watermark is ever emitted.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="p6_stream_late_")
+    try:
+        base = spark.read.parquet(events_parquet).select("event_id", "event_type", "ts")
+        cut = F.lit(cutoff).cast("timestamp")
+        now = _time.time()
+        for i, part_df in enumerate((base.filter(F.col("ts") >= cut), base.filter(F.col("ts") < cut))):
+            part = os.path.join(src, f"_stage_{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(part)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            os.rename(os.path.join(part, data), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))  # deterministic trigger order
+            shutil.rmtree(part)
+
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", watermark)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", f"{minutes} minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events")
+        )
+        query = (
+            agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(name).orderBy("window_start")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
