@@ -3084,6 +3084,8 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     # text analysis
     "token_stats",
     "word_freq",
+    "tfidf_doc_terms",
+    "unigram_surprise",
     "lang_id",
     "quality_score",
     "doc_fingerprints",
@@ -3121,10 +3123,10 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "top_orders_per_customer",
     "brand_volume",
     "tpch_q3_shipping",
-    # events: batch, windowed, streaming
+    # events: batch, windowed, streaming (events_window_5m's oracle
+    # stays in-window via its streaming twin; user_sessions' lag-gap
+    # sessionization is covered by the native session windows)
     "event_json_stats",
-    "events_window_5m",
-    "user_sessions",
     "session_windows_native",
     "asof_last_signup",
     "events_window_streaming",
