@@ -79,6 +79,7 @@ HEADLINE = [
     "repetition_stats",
     "contamination_check",
     "corpus_split_counts",
+    "group_kfold_splits",
     "corpus_mixture_sample",
     "text_normalize",
     "doc_chunks",
@@ -97,6 +98,7 @@ HEADLINE = [
     "tfidf_doc_terms",
     "bm25_scores",
     "unigram_surprise",
+    "vocab_coverage",
     "doc_fingerprints",
     "pii_redact",
     "dedup_exact",

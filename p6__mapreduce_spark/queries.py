@@ -2767,6 +2767,103 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_kfold_splits",
+    oracle="""
+    WITH folds AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 5 AS INTEGER) AS fold
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT f.fold, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN folds f ON e.user_id = f.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_group_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free grouped k-fold assignment: every event of a user
+    lands in the SAME fold (fold = key hash of user_id, not of the
+    row), so evaluation folds never share users with training folds —
+    the grouped-CV discipline doc-level splits violate. Map-side
+    assignment, one aggregation; fold sizes verify the hash balance."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    fold = (
+        F.conv(F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    return (
+        events.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM freq
+    )
+    SELECT CAST(v AS INTEGER) AS vocab_size,
+           CAST((SELECT COALESCE(SUM(cnt), 0) FROM ranked WHERE rk <= v) AS BIGINT) AS covered,
+           CAST((SELECT SUM(cnt) FROM freq) AS BIGINT) AS total,
+           CAST((SELECT COALESCE(SUM(cnt), 0) FROM ranked WHERE rk <= v) AS BIGINT) * 1.0e0
+             / CAST((SELECT SUM(cnt) FROM freq) AS BIGINT) AS coverage
+    FROM (SELECT unnest([8, 16, 32, 64]) AS v)
+    ORDER BY 1
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic: what fraction of all token
+    occurrences the top-V vocabulary covers, for a ladder of V — the
+    curve that sizes a vocab before training one. One explode + one
+    aggregation; the ladder join is a broadcast of V rows against the
+    ranked running sum."""
+    from pyspark.sql import Window
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    ladder = [8, 16, 32, 64]
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr("text")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # the global rank runs over the VOCAB (orders smaller than the
+    # corpus); the sums below collapse it to one row, so no ladder
+    # range-join / nested loop appears in the plan
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = freq.select("cnt", F.row_number().over(w).alias("rk"))
+    sums = ranked.agg(
+        F.sum("cnt").alias("total"),
+        *[
+            F.coalesce(F.sum(F.when(F.col("rk") <= v, F.col("cnt"))), F.lit(0)).alias(f"c{v}")
+            for v in ladder
+        ],
+    )
+    stack = ", ".join(f"{v}, c{v}" for v in ladder)
+    return (
+        sums.selectExpr(f"stack({len(ladder)}, {stack}) AS (vocab_size, covered)", "total")
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            "covered",
+            "total",
+            (F.col("covered") * F.lit(1.0) / F.col("total")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@register(
     "multimodal_frames",
     oracle="""
     SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
