@@ -215,7 +215,12 @@ def incremental_neardup_pairs(
 
 
 def minhash_estimate_vs_exact(
-    docs: DataFrame, threshold: float = 0.8, k: int = 3, num_hashes: int = 32
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    *,
+    exact_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, jaccard, minhash_est, abs_err) over the exact near-dup
     pair set: the signature-based Jaccard estimate (matching positions /
@@ -230,7 +235,14 @@ def minhash_estimate_vs_exact(
     """
     postings = shingle_postings(docs, k)
     sigs = minhash_signatures(docs, k, num_hashes, postings=postings).select("doc_id", "sig")
-    exact = ngram_jaccard_pairs(docs, threshold, k, postings=postings)
+    # exact_pairs lets callers supply an already-materialized (id1, id2,
+    # jaccard) edge set (the engine's shared LSH memo) instead of
+    # recomputing the inverted-index verification here
+    exact = (
+        exact_pairs
+        if exact_pairs is not None
+        else ngram_jaccard_pairs(docs, threshold, k, postings=postings)
+    )
     n_match = F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y), lambda b: b))
     est = F.col("n_match") * F.lit(1.0) / F.lit(float(num_hashes))
     return (

@@ -3108,10 +3108,14 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exact value on every true near-dup pair — run before trusting
     estimate-only thresholds at corpus scale. Deterministic permutations
     are plan constants, so even the ESTIMATES are bit-exact against the
-    DuckDB replica."""
+    DuckDB replica. The exact pair set comes from the shared LSH memo
+    (same threshold), so only the signature join is new work here."""
     from p6__mapreduce_spark.dedup.minhash import minhash_estimate_vs_exact
 
-    return minhash_estimate_vs_exact(load_table(spark, sf_dir, "documents"))
+    return minhash_estimate_vs_exact(
+        load_table(spark, sf_dir, "documents"),
+        exact_pairs=_lsh_pairs(spark, sf_dir, threshold=0.8),
+    )
 
 
 def _unigram_surprise_oracle() -> str:
