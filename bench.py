@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_chunks",
     "sequence_packing",
     "profile_orders",
+    "doc_length_histogram",
     "winsorized_event_values",
     "sketch_weekly_users",
     "order_price_percentiles",

@@ -2767,6 +2767,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(LEAST(n_chars // 50, 11) AS INTEGER) AS bucket,
+           CAST(LEAST(n_chars // 50, 11) * 50 AS BIGINT) AS lo_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram (the profiling primitive behind
+    every length/size distribution panel): integer-division bucketing
+    with a clamped tail bucket — portable across engines, single
+    map-side expression + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    # integer div (not float /): bit-identical to the oracle's // at any
+    # magnitude, no float rounding artifacts near bucket edges
+    bucket = F.least(F.expr("n_chars div 50"), F.lit(11)).cast("int")
+    return (
+        docs.select(
+            bucket.alias("bucket"),
+            (bucket * F.lit(50)).cast("long").alias("lo_chars"),
+        )
+        .groupBy("bucket", "lo_chars")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "group_kfold_splits",
     oracle="""
     WITH folds AS (
