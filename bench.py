@@ -100,6 +100,7 @@ HEADLINE = [
     "bm25_scores",
     "unigram_surprise",
     "vocab_coverage",
+    "bigram_entropy",
     "doc_fingerprints",
     "pii_redact",
     "dedup_exact",

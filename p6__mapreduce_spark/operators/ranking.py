@@ -194,6 +194,71 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def bigram_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, entropy): Shannon entropy of each document's
+    own bigram distribution — low entropy = repetitive/templated text,
+    high = diverse. The third leg of the quality triad (repetition
+    counts, corpus-LM surprisal, within-doc entropy).
+
+    H = -sum_i (c_i/n) ln(c_i/n), computed as exact integers until the
+    final division: per-bigram ln(c_i/n) quantizes to 1e-6 fixed point,
+    multiplies by the integer count and integer-sums; entropy =
+    -sum / (n * 1e6) is one correctly-rounded division of exact values,
+    so the result is identical at any partitioning. Documents with < 2
+    tokens have no bigram distribution and are absent (inner joins on
+    both engines).
+    """
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+    cnt = (
+        shingle_postings(docs, 2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    q6 = F.floor(
+        F.log(F.col("c") * F.lit(1.0) / F.col("n")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_bigrams"),
+            (-F.sum(F.col("c") * q6)).cast("long").alias("neg_sum_q6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "neg_sum_q6",
+            (F.col("neg_sum_q6") * F.lit(1.0) / (F.col("n_bigrams") * F.lit(1_000_000))).alias(
+                "entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_ENTROPY_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_ORACLE.format(col="text")} AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2
+), cnt AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, COUNT(*) AS c
+  FROM idx GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+)
+SELECT cnt.doc_id, MAX(n.n) AS n_bigrams,
+       CAST(-SUM(c * CAST(floor(ln(c * 1.0e0 / n) * 1000000 + 5.0e-1) AS BIGINT)) AS BIGINT)
+         AS neg_sum_q6,
+       CAST(-SUM(c * CAST(floor(ln(c * 1.0e0 / n) * 1000000 + 5.0e-1) AS BIGINT)) AS BIGINT)
+         * 1.0e0 / (MAX(n.n) * 1000000) AS entropy
+FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _e(x: float) -> str:
     """Float literal that parses as DOUBLE in DuckDB (plain decimals
     parse as DECIMAL and run exact arithmetic instead of IEEE754)."""

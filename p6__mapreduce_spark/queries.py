@@ -2766,6 +2766,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_entropy_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import BIGRAM_ENTROPY_ORACLE_SQL
+
+    return BIGRAM_ENTROPY_ORACLE_SQL
+
+
+@register("bigram_entropy", oracle=_bigram_entropy_oracle())
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc bigram Shannon entropy (low = templated/repetitive) —
+    integer-exact until one final division, so partitioning cannot
+    perturb the float result."""
+    from p6__mapreduce_spark.operators.ranking import bigram_entropy
+
+    return bigram_entropy(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "doc_length_histogram",
     oracle="""

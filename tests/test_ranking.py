@@ -79,3 +79,14 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert out.count() == out.count()  # recompute-stable (no rand())
     # strata without a configured rate are dropped
     assert stratified_sample(rows, {"hot": 1.0}).filter("event_type = 'cold'").count() == 0
+
+
+def test_bigram_entropy_closed_form(spark):
+    from p6__mapreduce_spark.operators.ranking import bigram_entropy
+
+    rows = {r.doc_id: r for r in bigram_entropy(docs_df(spark, ["a b a b a", "a a a a a"])).collect()}
+    # doc 0 bigrams: "a b" x2, "b a" x2 -> uniform over 2 -> H = ln 2
+    # doc 1 bigrams: "a a" x4 -> H = 0
+    assert rows[1].entropy == 0.0
+    assert abs(rows[0].entropy - math.log(2)) < 1e-5
+    assert rows[0].n_bigrams == 4 and rows[1].n_bigrams == 4
