@@ -67,7 +67,12 @@ def main() -> None:
     from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
     from p6__mapreduce_spark.operators.analytics import pricing_summary
     from p6__mapreduce_spark.operators.pipeline import doc_chunks, repetition_stats, sequence_packing
-    from p6__mapreduce_spark.operators.ranking import bm25_scores, tfidf_doc_terms, unigram_surprise
+    from p6__mapreduce_spark.operators.ranking import (
+        bigram_entropy,
+        bm25_scores,
+        tfidf_doc_terms,
+        unigram_surprise,
+    )
     from p6__mapreduce_spark.operators.text_analysis import rare_ngram_ratio
     from p6__mapreduce_spark.session import get_session
     from p6__mapreduce_spark.similarity.lsh import knn_lsh
@@ -102,6 +107,7 @@ def main() -> None:
             inflate_documents,
         ),
         "unigram_surprise": (lambda d: unigram_surprise(d), docs, inflate_documents),
+        "bigram_entropy": (lambda d: bigram_entropy(d), docs, inflate_documents),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
