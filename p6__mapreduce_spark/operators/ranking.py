@@ -104,6 +104,8 @@ def bm25_scores(
     folds left-to-right in declaration order; the oracle mirrors the
     exact expression shape so both engines run the identical float ops.
     """
+    if not query_terms:
+        raise ValueError("bm25_scores requires at least one query term")
     toks = docs.select("doc_id", tokens_expr("text").alias("w")).select(
         "doc_id",
         F.size("w").alias("dl"),
@@ -268,6 +270,8 @@ def _e(x: float) -> str:
 def bm25_oracle_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of ``bm25_scores``: identical tokenizer, identical
     per-term expression shape and left-to-right sum order."""
+    if not query_terms:
+        raise ValueError("bm25_oracle_sql requires at least one query term")
     toks = TOKENS_ORACLE.format(col="text")
     tf_cols = ", ".join(
         f"len(list_filter(w, t -> t = '{term}')) AS tf_{i}" for i, term in enumerate(query_terms)

@@ -25,6 +25,11 @@ def format_available(spark: SparkSession, fmt: str) -> bool:
     if cls is None:
         return False
     try:
+        # Documented compatibility shim — the ONE private-internal use in
+        # the package: there is no public PySpark API for "is this
+        # DataSource class on the classpath?". Under Spark Connect
+        # (_jvm absent) the AttributeError lands in the except and the
+        # format reports unavailable, which is the safe default.
         spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
         return True
     except Exception:

@@ -164,6 +164,25 @@ def run_streaming_late_drop(
         )
         try:
             query.processAllAvailable()
+            # The oracle for this query counts batch-1's below-watermark
+            # rows, which is only correct while the engine routes them
+            # into fresh state instead of dropping them. Fail fast with a
+            # clear message if a Spark build ever applies the standard
+            # late-row drop — a silent hash-mismatch downstream would be
+            # much harder to diagnose than this assertion.
+            dropped = sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for progress in query.recentProgress
+                for op in progress.get("stateOperators", [])
+            )
+            if dropped:
+                raise AssertionError(
+                    f"Spark dropped {dropped} below-watermark input rows; this "
+                    "build applies the standard late-row drop, so the "
+                    "append_finalized_windows_streaming oracle (which counts "
+                    "those rows) no longer models the engine. Re-derive the "
+                    "oracle from the emission-frontier property only."
+                )
         finally:
             query.stop()
         return spark.table(name).orderBy("window_start")

@@ -11,6 +11,7 @@ from p6__mapreduce_spark.operators.analytics import (
     status_pivot,
 )
 from p6__mapreduce_spark.sources.readers import load_table
+from p6__mapreduce_spark.plans import optimized_logical_plan
 
 SF = "/root/testdata/sf0.001"
 
@@ -72,7 +73,7 @@ def test_profile_columns_single_pass_counts(spark):
     # single pass: the source is scanned exactly once (multi-column
     # countDistinct rewrites to Expand + 2-level Aggregate, but never a
     # per-column rescan like the oracle's UNION ALL)
-    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    plan = optimized_logical_plan(profile_columns(df, ["k", "s"]))
     assert plan.count("LogicalRDD") == 1
 
 

@@ -11,6 +11,7 @@ from p6__mapreduce_spark.operators.pipeline import (
     repetition_stats,
     split_assign,
 )
+from p6__mapreduce_spark.plans import physical_plan
 
 SF = "/root/testdata/sf0.001"
 
@@ -167,7 +168,7 @@ def test_sequence_packing_no_global_window(spark):
         (0, 0), (0, 10), (0, 20), (1, 5)
     ]
     # scale guard: the window must be partitioned by shard, never global
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(out)
     assert "SinglePartition" not in plan
 
 

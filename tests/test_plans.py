@@ -25,14 +25,12 @@ def _no_cached_plans(spark):
     yield
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from p6__mapreduce_spark.plans import (  # noqa: E402  (public-API helpers)
+    formatted_plan as formatted,
+    optimized_logical_plan,
+    parsed_logical_plan,
+    physical_plan as plan_of,
+)
 
 
 def test_q1_filter_pushed_to_parquet_scan(spark):
@@ -108,7 +106,7 @@ def test_minhash_verify_carries_sizes_no_size_joins(spark):
     from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
 
     df = minhash_lsh_pairs(load_table(spark, SF, "documents").limit(60))
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    optimized = optimized_logical_plan(df)
     assert optimized.count("Join") == 3  # band self-join + 2 verify joins
 
 
@@ -127,9 +125,9 @@ def test_candidate_verify_has_no_broadcast_hint(spark):
     )
     corpus = base.select("doc_id", "text").unionAll(dup)
     df = minhash_lsh_pairs(corpus, threshold=0.8)
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    optimized = optimized_logical_plan(df)
     assert "ResolvedHint" not in optimized
-    logical = df._jdf.queryExecution().logical().toString()
+    logical = parsed_logical_plan(df)
     assert "BROADCAST" not in logical.upper() or "broadcast" not in logical
     # and the high-dup corpus still verifies correctly: each base doc
     # pairs with its planted copy

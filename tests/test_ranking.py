@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from p6__mapreduce_spark.operators.pipeline import stratified_sample
 from p6__mapreduce_spark.operators.ranking import bm25_scores, tfidf_doc_terms
 
@@ -48,10 +50,25 @@ def test_bm25_matches_closed_form(spark):
 
 
 def test_bm25_rare_term_outranks_common(spark):
-    # 'd' appears in one doc, 'c' in two: the doc matching the rarer
-    # term with equal tf must score higher than one matching the common
-    rows = {r.doc_id: r.score_q4 for r in bm25_scores(docs_df(spark, ["c x", "d x"]), ["c", "d"]).collect()}
-    assert rows[0] == rows[1]  # symmetric corpus -> symmetric scores
+    # 5-doc corpus: 'c' in two docs (df=2), 'd' in one (df=1); the docs
+    # matching each term have identical tf (1) and dl (2), so the ONLY
+    # difference is idf — ln(3.5/2.5) vs ln(4.5/1.5) — and the rare-term
+    # doc must score strictly higher. Both idfs are positive, so neither
+    # score degenerates to 0 (an earlier 2-doc version had idf=ln(1)=0
+    # for both terms and could not detect a ranking regression).
+    corpus = ["c x", "d x", "c y", "z z", "w w"]
+    rows = {r.doc_id: r.score_q4 for r in bm25_scores(docs_df(spark, corpus), ["c", "d"]).collect()}
+    assert rows[0] > 0 and rows[1] > 0
+    assert rows[1] > rows[0]  # rare 'd' outranks common 'c' at equal tf/dl
+
+
+def test_bm25_empty_query_terms_raises(spark):
+    from p6__mapreduce_spark.operators.ranking import bm25_oracle_sql
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs_df(spark, ["a"]), [])
+    with pytest.raises(ValueError):
+        bm25_oracle_sql([])
 
 
 def test_unigram_surprise_closed_form(spark):

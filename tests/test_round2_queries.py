@@ -8,12 +8,13 @@ from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.queries import QUERIES
 from p6__mapreduce_spark.sources.readers import load_table
+from p6__mapreduce_spark.plans import physical_plan
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_q4_plans_a_left_semi_join(spark):
-    plan = QUERIES["tpch_q4_priority_exists"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(QUERIES["tpch_q4_priority_exists"](spark, SF))
     assert "LeftSemi" in plan
 
 
@@ -83,7 +84,7 @@ def test_connected_components_converges_on_long_path(spark):
 
 
 def test_event_neighbor_counts_plan_is_not_cartesian(spark):
-    plan = QUERIES["event_neighbor_counts"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(QUERIES["event_neighbor_counts"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -118,12 +119,16 @@ def test_verified_window_spends_all_50_slots_on_oracles():
     assert len(VERIFIED_WINDOW) == 50
     oracles = get_oracle_sql()
     assert all(k in oracles for k in VERIFIED_WINDOW)
-    core = {
-        "wordcount_lines", "mr_facade_sort", "pii_redact", "clean_corpus",
-        "dedup_components", "canonical_best_quality", "dedup_incremental",
-        "doc_chunks", "sequence_packing", "repetition_stats",
-        "contamination_check", "dedup_minhash_lsh", "knn_ivf",
+    # round-4 policy: the six reference-parity queries stay pinned every
+    # round; the remaining slots rotate to maximize CUMULATIVE driver
+    # coverage (round 4 spends them on the 36 never-driver-verified
+    # oracle-backed queries + 8 one-round holdovers). The old "LLM core
+    # must sit in-window" invariant retired once every core query had
+    # two rounds of driver-green history (CORRECTNESS_r01-r03).
+    parity = {
+        "wordcount_lines", "wordcount_union", "distinct_sorted",
+        "range_bucket_sort", "mr_facade_wordcount", "mr_facade_sort",
     }
-    assert core <= set(VERIFIED_WINDOW)
+    assert parity <= set(VERIFIED_WINDOW[:6])
     for rows_only in ("approx_stats", "sketch_weekly_users"):
         assert rows_only in keys and rows_only not in keys[:50]

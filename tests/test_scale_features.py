@@ -9,6 +9,7 @@ from p6__mapreduce_spark.functions.skew import salted_count_distinct, with_salt
 from p6__mapreduce_spark.sources.readers import load_table
 from p6__mapreduce_spark.sources.sinks import write_bucketed
 from p6__mapreduce_spark.sql import register_tables, sql
+from p6__mapreduce_spark.plans import physical_plan
 
 SF = "/root/testdata/sf0.001"
 
@@ -54,7 +55,7 @@ def test_bucketed_join_skips_shuffle(spark):
         .agg(F.sum("l_quantity").alias("q"))
     )
     joined.collect()
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(joined)
     # co-located buckets: the join itself needs no exchange
     join_section = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
     assert "Exchange hashpartitioning(l_orderkey" not in join_section

@@ -10,6 +10,7 @@ from p6__mapreduce_spark.sources.readers import (
     read_parquet,
 )
 from p6__mapreduce_spark.sources.sinks import collect_lines, write_orc, write_parquet
+from p6__mapreduce_spark.plans import physical_plan
 
 
 def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
@@ -22,7 +23,7 @@ def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
     assert {(r.id, r.v, r.part) for r in back.collect()} == {
         (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
     }
-    plan = back.filter("part = 'x' and id = 1")._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(back.filter("part = 'x' and id = 1"))
     # partition pruning on the dir column AND predicate pushdown to stripes
     assert "PartitionFilters: [isnotnull(part" in plan
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
@@ -39,7 +40,7 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
         (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
     }
     # partition pruning: filtering on the partition column prunes files
-    plan = back.filter("part = 'x'")._jdf.queryExecution().executedPlan().toString()
+    plan = physical_plan(back.filter("part = 'x'"))
     assert "PartitionFilters: [isnotnull(part" in plan
 
 
