@@ -146,6 +146,66 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
     return docs.filter(bucket < weight_map[F.col("source")])
 
 
+def source_cap(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    source_col: str = "source",
+    salts: int = 64,
+) -> DataFrame:
+    """Per-source frequency cap: keep the K docs per source/domain with
+    the smallest (sha256(text), doc_id) rank — the anti-boilerplate
+    step of corpus curation, content-hash-ranked so the kept set is
+    layout- and engine-independent.
+
+    Scale shape (the distributed TakeOrdered): a single rank window
+    partitioned by source serializes a hot source — and at 100 TB a
+    dominant crawl domain is the COMMON case, not the pathological one
+    — through ONE task. So the cap runs in two stages:
+
+      1. pre-filter: rank within (salt, source) where
+         salt = xxhash64(doc_id) % salts, keep rank <= K. The hot
+         source's rows spread over ``salts`` tasks; no task ever sorts
+         more than ~1/salts of any source.
+      2. final: rank within source over the survivors — at most
+         salts * K rows per source regardless of corpus size, so the
+         per-source partitions of the second window are tiny and
+         bounded by configuration, not by data.
+
+    Result-identity with the naive single window: every row in the
+    global per-source top-K is also top-K within its own salt group
+    (removing other rows can only lower a row's rank), so stage 1
+    keeps a superset of the answer and stage 2 computes exactly it.
+    Asserted on data in ``tests/test_pipeline.py`` and as a plan shape
+    (two Window nodes, first exchange keyed by (salt, source)) in
+    ``tests/test_plans.py``.
+
+    Cost: on Spark 3.5+ the rank-limit pushdown (WindowGroupLimit,
+    SPARK-37099) inserts a Partial per-partition top-K below EACH
+    exchange, so neither stage shuffles full data — stage 1 moves
+    <= K rows per (map partition, salt, source) and stage 2 is
+    <= salts * K rows per source. The naive single window gets the same
+    partial pushdown but still funnels K * num_map_partitions rows per
+    source through ONE task (~2.4M rows/source at 100 TB with 128 MB
+    splits, on as many tasks as there are distinct sources); the salted
+    shape divides that by ``salts`` and keeps reduce-side parallelism
+    at salts * sources. Both properties are pinned in
+    ``tests/test_plans.py``.
+    """
+    order = (F.sha2(F.col("text"), 256), F.col("doc_id"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts))
+    w_pre = Window.partitionBy(salt, F.col(source_col)).orderBy(*order)
+    w_final = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        docs.withColumn("_rk_pre", F.row_number().over(w_pre))
+        .filter(F.col("_rk_pre") <= k)
+        .drop("_rk_pre")
+        .withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def stratified_sample(
     rows: DataFrame,
     rates: dict[str, float],

@@ -2722,19 +2722,15 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency capping (keep <= K docs per source/domain —
     the anti-boilerplate step of corpus curation), rank decided by a
     content hash so the kept set is layout- and engine-independent.
-    One shuffle (the per-source window). At 100 TB a skewed source
-    would pre-filter with a per-partition top-K (TakeOrdered shape)
-    before the global window; the kept set is identical."""
-    from pyspark.sql import Window
+    Default path is the salted two-stage cap: a (salt, source) window
+    pre-filter spreads a hot source over 64 tasks, then the per-source
+    window runs over <= salts*K survivors per source — no single task
+    ever sorts a whole source. Result-identical to the naive single
+    window (and to this oracle), proven in tests/test_pipeline.py."""
+    from p6__mapreduce_spark.operators.pipeline import source_cap
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.sha2(F.col("text"), 256), F.col("doc_id"))
-    return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    )
+    return source_cap(docs, 3).select("doc_id", "source").orderBy("doc_id")
 
 
 _STRATA_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1, "error": 0.05}

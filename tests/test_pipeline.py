@@ -195,3 +195,33 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "training_chunks"))
     assert {"doc_id", "shard", "seq_id", "offset_in_seq", "chunk_text"} <= set(out.columns)
     assert out.count() == c["published"]
+
+
+def test_source_cap_identical_to_naive_single_window(spark):
+    from pyspark.sql import Window
+
+    from p6__mapreduce_spark.operators.pipeline import source_cap
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    order = (F.sha2(F.col("text"), 256), F.col("doc_id"))
+    naive = (
+        docs.withColumn("rk", F.row_number().over(Window.partitionBy("source").orderBy(*order)))
+        .filter("rk <= 3")
+        .select("doc_id", "source")
+    )
+    for salts in (1, 2, 64):  # salts=1 degenerates to the naive plan's groups
+        got = source_cap(docs, 3, salts=salts).select("doc_id", "source")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in naive.collect()}
+
+
+def test_source_cap_respects_k_and_hot_source(spark):
+    from p6__mapreduce_spark.operators.pipeline import source_cap
+
+    # one pathologically hot source (900 of 1000 docs) + tiny sources
+    rows = [(i, f"text {i}", "hot" if i < 900 else f"s{i % 7}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_cap(docs, 5).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in out}
+    assert counts["hot"] == 5
+    assert all(v <= 5 for v in counts.values())

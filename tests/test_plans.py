@@ -219,3 +219,32 @@ def test_unigram_surprise_integer_sum_in_plan(spark):
     df = unigram_surprise(load_table(spark, SF, "documents"))
     plan = plan_of(df)
     assert "sum(logp_q6" in plan, plan
+
+
+def test_source_cap_no_full_source_single_task_window(spark):
+    # the 100 TB scale guarantee: no window partitioned by source alone
+    # sees the full corpus — stage 1 must key its exchange by the salt
+    # AND the source (spreading a hot source over `salts` tasks), and
+    # only the tiny survivor set reaches the per-source window
+    from p6__mapreduce_spark.operators.pipeline import source_cap
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    import re
+
+    df = source_cap(load_table(spark, SF, "documents"), 3)
+    plan = plan_of(df)
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, plan
+    # the salt is projected to an alias before its exchange: recover the
+    # alias from the pmod(xxhash64(...)) projection, then require an
+    # exchange keyed by (salt, source) AND one keyed by source alone
+    salt_alias = re.search(r"pmod\(xxhash64\([^)]*\)[^)]*\) AS (_w\d+)#", plan)
+    assert salt_alias, plan
+    assert re.search(
+        rf"Exchange hashpartitioning\({salt_alias.group(1)}#\d+L?, source#\d+", plan
+    ), plan
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, \d+\)", plan), plan
+    # Spark 3.5+ rank-limit pushdown: each exchange is preceded by a
+    # Partial WindowGroupLimit, so BOTH shuffles move <= k rows per
+    # (map partition, group) — pin it so a regression (e.g. a window
+    # rewrite that defeats the pushdown) reintroduces full-data shuffles
+    assert plan.count("WindowGroupLimit") == 4, plan  # 2 stages x Partial+Final
