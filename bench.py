@@ -20,7 +20,12 @@ property — not the banded plan), and the hypothesis-style micro ops.
 If a previous round's BENCH_r*.json exists in the repo root, the JSON
 line also carries "prev_total", "delta_total" and a "regressions" map
 (queries >=30% and >=0.3s slower than the previous round) so perf
-regressions are visible in the bench output itself.
+regressions are visible in the bench output itself. Each flagged query
+is re-run once and its steady-state time attached ("recheck_steady" +
+"verdict"): the first execution of a query carries 1-1.5s of one-time
+whole-stage-codegen compilation whose run-to-run variance false-flags
+sub-2s queries (root-caused in round 4 — r3's two flagged regressions
+had unchanged pinned plans and steady states at/below their r1 times).
 """
 
 from __future__ import annotations
@@ -115,6 +120,10 @@ HEADLINE = [
     "minhash_estimate_error",
     "canonical_best_quality",
     "dedup_simhash",
+    "dedup_simhash64",
+    # dedup_simhash64_pairs excluded like dedup_simhash_pairs: the
+    # shared-vocab synthetic corpus makes pair output cardinality (204k
+    # rows at sf0.1), not the banded plan, the thing being timed
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
@@ -130,6 +139,8 @@ HEADLINE = [
     "top100_orders_global",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_decode",
+    "multimodal_resize",
 ]
 
 
@@ -174,6 +185,23 @@ def main() -> None:
             for n, t in timings.items()
             if n in prev_q and t >= prev_q[n] * 1.3 and t - prev_q[n] >= 0.3
         }
+        # First execution of a query pays one-time whole-stage-codegen
+        # compilation (measured: 1-1.5s run-to-run variance on sub-2s
+        # queries — r3 flagged wordcount_lines 1.33->1.86s while its
+        # steady state is 0.4s with an unchanged, pinned plan). So
+        # re-run each flagged query once and report the steady-state
+        # time: recheck <= prev means first-run noise, not a plan
+        # regression.
+        for n, entry in out["regressions"].items():
+            t0 = time.time()
+            QUERIES[n](spark, sf_dir).count()
+            entry["recheck_steady"] = round(time.time() - t0, 3)
+            entry["verdict"] = (
+                "first_run_noise"
+                if entry["recheck_steady"] <= prev_q[n] * 1.15
+                else "investigate"
+            )
+            spark.catalog.clearCache()
     print(json.dumps(out))
 
 

@@ -7,10 +7,12 @@ functions over ``mapInPandas`` so a 100 TB corpus streams through
 executors batch-by-batch with no driver involvement and no row-at-a-
 time Python.
 
-The decode step needs codec libraries (Pillow/ffmpeg) that are NOT in
-this container — it is stubbed behind NotImplementedError, while the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-is real and tested with a deterministic fake decoder.
+Decode/resize are REAL for PPM (P6) — the one mainstream raster format
+needing no codec library (``ppm.py``: header parse + np.frombuffer).
+Compressed formats (JPEG/PNG via Pillow, video via ffmpeg) stay
+honestly gated behind NotImplementedError because those libraries are
+NOT in this container; their batch bodies would drop into the same
+mapInPandas plumbing the PPM path exercises for real.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 METADATA_FIELDS = "mime string, width int, height int, n_bytes long"
+PPM_WIDTH = 8  # fixed raster width for text-minted PPM payloads
+_BPR = PPM_WIDTH * 3  # bytes per raster row
 
 
 def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -44,29 +48,114 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", payload).withColumn("meta", meta)
 
 
+def attach_ppm_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mint a REAL decodable image per document: a P6 PPM whose raster
+    is the first H*24 bytes of the doc's UTF-8 text (width fixed at 8,
+    H = len//24 >= 1 — requires docs of >= 24 bytes, which the filter
+    enforces). Deterministic, so the decode oracle can recompute every
+    pixel statistic from ``text`` alone in SQL.
+
+    Arrow-batched mapInPandas: payload minting is per-batch vectorized
+    Python, the exact shape a real ingest (fetch bytes, wrap header)
+    would use; nothing touches the driver.
+    """
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.ppm import encode_ppm
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                b = text.encode("utf-8")
+                h = len(b) // _BPR
+                raster = np.frombuffer(b[: h * _BPR], dtype=np.uint8)
+                payloads.append(encode_ppm(raster.reshape(h, PPM_WIDTH, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        docs.filter(F.length(F.encode(F.col(text_col), "UTF-8")) >= _BPR)
+        .select("doc_id", text_col)
+        .mapInPandas(mint, schema="doc_id long, payload binary")
+    )
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode binary payloads to pixel arrays. STUB: requires an image
-    codec library not present in this environment."""
-    raise NotImplementedError(
-        "image decode requires a codec library (e.g. Pillow) not available "
-        "in this container; see extract_features for the tested plumbing"
+    """REAL image decode for PPM (P6) payloads — pure NumPy, no codec
+    library — returning per-image dimensions and exact integer channel
+    statistics (sum per RGB channel), the downstream-filter features
+    (e.g. drop near-black thumbnails) that don't need the raster kept.
+
+    Arrow-batched mapInPandas; a corrupt payload raises (fail fast)
+    rather than emitting garbage rows. Compressed formats would add
+    codec branches to the same batch body — that part stays gated (no
+    Pillow/ffmpeg in this container)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from p6__mapreduce_spark.multimodal.ppm import decode_ppm
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                magic = bytes(payload[:8])
+                if magic[:2] == b"\xff\xd8" or magic == b"\x89PNG\r\n\x1a\n":
+                    # honest capability gate: compressed decode needs a
+                    # codec library absent from this container
+                    raise NotImplementedError(
+                        "JPEG/PNG decode requires Pillow, not available "
+                        "here; PPM decodes for real on this path"
+                    )
+                px = decode_ppm(payload)
+                csum = px.sum(axis=(0, 1), dtype="int64")
+                ids.append(doc_id)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sr.append(int(csum[0]))
+                sg.append(int(csum[1]))
+                sb.append(int(csum[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, sum_r long, sum_g long, sum_b long",
     )
 
 
 def resize_image(
     df: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Resize decoded images to (width, height). STUB behind an
-    import-try: the mapInPandas plumbing is identical to
-    extract_features; only the batch body needs a codec library."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "image resize requires Pillow, not available in this container; "
-            "the Arrow batch plumbing is the same as extract_features"
-        ) from None
-    raise NotImplementedError("codec present but resize body intentionally unimplemented")
+    """REAL resize for PPM payloads: decode -> nearest-neighbor
+    resample (pure NumPy indexing, ``ppm.resize_nearest``) -> re-encode
+    PPM. Returns (doc_id, payload) with every payload a valid
+    width x height P6 image. Same mapInPandas shape as decode; a
+    Pillow-backed JPEG branch would slot into the same batch body."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from p6__mapreduce_spark.multimodal.ppm import (
+            decode_ppm,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            out = [
+                encode_ppm(resize_nearest(decode_ppm(p), width, height))
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        resize, schema="doc_id long, payload binary"
+    )
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -528,6 +528,43 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _simhash64_oracle() -> str:
+    from p6__mapreduce_spark.dedup.simhash import simhash64_oracle_sql
+
+    return simhash64_oracle_sql()
+
+
+@register("dedup_simhash64", oracle=_simhash64_oracle())
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (round 4) — the corpus-scale width
+    SCALE.md commits to: two independent full-32-bit polynomial hashes,
+    same one-explode one-groupBy plan, the sign bit exact in both
+    engines via the two's-complement -2^63 add."""
+    from p6__mapreduce_spark.dedup.simhash import simhash64
+
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash64_pairs_oracle() -> str:
+    from p6__mapreduce_spark.dedup.simhash import simhash64_pairs_oracle_sql
+
+    return simhash64_pairs_oracle_sql(max_hamming=5)
+
+
+@register("dedup_simhash64_pairs", oracle=_simhash64_pairs_oracle())
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 8 byte-bands are EXACT for
+    Hamming <= 7 (pigeonhole), so a deeper max_hamming=5 probe — which
+    the 4-band/32-bit geometry cannot do exactly — still equals the
+    brute-force pair set. On the shared-vocabulary synthetic corpus the
+    64-bit fingerprint also collapses the accidental-pair blowup the
+    32-bit variant suffers (hamming<=3 of 32 bits is ~10% of ALL
+    pairs; of 64 bits it is rare)."""
+    from p6__mapreduce_spark.dedup.simhash import simhash64_pairs
+
+    return simhash64_pairs(load_table(spark, sf_dir, "documents"), max_hamming=5)
+
+
 def _embedding_neardup_lsh_oracle() -> str:
     from p6__mapreduce_spark.dedup.embedding import cosine_neardup_lsh_oracle_sql
 
@@ -2934,6 +2971,85 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _ppm_channel_sum(ch: int) -> str:
+    # sum of raster bytes at offsets ch, ch+3, ... within the first
+    # height*24 text bytes (the PPM raster IS those bytes; ASCII corpus
+    # so ascii(char i) == byte i)
+    return (
+        "CAST(list_sum(list_transform(range(0, height * 24, 3), "
+        f"i -> ascii(substr(text, CAST(i AS INTEGER) + {ch + 1}, 1)))) AS BIGINT)"
+    )
+
+
+def _ppm_resized_channel_sum(ch: int, size: int = 4) -> str:
+    # nearest-neighbor 4x4 resample: src_row = (r*height)//4, src_col =
+    # (c*8)//4 = c*2; byte offset = (src_row*8 + src_col)*3 + ch
+    return (
+        f"CAST(list_sum(flatten(list_transform(range(0, {size}), "
+        f"r -> list_transform(range(0, {size}), "
+        f"c -> ascii(substr(text, CAST(((r * height) // {size} * 8 + c * 2) * 3 "
+        f"+ {ch + 1} AS INTEGER), 1)))))) AS BIGINT)"
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) // 24 AS INTEGER) AS height
+      FROM documents WHERE octet_length(encode(text)) >= 24
+    )
+    SELECT doc_id, CAST(8 AS INTEGER) AS width, height,
+           {_ppm_channel_sum(0)} AS sum_r,
+           {_ppm_channel_sum(1)} AS sum_g,
+           {_ppm_channel_sum(2)} AS sum_b
+    FROM img ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round 4, no longer a stub): each doc mints a
+    P6 PPM whose raster is its first height*24 UTF-8 bytes, and
+    decode_image parses the header + raster with pure NumPy
+    (multimodal/ppm.py) inside Arrow-batched mapInPandas, returning
+    exact integer channel sums. The oracle recomputes every pixel
+    statistic from the text in SQL — the decode path is hash-checked
+    cross-engine, not just smoke-tested."""
+    from p6__mapreduce_spark.multimodal.columns import attach_ppm_payload, decode_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(attach_ppm_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) // 24 AS INTEGER) AS height
+      FROM documents WHERE octet_length(encode(text)) >= 24
+    )
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           {_ppm_resized_channel_sum(0)} AS sum_r,
+           {_ppm_resized_channel_sum(1)} AS sum_g,
+           {_ppm_resized_channel_sum(2)} AS sum_b
+    FROM img ORDER BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize (pure NumPy indexing) to 4x4, then
+    the real decode over the re-encoded payloads. The oracle replays
+    the floor index mapping src=(dst*src_dim)//dst_dim literally in
+    SQL, so resample selection AND re-encode round-trip are both
+    hash-checked cross-engine."""
+    from p6__mapreduce_spark.multimodal.columns import (
+        attach_ppm_payload,
+        decode_image,
+        resize_image,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(resize_image(attach_ppm_payload(docs), 4, 4)).orderBy("doc_id")
+
+
 @register(
     "upsert_latest_snapshot",
     oracle="""
@@ -3272,12 +3388,14 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "stateful_running_totals",
     "session_funnel",
     "append_finalized_windows_streaming",
+    # round-4 additions: REAL PPM decode/resize (stub retired), 64-bit
+    # SimHash (corpus-scale width, exact to hamming<=7)
+    "multimodal_decode",
+    "multimodal_resize",
+    "dedup_simhash64",
+    "dedup_simhash64_pairs",
     # --- holdovers (one driver-green round so far; gain a second round
     # while round-4 additions land; swapped out as new queries register)
-    "tfidf_doc_terms",
-    "unigram_surprise",
-    "pii_redact",
-    "sequence_packing",
     "dedup_components",
     "canonical_best_quality",
     "session_windows_native",

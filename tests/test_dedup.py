@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from p6__mapreduce_spark.dedup.exact import exact_dedup
 from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
 from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
@@ -115,6 +117,52 @@ def test_simhash_pairs_banding_is_complete(spark):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+@pytest.mark.parametrize("max_hamming", [3, 5, 7])
+def test_simhash64_pairs_banding_is_complete(spark, max_hamming):
+    # 8-band/64-bit pigeonhole exactness at depths the 32-bit geometry
+    # cannot reach (max_hamming up to 7): banded join == brute force
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.dedup.simhash import simhash64, simhash64_pairs
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash64_pairs(docs, max_hamming=max_hamming).collect()
+    }
+    sh = simhash64(docs)
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_simhash64_width_and_determinism(spark):
+    from p6__mapreduce_spark.dedup.simhash import simhash64, simhash64_pairs
+
+    df = docs_df(spark)
+    h1 = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    h2 = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert h1 == h2                       # deterministic
+    assert h1[0] == h1[3]                 # identical docs -> identical prints
+    # 64 real bits: on any non-trivial corpus some fingerprint must use
+    # the high 32 bits (a 32-bit-wide accident would mask them all to 0)
+    assert any((v >> 32) & 0xFFFFFFFF for v in h1.values())
+    with pytest.raises(ValueError):
+        simhash64_pairs(df, max_hamming=8)
 
 
 # --- cross-doc duplicated-substring coverage (dedup/substring.py) ----------

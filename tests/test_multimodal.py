@@ -1,16 +1,21 @@
-"""Multimodal column plumbing tests (decode itself is stubbed — the
-schema/batching/partitioning around it is what's under test)."""
+"""Multimodal column tests: PPM decode/resize are REAL (pure NumPy);
+the codec-library gate (JPEG/PNG) stays an explicit NotImplementedError.
+"""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from p6__mapreduce_spark.multimodal.columns import (
     attach_binary_payload,
+    attach_ppm_payload,
     decode_image,
     extract_features,
     frame_sample,
+    resize_image,
 )
+from p6__mapreduce_spark.multimodal.ppm import decode_ppm, encode_ppm, resize_nearest
 
 
 def docs_df(spark):
@@ -46,16 +51,87 @@ def test_frame_sample_slices(spark):
     assert doc2[2][1] == b"x" * 50
 
 
-def test_decode_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image(attach_binary_payload(docs_df(spark)))
+# ---------------------------------------------------------------------------
+# PPM codec (no Spark): byte-exact round trips on planted images
+# ---------------------------------------------------------------------------
 
 
-def test_resize_is_explicit_stub(spark):
-    import pytest as _pytest
+def test_ppm_roundtrip_byte_exact():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    data = encode_ppm(px)
+    assert data.startswith(b"P6\n3 5\n255\n")
+    back = decode_ppm(data)
+    assert back.shape == (5, 3, 3)
+    assert np.array_equal(back, px)
 
-    from p6__mapreduce_spark.multimodal.columns import resize_image
 
-    df = attach_binary_payload(docs_df(spark))
-    with _pytest.raises(NotImplementedError):
-        resize_image(df, 32, 32)
+def test_ppm_decode_handles_comments_and_whitespace():
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    data = b"P6 # a comment\n# another\n 2\t2 \n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(data), px)
+
+
+@pytest.mark.parametrize(
+    "data,msg",
+    [
+        (b"P5\n1 1\n255\n" + b"\x00" * 3, "not a P6"),
+        (b"P6\n2 2\n255\n" + b"\x00" * 5, "truncated"),
+        (b"P6\n2 2\n65535\n" + b"\x00" * 24, "maxval"),
+        (b"P6\n0 2\n255\n", "dimensions"),
+    ],
+)
+def test_ppm_decode_rejects_corrupt(data, msg):
+    with pytest.raises(ValueError, match=msg):
+        decode_ppm(data)
+
+
+def test_resize_nearest_matches_floor_mapping():
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_nearest(px, 2, 4)  # upsample rows, downsample cols
+    assert out.shape == (4, 2, 3)
+    for r in range(4):
+        for c in range(2):
+            assert np.array_equal(out[r, c], px[(r * 2) // 4, (c * 4) // 2])
+
+
+# ---------------------------------------------------------------------------
+# Spark path: real decode/resize over minted PPM payloads
+# ---------------------------------------------------------------------------
+
+
+def test_attach_ppm_mints_valid_images(spark):
+    rows = attach_ppm_payload(docs_df(spark)).collect()
+    # doc 1 (11 bytes < 24) is filtered out; doc 2 (250 bytes) -> H=10
+    assert [r.doc_id for r in rows] == [2]
+    px = decode_ppm(bytes(rows[0].payload))
+    assert px.shape == (10, 8, 3)
+    assert bytes(px.tobytes()) == b"x" * 240  # raster == first 240 text bytes
+
+
+def test_decode_image_real_channel_sums(spark):
+    out = {r.doc_id: r for r in decode_image(attach_ppm_payload(docs_df(spark))).collect()}
+    r = out[2]
+    assert (r.width, r.height) == (8, 10)
+    # every byte is 'x' (120): each channel sums 80 pixels * 120
+    assert r.sum_r == r.sum_g == r.sum_b == 80 * 120
+
+
+def test_resize_image_real_and_reencodes(spark):
+    resized = resize_image(attach_ppm_payload(docs_df(spark)), 4, 4)
+    rows = resized.collect()
+    px = decode_ppm(bytes(rows[0].payload))
+    assert px.shape == (4, 4, 3)
+    assert np.all(px == ord("x"))
+    # and the resized payloads decode through the same real path
+    stats = decode_image(resized).collect()[0]
+    assert (stats.width, stats.height) == (4, 4)
+    assert stats.sum_r == 16 * 120
+
+
+def test_compressed_decode_is_explicit_gate(spark):
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0fakejpegbytes"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Pillow"):
+        decode_image(jpeg).collect()
