@@ -112,6 +112,7 @@ HEADLINE = [
     "dup_ngram_coverage",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "minhash_geometry_probe",
     # runs after dedup_minhash_lsh on purpose: it reuses the same LSH
     # pair plan, so the shared codegen is already compiled (the order a
     # real dedup session would run them in anyway)

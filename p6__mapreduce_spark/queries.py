@@ -3276,6 +3276,28 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geometry_probe_oracle() -> str:
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry_oracle_sql
+
+    return recommend_minhash_geometry_oracle_sql()
+
+
+@register("minhash_geometry_probe", oracle=_geometry_probe_oracle())
+def q_minhash_geometry_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-geometry auto-probe (round 4): SCALE.md's 'estimate the
+    similarity distribution on a hash-sample and pick r' shipped as an
+    operator. Exact-Jaccard pairs over a deterministic sha256-sample
+    feed closed-form admit/recall scoring of a geometry menu in ONE
+    aggregation pass; the cheapest geometry meeting the miss budget
+    and candidate-rate cap gets recommended=true. Power terms expand
+    by square-and-multiply in a fixed association order generated once
+    for both engines, and per-pair probabilities quantize to 1e-6 ints
+    before summing — the whole probe is hash-checked cross-engine."""
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry
+
+    return recommend_minhash_geometry(load_table(spark, sf_dir, "documents"))
+
+
 def _unigram_surprise_oracle() -> str:
     from p6__mapreduce_spark.operators.ranking import UNIGRAM_SURPRISE_ORACLE_SQL
 
@@ -3394,10 +3416,10 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "multimodal_resize",
     "dedup_simhash64",
     "dedup_simhash64_pairs",
+    "minhash_geometry_probe",
     # --- holdovers (one driver-green round so far; gain a second round
     # while round-4 additions land; swapped out as new queries register)
     "dedup_components",
-    "canonical_best_quality",
     "session_windows_native",
     "events_dedup_streaming",
 )

@@ -165,6 +165,43 @@ def test_simhash64_width_and_determinism(spark):
         simhash64_pairs(df, max_hamming=8)
 
 
+def test_geometry_probe_recommends_default_on_low_sim_corpus(spark):
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {(r.num_hashes, r.num_bands): r for r in recommend_minhash_geometry(docs).collect()}
+    assert sum(r.recommended for r in rows.values()) == 1
+    assert rows[(32, 16)].recommended  # typical corpus: cheapest geometry wins
+    assert rows[(96, 16)].qualifies is False  # r=6 recall 0.9923 < 0.999 budget
+
+
+def test_geometry_probe_escalates_to_r4_on_adversarial_corpus(spark):
+    # every pair has shingle-Jaccard exactly 28/80 = 0.35 (30 shared
+    # core tokens -> 28 shared 3-shingles; 26 unique tail tokens ->
+    # 26 unique shingles each; J = 28 / (2*54 - 28)). At s=0.35 the
+    # closed-form admit rates are r2=0.875, r3=0.497, r4=0.211 - only
+    # r4 clears the 0.3 candidate-rate cap, so the probe must escalate
+    # to (64, 16) exactly as SCALE.md's banding-knee analysis says.
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry
+
+    core = " ".join(f"core{j}" for j in range(30))
+    rows_in = [
+        (i, core + " " + " ".join(f"u{i}x{j}" for j in range(26)), "s")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string, source string")
+    out = {
+        (r.num_hashes, r.num_bands): r
+        for r in recommend_minhash_geometry(docs, sample_mod=1).collect()
+    }
+    assert out[(64, 16)].recommended and out[(64, 16)].r == 4
+    assert out[(32, 16)].qualifies is False  # r=2 floods verify (~87% admit)
+    assert out[(48, 16)].qualifies is False  # r=3 still over the cap (~50%)
+    # sanity: 40 docs all-pairs = 780, every pair overlaps via the core
+    assert out[(64, 16)].n_pairs == 780
+
+
 # --- cross-doc duplicated-substring coverage (dedup/substring.py) ----------
 
 
