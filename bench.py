@@ -50,6 +50,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_orders_per_customer",
     "events_window_5m",
+    "events_window_sliding",
     "user_sessions",
     "session_funnel",
     "upsert_latest_snapshot",
@@ -106,9 +107,11 @@ HEADLINE = [
     "unigram_surprise",
     "vocab_coverage",
     "bigram_entropy",
+    "bigram_lm",
     "doc_fingerprints",
     "pii_redact",
     "dedup_exact",
+    "passage_dedup_rewrite",
     "dup_ngram_coverage",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

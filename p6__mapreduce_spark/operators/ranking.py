@@ -261,6 +261,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def bigram_lm(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """(w1, w2, c_pair, c_ctx, p_q6): the corpus bigram language model —
+    the conditional probability table P(w2 | w1) behind n-gram quality
+    filters and cheap next-token baselines, exact to the last bit:
+    p_q6 = floor(c_pair * 10^6 / c_ctx) is INTEGER division of exact
+    counts, so no float enters the pipeline at all.
+
+    c_ctx is the count of w1 *as a bigram context* (sum over its
+    successors), derived from the pair counts themselves — one explode
+    feeds everything, no separate unigram scan. ``min_pair_count``
+    drops hapax pairs (noise for LM purposes AND the long tail of the
+    output); the context sums are computed BEFORE the cut so the
+    probabilities stay correctly normalized against the full corpus.
+
+    Plan: explode bigrams -> partial-aggregated pair counts (shuffle on
+    (w1, w2)) -> context sums (shuffle on w1, partial-agg absorbed) ->
+    join back on w1 (AQE picks broadcast while the vocab is small,
+    sort-merge at corpus scale). Hot contexts ("the") are one GROUP
+    ROW after the pair aggregation, never a hot partition.
+    """
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+    arr = F.split("shingle", " ")
+    pairs = (
+        shingle_postings(docs, 2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .select(arr[0].alias("w1"), arr[1].alias("w2"), "c_pair")
+    )
+    ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    return (
+        pairs.join(ctx, "w1")
+        .filter(F.col("c_pair") >= min_pair_count)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_ctx",
+            F.expr("c_pair * 1000000L div c_ctx").alias("p_q6"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+BIGRAM_LM_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_ORACLE.format(col="text")} AS w FROM documents
+), idx AS (
+  SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2
+), pc AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c_pair FROM idx GROUP BY 1, 2
+), cc AS (
+  SELECT w1, CAST(SUM(c_pair) AS BIGINT) AS c_ctx FROM pc GROUP BY 1
+)
+SELECT pc.w1, pc.w2, c_pair, c_ctx,
+       CAST(c_pair * 1000000 // c_ctx AS BIGINT) AS p_q6
+FROM pc JOIN cc USING (w1)
+WHERE c_pair >= 2
+ORDER BY 1, 2
+"""
+
+
 def _e(x: float) -> str:
     """Float literal that parses as DOUBLE in DuckDB (plain decimals
     parse as DECIMAL and run exact arithmetic instead of IEEE754)."""

@@ -294,6 +294,32 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_window_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS bucket
+      FROM events
+    ), x AS (
+      SELECT event_type, value, bucket - off AS window_start
+      FROM b CROSS JOIN (SELECT unnest([0, 300]) AS off) o(off)
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (10 min window, 5 min slide): every event
+    counted in both windows covering it, expanded map-side by Spark's
+    window() — no self-join. The oracle replays the expansion with the
+    literal offset list {0, 300} (epoch-aligned starts)."""
+    from p6__mapreduce_spark.streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "user_sessions",
     oracle="""
     WITH secs AS (
@@ -3276,6 +3302,44 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _passage_dedup_oracle() -> str:
+    from p6__mapreduce_spark.dedup.passage import passage_dedup_oracle_sql
+
+    return passage_dedup_oracle_sql()
+
+
+@register("passage_dedup_rewrite", oracle=_passage_dedup_oracle())
+def q_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup + document rewrite (round 4): the
+    CCNet/RefinedWeb boilerplate pass below document granularity.
+    First-occurrence keep policy by exact integer (doc, position) key
+    via groupBy MIN — a 10^9-times-repeated passage is one group row
+    after map-side combine, never a hot window partition. Rewrite
+    reassembles survivors in position order, reproduced byte-for-byte
+    by string_agg(... ORDER BY seg_idx) in the oracle."""
+    from p6__mapreduce_spark.dedup.passage import passage_dedup_rewrite
+
+    return passage_dedup_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+def _bigram_lm_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import BIGRAM_LM_ORACLE_SQL
+
+    return BIGRAM_LM_ORACLE_SQL
+
+
+@register("bigram_lm", oracle=_bigram_lm_oracle())
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table P(w2|w1) (round 4): exact integer counts
+    end-to-end, probability as integer division at 1e-6 — no float in
+    the pipeline. One explode feeds pair counts; context counts derive
+    from the pairs themselves; hot contexts collapse to one row in the
+    partial aggregation, never a hot partition."""
+    from p6__mapreduce_spark.operators.ranking import bigram_lm
+
+    return bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
 def _geometry_probe_oracle() -> str:
     from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry_oracle_sql
 
@@ -3417,11 +3481,9 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "dedup_simhash64",
     "dedup_simhash64_pairs",
     "minhash_geometry_probe",
-    # --- holdovers (one driver-green round so far; gain a second round
-    # while round-4 additions land; swapped out as new queries register)
-    "dedup_components",
-    "session_windows_native",
-    "events_dedup_streaming",
+    "events_window_sliding",
+    "bigram_lm",
+    "passage_dedup_rewrite",
 )
 
 

@@ -41,6 +41,37 @@ def windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     return _window_agg(events, minutes).orderBy("window_start", "event_type")
 
 
+def sliding_event_counts(
+    events: DataFrame, minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in
+    ``minutes/slide_minutes`` overlapping windows — the shape behind
+    'events per trailing 10 minutes, refreshed every 5'. Same exact
+    integer-cents aggregation as the tumbling twin; Spark expands the
+    window membership map-side (no self-join), so the plan is still
+    scan -> partial agg -> one exchange. The oracle replays the
+    expansion as a cross join with the literal offset list — Spark
+    aligns window starts to the epoch, so start = time_bucket(slide)
+    minus each multiple of the slide."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def run_stream_to_completion(spark: SparkSession, events_parquet: str, minutes: int = 5) -> DataFrame:
     """Execute the streaming windowed aggregation over a parquet file and
     return the final result as a batch DataFrame.

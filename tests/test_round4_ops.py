@@ -1,0 +1,90 @@
+"""Round-4 operator unit tests on crafted data: sliding windows,
+bigram LM table, passage-level dedup + rewrite."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_sliding_windows_each_event_in_two_windows(spark):
+    rows = [
+        (1, "click", datetime(2024, 1, 1, 0, 2, 0), 1.0),   # windows -5:00 and 0:00
+        (2, "click", datetime(2024, 1, 1, 0, 7, 30), 2.0),  # windows 0:00 and 5:00
+        (3, "view", datetime(2024, 1, 1, 0, 2, 0), 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    from p6__mapreduce_spark.streaming.windows import sliding_event_counts
+
+    out = sliding_event_counts(ev, minutes=10, slide_minutes=5).collect()
+    # every event appears in exactly 2 windows -> total count doubles
+    assert sum(r.cnt for r in out) == 2 * len(rows)
+    base = int(datetime(2024, 1, 1).timestamp())
+    clicks = {(r.window_start - base, r.cnt) for r in out if r.event_type == "click"}
+    # event 1 in starts {-300, 0}; event 2 in starts {0, 300}: start 0 has both
+    assert (0, 2) in clicks and (-300, 1) in clicks and (300, 1) in clicks
+    # exact cents
+    assert all(r.value_cents == int(r.value_cents) for r in out)
+
+
+def test_bigram_lm_exact_probabilities(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    from p6__mapreduce_spark.operators.ranking import bigram_lm
+
+    out = {(r.w1, r.w2): r for r in bigram_lm(docs, min_pair_count=1).collect()}
+    # pairs: doc1 -> (a,b) (b,a) (a,b) (b,c); doc2 -> (a,b) (b,x)
+    assert out[("a", "b")].c_pair == 3 and out[("a", "b")].c_ctx == 3
+    assert out[("a", "b")].p_q6 == 1_000_000  # P(b|a) = 1 exactly
+    assert out[("b", "a")].c_pair == 1 and out[("b", "a")].c_ctx == 3
+    assert out[("b", "a")].p_q6 == 333_333  # floor(1e6/3): integer division
+    # min_pair_count cuts the tail AFTER normalization: (a,b) keeps the
+    # full c_ctx=3 even though (b,*) hapax pairs vanish from the output
+    cut = {(r.w1, r.w2): r for r in bigram_lm(docs, min_pair_count=2).collect()}
+    assert set(cut) == {("a", "b")}
+    assert cut[("a", "b")].c_ctx == 3
+
+
+def test_passage_dedup_drops_repeated_passage_keeps_first(spark):
+    # passages of 3 tokens; docs 1 and 2 share their first passage
+    boiler = "nav home about"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, boiler + " delta epsilon zeta"),
+            (3, "unique words only here now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    from p6__mapreduce_spark.dedup.passage import passage_dedup_rewrite
+
+    out = {r.doc_id: r for r in passage_dedup_rewrite(docs, passage_tokens=3).collect()}
+    assert out[1].n_passages == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == "nav home about alpha beta gamma"
+    assert out[2].n_passages == 2 and out[2].n_kept == 1  # boilerplate dropped
+    assert out[2].clean_text == "delta epsilon zeta"
+    assert out[3].n_kept == 2 and out[3].clean_text == "unique words only here now yes"
+
+
+def test_passage_dedup_full_husk_survives_as_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    from p6__mapreduce_spark.dedup.passage import passage_dedup_rewrite
+
+    out = {r.doc_id: r for r in passage_dedup_rewrite(docs, passage_tokens=3).collect()}
+    assert out[1].n_kept == 1 and out[1].clean_text == "x y z"
+    assert out[2].n_kept == 0 and out[2].clean_text == ""
+
+
+def test_passage_dedup_ragged_tail_passage(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    from p6__mapreduce_spark.dedup.passage import passage_dedup_rewrite
+
+    r = passage_dedup_rewrite(docs, passage_tokens=3).collect()[0]
+    assert r.n_passages == 2 and r.n_kept == 2  # "a b c" + tail "d e"
+    assert r.clean_text == "a b c d e"

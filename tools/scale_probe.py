@@ -78,6 +78,27 @@ def main() -> None:
     from p6__mapreduce_spark.similarity.lsh import knn_lsh
     from p6__mapreduce_spark.sources.readers import load_table
 
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry as _geom
+    from p6__mapreduce_spark.dedup.simhash import (
+        simhash64 as _simhash64,
+        simhash64_pairs as _simhash64_pairs,
+    )
+    from p6__mapreduce_spark.multimodal.columns import (
+        attach_ppm_payload,
+        decode_image,
+    )
+    from p6__mapreduce_spark.operators.pipeline import source_cap
+
+    def _decode(d):
+        return decode_image(attach_ppm_payload(d))
+
+    def _source_cap(d):
+        # derive 7 sources from doc_id so inflation grows each source 10x
+        # (the hot-source regime the salted two-stage cap is for)
+        return source_cap(
+            d.withColumn("source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")), 3
+        )
+
     spark = get_session("scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
@@ -108,6 +129,16 @@ def main() -> None:
         ),
         "unigram_surprise": (lambda d: unigram_surprise(d), docs, inflate_documents),
         "bigram_entropy": (lambda d: bigram_entropy(d), docs, inflate_documents),
+        # round-4 ops: 64-bit fingerprints are scan-bound like 32-bit;
+        # the pair join must stay linear-in-output (disjoint-vocab
+        # copies -> k x the base pair set); the salted source cap and
+        # the geometry probe (sample grows k x with the corpus) must
+        # both stay ~linear; decode is a pure map over minted payloads
+        "dedup_simhash64": (lambda d: _simhash64(d), docs, inflate_documents),
+        "dedup_simhash64_pairs": (lambda d: _simhash64_pairs(d, 5), docs, inflate_documents),
+        "source_cap": (lambda d: _source_cap(d), docs, inflate_documents),
+        "minhash_geometry_probe": (lambda d: _geom(d), docs, inflate_documents),
+        "multimodal_decode": (lambda d: _decode(d), docs, inflate_documents),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
