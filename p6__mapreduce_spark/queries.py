@@ -525,6 +525,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir, threshold=0.8).orderBy("id1", "id2")
 
 
+def _editdist_oracle() -> str:
+    from p6__mapreduce_spark.dedup.editdist import EDITDIST_ORACLE_SQL
+
+    return EDITDIST_ORACLE_SQL.format(k=3, threshold=0.8)
+
+
+@register("dedup_edit_distance", oracle=_editdist_oracle())
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage edit-distance verification of the near-dup pair
+    set: per Jaccard>=0.8 pair (shared memoized LSH edges), character
+    Levenshtein + normalized edit similarity. Distinguishes true
+    revisions (low distance) from shuffled-vocabulary templates (high
+    distance at equal Jaccard); cost scales with duplicate count, not
+    corpus size."""
+    from p6__mapreduce_spark.dedup.editdist import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, _lsh_pairs(spark, sf_dir, threshold=0.8)).orderBy(
+        "id1", "id2"
+    )
+
+
 def _simhash_oracle() -> str:
     from p6__mapreduce_spark.dedup.simhash import simhash_oracle_sql
 
@@ -1077,6 +1099,50 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_shipmode",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (this schema has no l_shipmode/commitdate, so
+    the ship-class axis is l_linestatus and the lateness predicate is
+    the shipdate-year window — same conditional-count-after-join
+    skeleton): date filter pushed to the lineitem scan, orders joined
+    only for the priority column, per-class pivoted counts. The join
+    shuffles the filtered lineitem year only; the conditional SUMs are
+    partial-aggregated map-side."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(high, zero).otherwise(one)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
     )
 
 

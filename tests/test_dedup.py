@@ -286,3 +286,24 @@ def test_minhash_estimate_vs_exact(spark):
         assert 0.0 <= r.minhash_est <= 1.0
         assert r.abs_err <= 0.35  # 32 perms: std err ~ sqrt(j(1-j)/32) ~ 0.07
         assert r.abs_err == abs(r.minhash_est - r.jaccard)
+
+
+def test_edit_distance_pairs_refines_candidates(spark):
+    from p6__mapreduce_spark.dedup.editdist import edit_distance_pairs
+    from p6__mapreduce_spark.dedup.minhash import minhash_lsh_pairs
+
+    df = docs_df(spark)
+    out = {
+        (r.id1, r.id2): r
+        for r in edit_distance_pairs(df, minhash_lsh_pairs(df, threshold=0.7)).collect()
+    }
+    # identical docs: distance 0, similarity exactly 1.0
+    assert out[(0, 3)].edit_dist == 0 and out[(0, 3)].edit_sim == 1.0
+    # the 1-word edit (small->tiny): exactly the character edits between
+    # 'small' and 'tiny' — no shared characters, so max(5,4) = 5
+    for pair in ((0, 1), (1, 3)):
+        r = out[pair]
+        assert r.edit_dist == 5
+        assert 0.9 < r.edit_sim < 1.0
+    # jaccard column passes through from the candidate edges
+    assert abs(out[(0, 1)].jaccard - py_jaccard(BASE, NEAR_DUP)) < 1e-9
