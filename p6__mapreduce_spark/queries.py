@@ -978,6 +978,26 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle() -> str:
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=2)
+
+
+@register("kmeans_lloyd", oracle=_kmeans_oracle())
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL embeddings table (the
+    ivf trainer uses a bounded driver sample; this is the MLlib-shaped
+    iterate-on-cluster path: per round one map-side assignment over a
+    nested-array centroid literal + one k-row partial-agg shuffle, k*d
+    ints to the driver). Exactly oracle-checked — 1e-6 coordinate
+    quantization makes every sum exact integer arithmetic, so the
+    unrolled-SQL oracle reproduces all iterations bit-for-bit."""
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd
+
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 @register("semantic_dedup")  # oracle generated per sf-dir in get_oracle_sql()
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): coarse k-means clustering bounds

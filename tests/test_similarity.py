@@ -139,3 +139,57 @@ def test_cosine_neardup_symmetric_threshold(spark, emb):
     rows = cosine_neardup_pairs(emb, threshold=0.45).collect()
     assert all(r.id1 < r.id2 for r in rows)
     assert all(r.cosine >= 0.45 for r in rows)
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd
+
+    # two tight planted clusters around (0,0) and (10,10); ids 0 and 1
+    # (the deterministic init seeds) sit one in each cluster
+    pts = [
+        (0, [0.0, 0.1]),
+        (1, [10.0, 10.1]),
+        (2, [0.1, 0.0]),
+        (3, [10.1, 10.0]),
+        (4, [0.05, 0.05]),
+        (5, [9.95, 10.05]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kmeans_lloyd(df, k=2, iters=2).collect()
+    assert len(rows) == 2 * 2  # k=2 clusters x d=2 dims
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster_id, {})[r.dim] = r
+    # both clusters got 3 points
+    assert by_c[0][1].n_points == 3 and by_c[1][1].n_points == 3
+    # centroids (quantized 1e6) land on the planted means
+    assert abs(by_c[0][1].coord_q - 50_000) < 5_000  # mean(0, .1, .05) = .05
+    assert abs(by_c[1][1].coord_q - 10_016_666) < 5_000  # mean(10,10.1,9.95)
+    # tight clusters: tiny inertia vs the 10-unit separation
+    assert by_c[0][1].inertia_q < 10**11 and by_c[1][1].inertia_q < 10**11
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    from p6__mapreduce_spark.similarity.kmeans import QUANT, kmeans_lloyd
+
+    # id 1's init centroid is an outlier no point (not even itself,
+    # after round 1 moves the near centroid onto the mass) ends up
+    # nearest to... construct: ids 0,1 both near origin; id 1 = (5,5)
+    # actually IS a point, so cluster 1 keeps >=1 member. Instead: all
+    # mass at origin; init centroid 1 at (5,5) attracts only itself in
+    # round 1; in round 2 it sits exactly on (5,5) still with 1 member.
+    # True empty clusters need the member itself to defect: put id 1
+    # midway at (1,1) — round 1: centroid 0 = origin-mass mean pulls
+    # id 1? dist((1,1)->c0~(0,0)) > dist((1,1)->(1,1))=0, so id 1 stays.
+    # Simplest guaranteed-empty: k=2 with duplicate init points — ids
+    # 0 and 1 identical, so every point is strictly nearer c0 (tie ->
+    # lowest cluster id) and cluster 1 is empty from round 1 on.
+    pts = [(i, [0.5, 0.5]) for i in range(4)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    by_c = {}
+    for r in kmeans_lloyd(df, k=2, iters=2).collect():
+        by_c.setdefault(r.cluster_id, {})[r.dim] = r
+    assert by_c[0][1].n_points == 4
+    assert by_c[1][1].n_points == 0 and by_c[1][1].inertia_q == 0
+    # the empty cluster's centroid survives as its init value
+    assert by_c[1][1].coord_q == by_c[0][1].coord_q == int(0.5 * QUANT)
