@@ -282,3 +282,79 @@ def distinct_users_sketch_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution skew diagnostic: the pre-flight check a 100 TB
+    pipeline runs BEFORE choosing a join/agg strategy on ``key_col``
+    (broadcast? salt? AQE skew thresholds?). One row:
+
+    - n_keys, total_rows, max_cnt, mean_cnt
+    - p50/p90/p99_cnt — positional percentiles of the per-key count
+      distribution (value at row ceil(p*n) of counts sorted ascending;
+      positional, not interpolated, so both engines agree exactly)
+    - top1_share / top10_share — fraction of all rows held by the
+      hottest 1 / 10 keys (ties at the boundary carry equal counts, so
+      the sums are well-defined)
+    - skew_ratio — max_cnt / mean_cnt; > ~5 is where a salted
+      two-stage agg or AQE skew-join split starts paying for itself
+
+    Cost: one groupBy(key) shuffle (partial-agg absorbs the very skew
+    being measured — counting a hot key is itself skew-immune), then a
+    global sort of n_keys COUNTS (keys, not rows; at 100 TB n_keys is
+    millions -> a single-digit-MB sort). All ratios are int/int double
+    divisions, bit-reproducible.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    # scalar (n, total) rides in on a broadcast instead of two extra
+    # whole-frame windows — only the row_number rank needs the global
+    # single-partition sort, and it sorts n_keys counts, not rows
+    scal = counts.agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").asc())
+    ranked = counts.crossJoin(F.broadcast(scal)).select(
+        "cnt", F.row_number().over(w).alias("rn"), "n", "total"
+    )
+    pick = lambda p: F.max(  # noqa: E731 — value at the percentile position
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("cnt"))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_keys"),
+        F.max("total").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (F.max("total") * F.lit(1.0) / F.max("n")).alias("mean_cnt"),
+        pick(0.5).alias("p50_cnt"),
+        pick(0.9).alias("p90_cnt"),
+        pick(0.99).alias("p99_cnt"),
+        (F.max("cnt") * F.lit(1.0) / F.max("total")).alias("top1_share"),
+        (
+            F.sum(F.when(F.col("rn") > F.col("n") - 10, F.col("cnt")).otherwise(F.lit(0)))
+            * F.lit(1.0)
+            / F.max("total")
+        ).alias("top10_share"),
+        (F.max("cnt") * F.lit(1.0) * F.max("n") / F.max("total")).alias("skew_ratio"),
+    )
+
+
+SKEW_PROFILE_ORACLE_SQL = """
+WITH counts AS (
+  SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1
+), ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt ASC) AS rn,
+         COUNT(*) OVER () AS n,
+         SUM(cnt) OVER () AS total
+  FROM counts
+)
+SELECT MAX(n) AS n_keys,
+       CAST(MAX(total) AS BIGINT) AS total_rows,
+       MAX(cnt) AS max_cnt,
+       MAX(total) * 1.0 / MAX(n) AS mean_cnt,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cnt END) AS p50_cnt,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cnt END) AS p90_cnt,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cnt END) AS p99_cnt,
+       MAX(cnt) * 1.0 / MAX(total) AS top1_share,
+       CAST(SUM(CASE WHEN rn > n - 10 THEN cnt ELSE 0 END) AS BIGINT) * 1.0
+         / MAX(total) AS top10_share,
+       MAX(cnt) * 1.0 * MAX(n) / MAX(total) AS skew_ratio
+FROM ranked
+"""

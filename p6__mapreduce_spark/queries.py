@@ -1456,6 +1456,24 @@ def q_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_profile_oracle() -> str:
+    from p6__mapreduce_spark.operators.analytics import SKEW_PROFILE_ORACLE_SQL
+
+    return SKEW_PROFILE_ORACLE_SQL.format(key="user_id", table="events")
+
+
+@register("skew_profile", oracle=_skew_profile_oracle())
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over events.user_id: per-key count
+    distribution (positional percentiles, hottest-key shares, max/mean
+    skew ratio) — the measurement that decides between plain groupBy,
+    salting, and AQE skew-join before a 100 TB shuffle is launched.
+    The groupBy that computes it is itself skew-immune (partial aggs)."""
+    from p6__mapreduce_spark.operators.analytics import skew_profile
+
+    return skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
 @register(
     "event_neighbor_counts",
     oracle="""

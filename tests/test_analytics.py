@@ -114,3 +114,20 @@ def test_sketch_rollup_within_hll_error_of_exact(spark):
         )
         # and the naive sum-of-daily-exacts overcounts (why sketches exist)
         assert r.sum_daily_naive >= exact[wk]
+
+
+def test_skew_profile_hand_computed(spark):
+    from p6__mapreduce_spark.operators.analytics import skew_profile
+
+    # keys: a x 6, b x 2, c x 1, d x 1 -> counts sorted asc [1,1,2,6]
+    rows = [(k,) for k in "aaaaaabbcd"]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 4 and r.total_rows == 10 and r.max_cnt == 6
+    assert r.mean_cnt == 2.5
+    # positional percentiles over [1,1,2,6]: p50 -> pos ceil(2)=2 -> 1,
+    # p90 -> pos ceil(3.6)=4 -> 6, p99 -> pos 4 -> 6
+    assert r.p50_cnt == 1 and r.p90_cnt == 6 and r.p99_cnt == 6
+    assert r.top1_share == 0.6
+    assert r.top10_share == 1.0  # fewer than 10 keys: all rows
+    assert r.skew_ratio == 6 * 4 / 10.0
