@@ -81,3 +81,40 @@ def test_with_salt_bounded_and_deterministic(spark):
     s2 = [r._salt for r in with_salt(df, 4).collect()]
     assert s1 == s2
     assert all(0 <= s < 4 for s in s1)
+
+
+def test_runtime_bloom_filter_fires_and_preserves_result(spark):
+    """At 100 TB the probe-side scan clears the default 10 GB
+    application threshold and Catalyst injects the runtime bloom filter
+    on its own; local data never can, so pin the machinery by lowering
+    the thresholds: the selective dim side must produce a
+    bloom_filter_agg subquery whose might_contain lands in the fact
+    scan's filter, and the filtered join must return the identical
+    result."""
+    from p6__mapreduce_spark.plans import formatted_plan
+
+    def build():
+        o = load_table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, SF, "lineitem")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty"))
+        )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join bloom targets
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        baseline = {tuple(r) for r in build().collect()}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        plan = formatted_plan(df)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
