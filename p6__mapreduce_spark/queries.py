@@ -786,6 +786,25 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def _textrank_oracle() -> str:
+    from p6__mapreduce_spark.operators.textrank import textrank_oracle_sql
+
+    return textrank_oracle_sql(iters=2, top_k=20)
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: weighted PageRank over the token
+    co-occurrence graph, two IN-PLAN power iterations (ranks stays a
+    DataFrame joined per round — the driver never sees the graph, so
+    the shape holds when the vocabulary doesn't fit driver memory).
+    Integer micro-unit rank mass makes both iterations exactly
+    reproducible in the unrolled DuckDB oracle."""
+    from p6__mapreduce_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(load_table(spark, sf_dir, "documents"), iters=2, top_k=20)
+
+
 @register(
     "bigram_freq",
     oracle=f"""

@@ -90,3 +90,32 @@ def test_fingerprints_match_python_model(spark):
     for row, text in zip(rows, texts):
         assert row.sha256_hex == hashlib.sha256(text.encode()).hexdigest()
         assert row.poly_hash == py_poly_hash(text)
+
+
+def test_textrank_uniform_cycle_is_stationary(spark):
+    from p6__mapreduce_spark.operators.textrank import UNIT, textrank_keywords
+
+    # "a b c a": cycle graph, all degrees equal -> uniform ranks are the
+    # exact fixed point: BASE + 0.85*UNIT = UNIT survives both rounds
+    df = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    rows = textrank_keywords(df, iters=2, top_k=10).collect()
+    assert len(rows) == 3
+    assert all(r.rank_q == UNIT for r in rows)
+    # deterministic tie-break: token ascending
+    assert [r.token for r in rows] == ["a", "b", "c"]
+
+
+def test_textrank_hub_outranks_leaves(spark):
+    from p6__mapreduce_spark.operators.textrank import cooccurrence_edges, textrank_keywords
+
+    # star graph: 'a' adjacent to b, c, d -> hub receives 3 full
+    # contributions, leaves get 1/3 of the hub's mass
+    df = spark.createDataFrame([(0, "a b a c a d")], "doc_id long, text string")
+    edges = {(r.src, r.dst): r.w for r in cooccurrence_edges(df).collect()}
+    assert edges[("a", "b")] == edges[("b", "a")]  # symmetric
+    assert ("b", "c") not in edges  # leaves not adjacent
+    rows = textrank_keywords(df, iters=2, top_k=10).collect()
+    ranks = {r.token: r.rank_q for r in rows}
+    # hub first; b/c (edge weight 2: pair + its reverse both occur)
+    # tie; d (weight-1 edge — 'a d' appears once, never reversed) last
+    assert ranks["a"] > ranks["b"] == ranks["c"] > ranks["d"]
