@@ -81,6 +81,9 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q13_custdist",
     "tpch_q21_waiting_supplier",
+    "tpch_q12_shipmode",
+    "skew_profile",
+    "gap_fill_daily",
     # training-data pipeline passes
     "repetition_stats",
     "contamination_check",
@@ -128,9 +131,12 @@ HEADLINE = [
     # dedup_simhash64_pairs excluded like dedup_simhash_pairs: the
     # shared-vocab synthetic corpus makes pair output cardinality (204k
     # rows at sf0.1), not the banded plan, the thing being timed
+    "dedup_edit_distance",
+    "textrank_keywords",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "kmeans_lloyd",
     "ann_recall_audit",
     "embedding_neardup",
     "semantic_dedup",

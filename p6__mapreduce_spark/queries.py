@@ -1475,6 +1475,25 @@ def q_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gap_fill_oracle() -> str:
+    from p6__mapreduce_spark.operators.timeseries import GAP_FILL_ORACLE_SQL
+
+    return GAP_FILL_ORACLE_SQL.format(
+        key="user_id", ts="ts", value="value", tiebreak="event_id", table="events"
+    )
+
+
+@register("gap_fill_daily", oracle=_gap_fill_oracle())
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar regularization: one row per (user, day) over each
+    user's observed span, the day's last event value forward-filled
+    through silent days. Distributed grid via sequence()+explode (no
+    calendar cross join); fill is a single per-key window pass."""
+    from p6__mapreduce_spark.operators.timeseries import gap_fill_daily
+
+    return gap_fill_daily(load_table(spark, sf_dir, "events"))
+
+
 def _skew_profile_oracle() -> str:
     from p6__mapreduce_spark.operators.analytics import SKEW_PROFILE_ORACLE_SQL
 

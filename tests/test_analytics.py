@@ -131,3 +131,27 @@ def test_skew_profile_hand_computed(spark):
     assert r.top1_share == 0.6
     assert r.top10_share == 1.0  # fewer than 10 keys: all rows
     assert r.skew_ratio == 6 * 4 / 10.0
+
+
+def test_gap_fill_daily_carries_value_through_silent_days(spark):
+    from datetime import datetime
+
+    from p6__mapreduce_spark.operators.timeseries import gap_fill_daily
+
+    rows = [
+        # user 1: events on day 1 (two: later one wins) and day 4
+        (10, datetime(2024, 3, 1, 9, 0), 1, 1.0),
+        (11, datetime(2024, 3, 1, 17, 0), 1, 2.5),
+        (12, datetime(2024, 3, 4, 8, 0), 1, 7.0),
+        # user 2: single event -> single-row grid
+        (13, datetime(2024, 3, 2, 12, 0), 2, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = [(r.user_id, r.day.day, r.value_filled, r.is_observed) for r in gap_fill_daily(df).collect()]
+    assert out == [
+        (1, 1, 2.5, True),   # day's LAST event wins
+        (1, 2, 2.5, False),  # carried
+        (1, 3, 2.5, False),  # carried
+        (1, 4, 7.0, True),
+        (2, 2, 9.0, True),
+    ]
