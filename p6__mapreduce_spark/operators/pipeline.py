@@ -146,6 +146,51 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
     return docs.filter(bucket < weight_map[F.col("source")])
 
 
+def temperature_mixture(docs: DataFrame, *, source_col: str = "source") -> DataFrame:
+    """Temperature-scaled source rebalancing (the n^alpha mixing rule
+    of multilingual/multi-source LLM corpora, alpha = 0.5): keep each
+    source at rate (n_min / n_source)^(1/2), so kept counts are
+    proportional to sqrt(n_source) — large crawl sources flattened
+    toward the small curated ones without zeroing either.
+
+    Unlike ``mixture_sample`` (hand-configured per-source fractions),
+    the rates here are DERIVED FROM THE DATA in a first aggregation
+    pass, then applied as a map-side content-hash filter — the
+    standard two-pass shape at 100 TB (the per-source count table is
+    tiny and broadcast). alpha is fixed at 1/2 because sqrt is
+    correctly rounded in IEEE 754 — both engines compute the identical
+    rate where a general pow() could differ in the last ulp.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("s")).agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.withColumn("n_min", F.min("n").over(Window.partitionBy())).select(
+        "s",
+        F.floor(F.sqrt(F.col("n_min").cast("double") / F.col("n")) * 10_000)
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    bucket = _key_hash_bucket(F.col("text"), 10_000)
+    return (
+        docs.join(F.broadcast(rates), F.col(source_col) == F.col("s"))
+        .filter(bucket < F.col("keep_bp"))
+        .select("doc_id", source_col)
+        .orderBy("doc_id")
+    )
+
+
+TEMPERATURE_MIXTURE_ORACLE_SQL = """
+WITH counts AS (
+  SELECT source AS s, COUNT(*) AS n FROM documents GROUP BY 1
+), rates AS (
+  SELECT s, CAST(floor(sqrt(CAST(MIN(n) OVER () AS DOUBLE) / n) * 10000) AS BIGINT) AS keep_bp
+  FROM counts
+)
+SELECT doc_id, source
+FROM documents JOIN rates ON source = s
+WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 10000 < keep_bp
+ORDER BY doc_id
+"""
+
+
 def source_cap(
     docs: DataFrame,
     k: int = 3,

@@ -1810,6 +1810,24 @@ def _mixture_oracle() -> str:
     """
 
 
+def _temp_mixture_oracle() -> str:
+    from p6__mapreduce_spark.operators.pipeline import TEMPERATURE_MIXTURE_ORACLE_SQL
+
+    return TEMPERATURE_MIXTURE_ORACLE_SQL
+
+
+@register("temperature_mixture", oracle=_temp_mixture_oracle())
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n^alpha source rebalancing (alpha=1/2): keep rates derived from
+    per-source counts in a first pass (tiny broadcast table), applied
+    as a map-side content-hash filter — kept counts end up
+    proportional to sqrt(n_source). sqrt is IEEE-correctly-rounded, so
+    the data-derived rates are bit-identical cross-engine."""
+    from p6__mapreduce_spark.operators.pipeline import temperature_mixture
+
+    return temperature_mixture(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_mixture_sample", oracle=_mixture_oracle())
 def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing: each source kept at its configured

@@ -225,3 +225,22 @@ def test_source_cap_respects_k_and_hot_source(spark):
     counts = {r.source: r["count"] for r in out}
     assert counts["hot"] == 5
     assert all(v <= 5 for v in counts.values())
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    from p6__mapreduce_spark.operators.pipeline import temperature_mixture
+
+    rows = [(i, f"doc text number {i}", "big" if i < 400 else "small") for i in range(425)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = temperature_mixture(df).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # smallest source keeps rate 1.0 -> all 25 rows survive
+    assert by_src["small"] == 25
+    # big source: rate sqrt(25/400) = 0.25 -> ~100 of 400 (hash noise)
+    assert 60 <= by_src["big"] <= 140
+    # deterministic: identical on re-run
+    assert {(r.doc_id, r.source) for r in temperature_mixture(df).collect()} == {
+        (r.doc_id, r.source) for r in kept
+    }
