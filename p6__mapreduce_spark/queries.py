@@ -2112,6 +2112,29 @@ def q_clicks_to_purchases_streaming(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "clicks_left_outer_streaming",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_clicks_left_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: unattributed clicks
+    null-pad only after the watermark proves no purchase can arrive —
+    a final sentinel batch advances both watermarks past every real
+    click's expiry (what continuous ingestion does on its own), so the
+    streaming output equals the batch LEFT JOIN oracle exactly."""
+    from p6__mapreduce_spark.streaming.join import run_streaming_click_purchase_left_join
+
+    return run_streaming_click_purchase_left_join(spark, sf_dir)
+
+
+@register(
     "text_normalize",
     oracle="""
     SELECT doc_id,

@@ -108,3 +108,111 @@ def run_streaming_click_purchase_join(
         return spark.table(name).orderBy("click_id", "purchase_id")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def run_streaming_click_purchase_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, paired with
+    its within-``gap`` purchases OR null-padded once the watermark
+    proves no purchase can still arrive.
+
+    The outer semantics are the streaming-specific part: Spark can only
+    emit an unmatched click after the global watermark (min across both
+    sides) passes ``click_ts + gap + watermark-delay`` — before that the
+    match might still arrive. A real pipeline reaches that point
+    continuously; a finite test input never does for its tail clicks.
+    So the staging appends a FINAL SENTINEL BATCH — one far-future
+    click + purchase pair (event_id -1/-2, a user_id no real event
+    uses) — which advances both watermarks past every real click's
+    expiry, draining state exactly like production ingestion would.
+    The sentinels themselves stay in state (nothing follows them) and
+    the one row they could emit is filtered by event_id >= 0.
+
+    Output equals the batch LEFT JOIN with the same interval condition
+    — including rows where a click matched NOTHING, which the inner
+    variant (`run_streaming_click_purchase_join`) silently drops.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    src = tempfile.mkdtemp(prefix="p6_stream_ljoin_")
+    try:
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "click"), (-2, -1, "purchase")],
+            "event_id long, user_id long, event_type string",
+        ).withColumn(
+            # 30 days past the stream end: beyond every click's
+            # click_ts + gap + watermark window
+            "ts",
+            F.lit(hi).cast("timestamp") + F.expr("INTERVAL 30 DAYS"),
+        ).select("event_id", "user_id", "event_type", "ts")
+        stages = (
+            events.filter(F.col("ts") < F.lit(mid)),
+            events.filter(F.col("ts") >= F.lit(mid)),
+            sentinel,
+        )
+        for i, stage in enumerate(stages):
+            part = os.path.join(src, f"_stage_{i}")
+            stage.coalesce(1).write.mode("overwrite").parquet(part)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(os.path.join(part, data), os.path.join(src, f"batch_{i}.parquet"))
+            shutil.rmtree(part)
+
+        stream = (
+            spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", watermark)
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {gap}")),
+            "leftOuter",
+        ).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        name = f"stream_ljoin_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("click_id") >= 0)
+            .orderBy("click_id", "purchase_id")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -3,6 +3,7 @@ with its batch twin once all input is processed."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.sources.readers import load_table
 from p6__mapreduce_spark.streaming.windows import stream_event_counts, windowed_event_counts
@@ -108,3 +109,34 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     got = spark.read.parquet(out).select("event_id").collect()
     want = events.select("event_id").collect()
     assert sorted(r.event_id for r in got) == sorted(r.event_id for r in want)
+
+
+def test_left_outer_stream_join_emits_unmatched_clicks(spark):
+    from p6__mapreduce_spark.streaming.join import (
+        run_streaming_click_purchase_left_join,
+    )
+
+    out = run_streaming_click_purchase_left_join(spark, SF).collect()
+    # batch twin: LEFT JOIN with the same interval condition
+    events = load_table(spark, SF, "events")
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 HOURS")),
+        "left",
+    ).select("user_id", "click_id", "purchase_id").collect()
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out}
+    want = {(r.user_id, r.click_id, r.purchase_id) for r in batch}
+    assert got == want
+    # the point of OUTER: some clicks really are unmatched (null-padded)
+    assert any(r.purchase_id is None for r in out)
+    # and no sentinel leaked
+    assert all(r.click_id >= 0 for r in out)
