@@ -358,3 +358,59 @@ SELECT MAX(n) AS n_keys,
        MAX(cnt) * 1.0 * MAX(n) / MAX(total) AS skew_ratio
 FROM ranked
 """
+
+
+def embedding_dim_stats(emb: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension feature statistics of an embedding column — the
+    profiling pass before normalization/whitening decides anything
+    (dead dims, scale outliers, variance collapse).
+
+    Exactness recipe (shared with similarity/kmeans.py): coordinates
+    quantize to 1e-6 int64 up front, so per-dim sum/sumsq/min/max are
+    exact integer aggregation; mean and population std are then pure
+    double expressions over exact ints, written identically in the
+    DuckDB oracle, hence bit-reproducible. sum^2 is computed in double
+    (exact below 2^53) so the int64 path can't overflow at corpus
+    scale. One posexplode + one groupBy(dim) shuffle of n*d quantized
+    ints; partial aggs absorb the fan-in.
+    """
+    q = F.round(F.col("x").cast("double") * F.lit(1e6)).cast("long")
+    exploded = emb.select(F.posexplode(vec_col).alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), q.alias("q")
+    )
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sumsq_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    sum_d = F.col("sum_q").cast("double")
+    var = (F.col("sumsq_q").cast("double") - sum_d * sum_d / F.col("n")) / F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        (sum_d / F.col("n")).alias("mean_q"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_q"),
+        "min_q",
+        "max_q",
+    ).orderBy("dim")
+
+
+EMBEDDING_DIM_STATS_ORACLE_SQL = """
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+), agg AS (
+  SELECT dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(SUM(q * q) AS BIGINT) AS sumsq_q,
+         MIN(q) AS min_q, MAX(q) AS max_q
+  FROM e GROUP BY 1
+)
+SELECT dim, n,
+       CAST(sum_q AS DOUBLE) / n AS mean_q,
+       sqrt(greatest((CAST(sumsq_q AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / n, 0.0)) AS std_q,
+       min_q, max_q
+FROM agg ORDER BY dim
+"""

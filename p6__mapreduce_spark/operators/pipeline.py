@@ -355,3 +355,59 @@ def sequence_packing(
         )
         .orderBy("doc_id")
     )
+
+
+def stable_dense_ids(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined dense ids 1..N: position in the global
+    (sha256(text), id) order. Because the order is content-derived, the
+    ids are stable across runs, partition layouts, engines, and
+    appends-then-reshuffles — the id assignment a corpus snapshot needs
+    before building aligned side-tables (embeddings, labels).
+
+    Scale shape — the distributed zipWithIndex, NOT a single-partition
+    global window: range-repartition by the sort key, sort within
+    partitions, then id = per-partition row_number + the exclusive
+    prefix sum of partition counts (numPartitions integers collected to
+    the driver — bounded). The localCheckpoint pins the range
+    boundaries so the count pass and the id pass see the same
+    partitioning (repartitionByRange samples; two separate jobs could
+    otherwise draw different boundaries).
+    """
+    spark = docs.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha"))
+        .repartitionByRange(n, "_sha", id_col)
+        .sortWithinPartitions("_sha", id_col)
+        .select(F.col(id_col), "_sha", F.spark_partition_id().alias("_pid"))
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy("_sha", id_col)
+    return (
+        d.withColumn(
+            "stable_id",
+            (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+        )
+        .select(id_col, "stable_id")
+        .orderBy(id_col)
+    )
+
+
+STABLE_IDS_ORACLE_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY sha256(text), doc_id) AS stable_id
+FROM documents ORDER BY doc_id
+"""

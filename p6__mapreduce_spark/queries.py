@@ -997,6 +997,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_stats_oracle() -> str:
+    from p6__mapreduce_spark.operators.analytics import EMBEDDING_DIM_STATS_ORACLE_SQL
+
+    return EMBEDDING_DIM_STATS_ORACLE_SQL
+
+
+@register("embedding_dim_stats", oracle=_dim_stats_oracle())
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding feature profile (mean/std/min/max in
+    1e-6 quanta): the pass that precedes normalization or whitening.
+    Quantized-int sums make the float mean/std expressions exact
+    cross-engine; one posexplode + one groupBy(dim) shuffle."""
+    from p6__mapreduce_spark.operators.analytics import embedding_dim_stats
+
+    return embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def _kmeans_oracle() -> str:
     from p6__mapreduce_spark.similarity.kmeans import kmeans_oracle_sql
 
@@ -1808,6 +1825,24 @@ def _mixture_oracle() -> str:
     WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 10000 < keep_bp
     ORDER BY doc_id
     """
+
+
+def _stable_ids_oracle() -> str:
+    from p6__mapreduce_spark.operators.pipeline import STABLE_IDS_ORACLE_SQL
+
+    return STABLE_IDS_ORACLE_SQL
+
+
+@register("stable_dense_ids", oracle=_stable_ids_oracle())
+def q_stable_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined dense ids 1..N (position in the global
+    (sha256(text), doc_id) order) via the distributed zipWithIndex:
+    range-repartition + within-partition sort + per-partition offsets —
+    never a single-partition global window. Stable across runs,
+    layouts, and engines; the oracle is the plain global ROW_NUMBER."""
+    from p6__mapreduce_spark.operators.pipeline import stable_dense_ids
+
+    return stable_dense_ids(load_table(spark, sf_dir, "documents"))
 
 
 def _temp_mixture_oracle() -> str:

@@ -244,3 +244,21 @@ def test_temperature_mixture_flattens_sources(spark):
     assert {(r.doc_id, r.source) for r in temperature_mixture(df).collect()} == {
         (r.doc_id, r.source) for r in kept
     }
+
+
+def test_stable_dense_ids_dense_and_layout_independent(spark):
+    from p6__mapreduce_spark.operators.pipeline import stable_dense_ids
+
+    rows = [(i, f"text {i % 7}") for i in range(50)]  # duplicate texts: tie-break by id
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r.doc_id, r.stable_id) for r in stable_dense_ids(df).collect()}
+    # dense permutation of 1..N
+    assert {sid for _, sid in a} == set(range(1, 51))
+    # identical under a different physical layout
+    b = {(r.doc_id, r.stable_id) for r in stable_dense_ids(df.repartition(7)).collect()}
+    assert a == b
+    # duplicate-text group: ids ascend with doc_id (the tie-break)
+    ids = sorted(sid for d, sid in a if d % 7 == 3)
+    docs = sorted(d for d, _ in a if d % 7 == 3)
+    got = {d: s for d, s in a if d % 7 == 3}
+    assert [got[d] for d in docs] == ids
