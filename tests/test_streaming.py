@@ -140,3 +140,61 @@ def test_left_outer_stream_join_emits_unmatched_clicks(spark):
     assert any(r.purchase_id is None for r in out)
     # and no sentinel leaked
     assert all(r.click_id >= 0 for r in out)
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark):
+    """Kill a streaming query between micro-batches, restart it from
+    its checkpoint, and the file sink still holds every input row
+    exactly once — the recovery contract a production pipeline relies
+    on (offsets + sink commit log, not at-least-once reprocessing)."""
+    import shutil
+    import tempfile
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    n_total = events.count()
+    mid = events.approxQuantile("event_id", [0.5], 0)[0]
+
+    root = tempfile.mkdtemp(prefix="p6_chk_resume_")
+    src, out, chk = (f"{root}/{d}" for d in ("src", "out", "chk"))
+    try:
+        def stage(df, name):
+            part = f"{root}/_stage_{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            import os
+
+            os.makedirs(src, exist_ok=True)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(f"{part}/{data}", f"{src}/{name}.parquet")
+            shutil.rmtree(part)
+
+        def run_once():
+            q = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        stage(events.filter(F.col("event_id") <= mid), "batch_0")
+        run_once()  # first half processed, query then "crashes" (stop)
+        first = spark.read.parquet(out).count()
+        assert 0 < first < n_total
+
+        stage(events.filter(F.col("event_id") > mid), "batch_1")
+        run_once()  # restart from checkpoint: only the new file runs
+
+        got = spark.read.parquet(out)
+        assert got.count() == n_total  # no duplicates, no gaps
+        assert got.select("event_id").distinct().count() == n_total
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
