@@ -360,3 +360,114 @@ def bm25_oracle_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) ->
     SELECT doc_id, dl, CAST(floor(score * 10000 + {_e(0.5)}) AS BIGINT) AS score_q4
     FROM scored ORDER BY doc_id
     """
+
+
+def bigram_perplexity(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """(doc_id, n_bigrams, nll_q6, avg_nll): each document scored under
+    the corpus's own bigram LM with stupid backoff — the standard
+    perplexity quality filter (Wenzek et al. 2020 CCNet uses exactly
+    this shape, with a KenLM instead of the self-corpus model).
+
+    Per bigram: -ln P(w2|w1) from the pair/context counts when the
+    pair clears ``min_pair_count``, else the backoff -ln(0.4 *
+    cnt(w2)/total) from the unigram model. Log-probs quantize to 1e-6
+    fixed point BEFORE the per-doc integer sum (partition-order-proof,
+    same recipe as unigram_surprise); avg_nll = nll_q6 / (n * 1e6) is
+    one exact-int division at the end. exp() is deliberately not
+    applied — perplexity is monotone in avg_nll and exp adds nothing
+    but float noise.
+
+    Plan: one bigram explode feeds the pair counts, the context sums
+    AND the per-doc join probe; the unigram backoff table joins on w2.
+    Two token-keyed joins, all partial-aggregated — O(postings).
+    """
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    toks = docs.select("doc_id", tokens_expr("text").alias("w")).filter(F.size("w") >= 2)
+    n_pairs = F.size("w") - F.lit(1)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n_pairs).alias("w1"), F.slice("w", 2, n_pairs).alias("w2")
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    lm = (
+        pairs.join(ctx, "w1")
+        .filter(F.col("c_pair") >= min_pair_count)
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(F.col("c_pair") * F.lit(1.0) / F.col("c_ctx")) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("lm_logp_q6"),
+        )
+    )
+    uni = big.groupBy(F.col("w2").alias("u_w2")).agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    backoff = uni.crossJoin(F.broadcast(total)).select(
+        "u_w2",
+        F.floor(
+            F.log(F.lit(0.4) * F.col("cnt") / F.col("total")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bo_logp_q6"),
+    )
+    scored = (
+        big.join(lm, ["w1", "w2"], "left")
+        .join(backoff, big["w2"] == F.col("u_w2"))
+        .select("doc_id", F.coalesce("lm_logp_q6", "bo_logp_q6").alias("logp_q6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("logp_q6")).cast("long").alias("nll_q6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_q6",
+            (F.col("nll_q6") * F.lit(1.0) / (F.col("n_bigrams") * F.lit(1e6))).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_PERPLEXITY_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_ORACLE.format(col="text")} AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2
+), big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx
+), pc AS (
+  SELECT w1, w2, COUNT(*) AS c_pair FROM big GROUP BY 1, 2
+), cc AS (
+  SELECT w1, CAST(SUM(c_pair) AS BIGINT) AS c_ctx FROM pc GROUP BY 1
+), lm AS (
+  SELECT pc.w1, pc.w2,
+         CAST(floor(ln(c_pair * 1.0e0 / c_ctx) * 1000000 + 5.0e-1) AS BIGINT) AS lm_logp_q6
+  FROM pc JOIN cc USING (w1) WHERE c_pair >= {{min_pair_count}}
+), uni AS (
+  SELECT w2 AS u_w2, COUNT(*) AS cnt FROM big GROUP BY 1
+), total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uni),
+backoff AS (
+  SELECT u_w2,
+         CAST(floor(ln(4.0e-1 * cnt / total) * 1000000 + 5.0e-1) AS BIGINT) AS bo_logp_q6
+  FROM uni CROSS JOIN total
+), scored AS (
+  SELECT doc_id, COALESCE(lm_logp_q6, bo_logp_q6) AS logp_q6
+  FROM big
+  LEFT JOIN lm USING (w1, w2)
+  JOIN backoff ON big.w2 = u_w2
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(-SUM(logp_q6) AS BIGINT) AS nll_q6,
+       CAST(-SUM(logp_q6) AS BIGINT) * 1.0e0 / (COUNT(*) * 1000000) AS avg_nll
+FROM scored GROUP BY 1 ORDER BY 1
+"""

@@ -786,6 +786,24 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def _bigram_ppl_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import BIGRAM_PERPLEXITY_ORACLE_SQL
+
+    return BIGRAM_PERPLEXITY_ORACLE_SQL.format(min_pair_count=2)
+
+
+@register("bigram_perplexity", oracle=_bigram_ppl_oracle())
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: every doc scored under
+    the corpus's own bigram LM with stupid backoff (0.4 * unigram) for
+    unseen/hapax pairs; log-probs quantized to ints before the per-doc
+    sum so the score is exact at any partitioning. One bigram explode
+    feeds the LM, the backoff table, and the scoring probe."""
+    from p6__mapreduce_spark.operators.ranking import bigram_perplexity
+
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
 def _textrank_oracle() -> str:
     from p6__mapreduce_spark.operators.textrank import textrank_oracle_sql
 

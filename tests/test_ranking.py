@@ -107,3 +107,23 @@ def test_bigram_entropy_closed_form(spark):
     assert rows[1].entropy == 0.0
     assert abs(rows[0].entropy - math.log(2)) < 1e-5
     assert rows[0].n_bigrams == 4 and rows[1].n_bigrams == 4
+
+
+def test_bigram_perplexity_backoff_and_ordering(spark):
+    from p6__mapreduce_spark.operators.ranking import bigram_perplexity
+
+    corpus = [
+        "a b a b a b",  # doc 0: (a,b) x3, (b,a) x2 — high-probability pairs
+        "a b a b",      # doc 1: reinforces the same pairs
+        "x y",          # doc 2: hapax pair -> pure stupid-backoff scoring
+        "z",            # doc 3: no bigrams -> absent from output
+    ]
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_perplexity(df).collect()}
+    assert set(rows) == {0, 1, 2}  # single-token doc drops out
+    assert rows[0].n_bigrams == 5 and rows[2].n_bigrams == 1
+    # predictable template text scores far lower NLL than the hapax pair
+    assert rows[0].avg_nll < rows[2].avg_nll
+    assert rows[1].avg_nll < rows[2].avg_nll
+    # exact relationship between the integer sum and the average
+    assert abs(rows[0].avg_nll - rows[0].nll_q6 / (5 * 1e6)) < 1e-12
