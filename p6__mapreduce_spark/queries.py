@@ -1627,6 +1627,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_components(spark, sf_dir, threshold=0.8).orderBy("doc_id")
 
 
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH comp AS ({_COMPONENTS_ORACLE.replace("ORDER BY 1", "")}),
+b AS (
+  SELECT doc_id, component,
+         CAST(concat('0x', substr(sha256(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM comp
+)
+SELECT doc_id, component,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+@register("leakage_safe_splits", oracle=_LEAKAGE_SPLIT_ORACLE)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test assignment: the split key is the
+    near-dup COMPONENT, not the document — so a train doc can never be
+    a near-duplicate of a val/test doc (the leakage plain per-doc
+    hashing permits). Composition of the shared memoized components
+    with the deterministic hash splitter; at 100 TB the component map
+    is the written intermediate every curation policy fans out from."""
+    from p6__mapreduce_spark.operators.pipeline import _key_hash_bucket
+
+    comp = _lsh_components(spark, sf_dir, threshold=0.8)
+    bucket = _key_hash_bucket(F.col("component"), 100)
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
 @register(
     "grouping_sets_explicit",
     oracle="""

@@ -262,3 +262,21 @@ def test_stable_dense_ids_dense_and_layout_independent(spark):
     docs = sorted(d for d, _ in a if d % 7 == 3)
     got = {d: s for d, s in a if d % 7 == 3}
     assert [got[d] for d in docs] == ids
+
+
+def test_leakage_safe_splits_keep_neardups_together(spark):
+    from p6__mapreduce_spark.queries import QUERIES
+
+    rows = QUERIES["leakage_safe_splits"](spark, "/root/testdata/sf0.001").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    # every near-dup component lives in exactly one split — no leakage
+    assert all(len(s) == 1 for s in by_comp.values())
+    # multi-member components exist (otherwise the test is vacuous)
+    from collections import Counter
+
+    sizes = Counter(r.component for r in rows)
+    assert any(v >= 2 for v in sizes.values())
+    # all three splits are populated
+    assert {r.split for r in rows} == {"train", "val", "test"}
