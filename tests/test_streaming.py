@@ -198,3 +198,98 @@ def test_streaming_checkpoint_resume_exactly_once(spark):
         assert got.select("event_id").distinct().count() == n_total
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_static_join_enriches_each_microbatch(spark):
+    """Stream-static join: a static dimension (per-user first-seen
+    profile) joins into every micro-batch of the event stream — the
+    enrichment pattern where the dim is re-resolvable per batch. The
+    streamed result equals the batch join."""
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    static_profile = (
+        events.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    )
+
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="p6_ss_join_")
+    try:
+        events.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+        events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = stream.join(static_profile, "user_id").select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("first_seen")).alias("age_us"),
+        )
+        name = "t_ss_join"
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r.event_id, r.user_id, r.age_us) for r in spark.table(name).collect()}
+        want = {
+            (r.event_id, r.user_id, r.age_us)
+            for r in events.join(static_profile, "user_id")
+            .select(
+                "event_id",
+                "user_id",
+                (F.unix_micros("ts") - F.unix_micros("first_seen")).alias("age_us"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 100
+        assert min(r[2] for r in got) == 0  # each user's first event has age 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The at-scale state backend: re-run the streaming windowed
+    aggregation with the RocksDB state store provider (what a 100 TB
+    deployment uses so state spills off-heap to local disk instead of
+    living in executor memory) and require identical results."""
+    events = load_table(spark, SF, "events")
+    batch = {
+        (r.window_start, r.event_type): (r.cnt, r.value_cents)
+        for r in windowed_event_counts(events, minutes=5).collect()
+    }
+
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="p6_rocks_src_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    try:
+        events.write.mode("overwrite").parquet(src)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        q = stream_event_counts(
+            spark, src, spark.read.parquet(src).schema, minutes=5, query_name="t_rocks"
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.window_start, r.event_type): (r.cnt, r.value_cents)
+                for r in spark.sql("SELECT * FROM t_rocks").collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch and len(got) > 100
+    finally:
+        spark.conf.set(key, saved)
+        shutil.rmtree(src, ignore_errors=True)
