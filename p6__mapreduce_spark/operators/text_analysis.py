@@ -241,3 +241,62 @@ def rare_ngram_ratio(docs: DataFrame, n: int = 2, rare_max: int = 2) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+def lexicon_hits(docs: DataFrame, lexicon: list[str]) -> DataFrame:
+    """Term-lexicon occurrence profile per document — the mechanism
+    behind blocklist filtering (toxicity/spam lexicons) and domain
+    terminology tagging. A token-level equi-join against the broadcast
+    lexicon, NOT a giant regex alternation: the join scales with
+    |tokens| + |lexicon| and keeps whole-word semantics exact, where
+    the regex needs word-boundary assertions, recompiles per task, and
+    its cost grows with the alternation width.
+
+    Output: doc_id, n_hits (occurrences), n_terms (distinct lexicon
+    terms present), terms (sorted, comma-joined — deterministic), and
+    the keep flag ``clean`` = no hits. Zero-hit documents are restored
+    by a left join (clean = true).
+    """
+    spark = docs.sparkSession
+    lex = spark.createDataFrame([(t,) for t in sorted(set(lexicon))], "term string")
+    tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    hits = (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("term").alias("n_terms"),
+            F.concat_ws(",", F.sort_array(F.collect_set("term"))).alias("terms"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("terms", F.lit("")).alias("terms"),
+            (F.coalesce("n_hits", F.lit(0)) == 0).alias("clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LEXICON_HITS_ORACLE_SQL = """
+WITH lex(term) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, unnest({tokens}) AS term FROM documents
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT term) AS n_terms,
+         list_aggregate(list_sort(list(DISTINCT term)), 'string_agg', ',') AS terms
+  FROM tok JOIN lex USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(n_terms, 0) AS n_terms,
+       COALESCE(terms, '') AS terms,
+       COALESCE(n_hits, 0) = 0 AS clean
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+ORDER BY d.doc_id
+"""

@@ -786,6 +786,59 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "event_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS k_bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json ONCE
+    into the binary-encoded variant, then variant_get typed extraction
+    — at scale this beats per-expression get_json_object (which
+    re-parses the string for every extraction; see event_json_stats
+    for that legacy path). Grouped histogram over the extracted
+    field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 25").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+_LEXICON = ("merge", "sort", "spark")
+
+
+def _lexicon_oracle() -> str:
+    from p6__mapreduce_spark.operators.text_analysis import (
+        LEXICON_HITS_ORACLE_SQL,
+        TOKENS_ORACLE,
+    )
+
+    values = ", ".join(f"('{t}')" for t in _LEXICON)
+    return LEXICON_HITS_ORACLE_SQL.format(
+        values=values, tokens=TOKENS_ORACLE.format(col="text")
+    )
+
+
+@register("lexicon_hits", oracle=_lexicon_oracle())
+def q_lexicon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist/terminology lexicon profile: token equi-join against
+    the broadcast lexicon (exact whole-word hits, scales with tokens +
+    lexicon — not a regex alternation), zero-hit docs restored with
+    clean=true."""
+    from p6__mapreduce_spark.operators.text_analysis import lexicon_hits
+
+    return lexicon_hits(load_table(spark, sf_dir, "documents"), list(_LEXICON))
+
+
 def _bigram_ppl_oracle() -> str:
     from p6__mapreduce_spark.operators.ranking import BIGRAM_PERPLEXITY_ORACLE_SQL
 

@@ -119,3 +119,21 @@ def test_textrank_hub_outranks_leaves(spark):
     # hub first; b/c (edge weight 2: pair + its reverse both occur)
     # tie; d (weight-1 edge — 'a d' appears once, never reversed) last
     assert ranks["a"] > ranks["b"] == ranks["c"] > ranks["d"]
+
+
+def test_lexicon_hits_counts_and_clean_flag(spark):
+    from p6__mapreduce_spark.operators.text_analysis import lexicon_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "bad word here and bad again"),
+            (1, "perfectly fine text"),
+            (2, "word BAD word"),  # case-folded by the tokenizer
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lexicon_hits(docs, ["bad", "word"]).collect()}
+    assert rows[0].n_hits == 3 and rows[0].n_terms == 2 and rows[0].terms == "bad,word"
+    assert not rows[0].clean
+    assert rows[1].n_hits == 0 and rows[1].terms == "" and rows[1].clean
+    assert rows[2].n_hits == 3 and rows[2].n_terms == 2
