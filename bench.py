@@ -102,6 +102,13 @@ HEADLINE = [
     "rare_bigram_ratio",
     "stratified_sample",
     "source_cap_sample",
+    "temperature_mixture",
+    "stable_dense_ids",
+    "leakage_safe_splits",
+    "bigram_perplexity",
+    "lexicon_hits",
+    "event_props_variant",
+    "embedding_dim_stats",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

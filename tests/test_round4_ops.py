@@ -88,3 +88,43 @@ def test_passage_dedup_ragged_tail_passage(spark):
     r = passage_dedup_rewrite(docs, passage_tokens=3).collect()[0]
     assert r.n_passages == 2 and r.n_kept == 2  # "a b c" + tail "d e"
     assert r.clean_text == "a b c d e"
+
+
+def test_python_udtf_sentence_split(spark):
+    """Spark 4 Python UDTF surface: a lateral table function splitting
+    documents into sentences — one input row fans out to N output rows
+    with per-sentence columns, invoked through SQL LATERAL. (Registry
+    queries stay UDTF-free on purpose: the synthetic corpus has no
+    sentence punctuation, and Arrow-free UDTFs are a slow path — this
+    pins the API works end-to-end for users who need it.)"""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string, n_tokens: int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            parts = [p.strip() for p in re.split(r"[.!?]+", text or "")]
+            for i, p in enumerate(p for p in parts if p):
+                yield i, p, len(p.split())
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = spark.createDataFrame(
+        [(0, "First one. Second bit! Third?"), (1, "No split here"), (2, "")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    ).collect()
+    got = [(r.doc_id, r.sent_idx, r.sentence, r.n_tokens) for r in rows]
+    assert got == [
+        (0, 0, "First one", 2),
+        (0, 1, "Second bit", 2),
+        (0, 2, "Third", 1),
+        (1, 0, "No split here", 3),
+    ]
