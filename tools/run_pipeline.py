@@ -10,10 +10,14 @@ Stages (each a registered operator; see COVERAGE.md):
                    1.25x the corpus mean (gibberish filter)
   4. dedup       — MinHash-LSH pairs -> connected components -> keep
                    the best-quality doc per near-dup cluster
-  5. chunk       — 64-token context windows, 16-token overlap
-  6. pack        — fixed-budget sequence ids per shard
-  7. publish     — atomic parquet publish (readers never see a
-                   half-written dataset)
+  5. mixture     — temperature (n^0.5) source rebalancing
+  6. split       — leakage-safe train/val/test labels keyed by the
+                   near-dup component (reuses the dedup stage's map)
+  7. chunk       — 64-token context windows, 16-token overlap
+  8. pack        — fixed-budget sequence ids per shard
+  9. publish     — atomic parquet publish partitioned by split
+                   (readers never see a half-written dataset; training
+                   jobs read their split via partition pruning)
 
 Everything is one lazily-composed set of Catalyst plans; nothing is
 collected to the driver. Deterministic end to end: re-running on
@@ -103,6 +107,27 @@ def main() -> int:
     deduped = kept_q.join(keepers, "doc_id")
     counts["after_dedup"] = deduped.count()
 
+    # 3b. temperature rebalancing: flatten hot sources toward n^0.5
+    from p6__mapreduce_spark.operators.pipeline import temperature_mixture
+
+    mix = temperature_mixture(deduped).select("doc_id")
+    deduped = deduped.join(mix, "doc_id")
+    counts["after_mixture"] = deduped.count()
+
+    # 3c. leakage-safe split labels from the SAME component map the
+    # dedup stage already computed: near-dup survivors of one cluster
+    # can only ever land in one split
+    from p6__mapreduce_spark.operators.pipeline import _key_hash_bucket
+
+    cbucket = _key_hash_bucket(F.col("component"), 100)
+    split_of = comp.select(
+        "doc_id",
+        F.when(cbucket < 80, F.lit("train"))
+        .when(cbucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
     # 4+5. chunk, then pack the chunks as pseudo-docs
     chunks = doc_chunks(deduped, chunk_size=64, overlap=16)
     packed = sequence_packing(
@@ -118,11 +143,17 @@ def main() -> int:
             (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("doc_id"), "chunk_text"
         ),
         "doc_id",
-    )
+    ).withColumn("orig_doc_id", F.expr("doc_id div 10000"))
+    final = final.join(
+        split_of.withColumnRenamed("doc_id", "orig_doc_id"), "orig_doc_id"
+    ).drop("orig_doc_id")
     counts["chunks"] = final.count()
 
-    # 6. atomic publish
-    publish_parquet_atomic(final, os.path.join(out_dir, "training_chunks"))
+    # 6. atomic publish, physically partitioned by split so a training
+    # job reads its split via partition pruning alone
+    publish_parquet_atomic(
+        final, os.path.join(out_dir, "training_chunks"), partition_by=["split"]
+    )
     counts["published"] = spark.read.parquet(os.path.join(out_dir, "training_chunks")).count()
 
     print(json.dumps({"sf_dir": sf_dir, "out": out_dir, "counts": counts}))
