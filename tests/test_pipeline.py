@@ -191,10 +191,19 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     c = payload["counts"]
     assert c["after_dedup"] < c["input"]  # the near-dups really left
     assert 0 < c["after_surprisal"] <= c["after_quality"]  # gibberish gate ran
+    assert 0 < c["after_mixture"] <= c["after_dedup"]  # rebalancing ran
     assert c["published"] == c["chunks"] > 0
     out = spark.read.parquet(str(tmp_path / "training_chunks"))
-    assert {"doc_id", "shard", "seq_id", "offset_in_seq", "chunk_text"} <= set(out.columns)
+    assert {"doc_id", "shard", "seq_id", "offset_in_seq", "chunk_text", "split"} <= set(
+        out.columns
+    )
     assert out.count() == c["published"]
+    # split is a physical partition column with all three values
+    assert {r.split for r in out.select("split").distinct().collect()} == {
+        "train",
+        "val",
+        "test",
+    }
 
 
 def test_source_cap_identical_to_naive_single_window(spark):
