@@ -92,6 +92,12 @@ def main() -> None:
     def _decode(d):
         return decode_image(attach_ppm_payload(d))
 
+    from p6__mapreduce_spark.dedup.editdist import edit_distance_pairs as _editdist
+    from p6__mapreduce_spark.operators.analytics import skew_profile as _skew
+    from p6__mapreduce_spark.operators.ranking import bigram_perplexity as _bigram_ppl
+    from p6__mapreduce_spark.operators.textrank import textrank_keywords as _textrank
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd as _kmeans
+
     def _source_cap(d):
         # derive 7 sources from doc_id so inflation grows each source 10x
         # (the hot-source regime the salted two-stage cap is for)
@@ -139,6 +145,21 @@ def main() -> None:
         "source_cap": (lambda d: _source_cap(d), docs, inflate_documents),
         "minhash_geometry_probe": (lambda d: _geom(d), docs, inflate_documents),
         "multimodal_decode": (lambda d: _decode(d), docs, inflate_documents),
+        # round-4 session ops: kmeans scans kx rows per iteration with
+        # constant driver traffic; textrank's graph grows kx nodes/edges
+        # (disjoint vocab per copy); perplexity is two token-keyed
+        # joins; editdist pairs grow exactly kx (disjoint-vocab copies
+        # -> kx the base near-dup pair set); skew/textrank collapse to
+        # small outputs so time should track the scan
+        "kmeans_lloyd": (lambda d: _kmeans(d), emb, inflate_embeddings),
+        "textrank_keywords": (lambda d: _textrank(d), docs, inflate_documents),
+        "bigram_perplexity": (lambda d: _bigram_ppl(d), docs, inflate_documents),
+        "dedup_edit_distance": (
+            lambda d: _editdist(d, minhash_lsh_pairs(d)),
+            docs,
+            inflate_documents,
+        ),
+        "skew_profile": (lambda d: _skew(d, "doc_id"), docs, inflate_documents),
     }
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
