@@ -82,6 +82,7 @@ HEADLINE = [
     "tpch_q13_custdist",
     "tpch_q21_waiting_supplier",
     "tpch_q12_shipmode",
+    "tpch_q16_supplier_diversity",
     "skew_profile",
     "gap_fill_daily",
     # training-data pipeline passes

@@ -1274,6 +1274,40 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q16_supplier_diversity",
+    oracle="""
+    SELECT p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+           COUNT(DISTINCT l_partkey) AS part_cnt,
+           COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'BRAND#1'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to this schema (no partsupp table —
+    supplier diversity comes from lineitem's l_suppkey): MULTIPLE
+    COUNT(DISTINCT) over one grouped join. Spark plans this with an
+    Expand (one replica per distinct-aggregate) before a single
+    exchange — the multi-distinct pattern none of the other TPC-H
+    shapes exercise. The negated brand predicate still pushes to the
+    part scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "BRAND#1")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(
+            F.count_distinct("l_suppkey").alias("supplier_cnt"),
+            F.count_distinct("l_partkey").alias("part_cnt"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy("p_type", "p_size")
+    )
+
+
+@register(
     "tpch_q14_promo",
     oracle="""
     SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
