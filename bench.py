@@ -83,6 +83,7 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q12_shipmode",
     "tpch_q16_supplier_diversity",
+    "zorder_codes",
     "skew_profile",
     "gap_fill_daily",
     # training-data pipeline passes
@@ -105,7 +106,6 @@ HEADLINE = [
     "source_cap_sample",
     "temperature_mixture",
     "stable_dense_ids",
-    "leakage_safe_splits",
     "bigram_perplexity",
     "lexicon_hits",
     "event_props_variant",
@@ -132,6 +132,7 @@ HEADLINE = [
     # real dedup session would run them in anyway)
     "dedup_components",
     "dedup_cluster_stats",
+    "leakage_safe_splits",
     "minhash_estimate_error",
     "canonical_best_quality",
     "dedup_simhash",

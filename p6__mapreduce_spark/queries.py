@@ -786,6 +786,32 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def _zorder_oracle() -> str:
+    from p6__mapreduce_spark.functions.zorder import scaled_morton_oracle_expr
+
+    return f"""
+    SELECT o_orderkey,
+           {scaled_morton_oracle_expr("o_custkey", "o_orderkey", "orders")} AS zcode
+    FROM orders ORDER BY o_orderkey
+    """
+
+
+@register("zorder_codes", oracle=_zorder_oracle())
+def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key of (custkey, orderkey), each dimension
+    min-max-scaled to 16 bits first so both contribute at every bit
+    level — the multi-dimensional layout key behind ZORDER BY data
+    skipping (write_zordered lays files out by it; test_scale_features
+    measures the two-dimensional min/max tightening). Mask-shift
+    ladder + exact scaling, bit-identical in the DuckDB oracle."""
+    from p6__mapreduce_spark.functions.zorder import scaled_morton
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", scaled_morton(o, "o_custkey", "o_orderkey").alias("zcode")
+    ).orderBy("o_orderkey")
+
+
 @register(
     "event_props_variant",
     oracle="""

@@ -118,3 +118,75 @@ def test_runtime_bloom_filter_fires_and_preserves_result(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_morton_code_known_values(spark):
+    from p6__mapreduce_spark.functions.zorder import morton_code
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (0xFFFF, 0xFFFF), (2, 1)], "a long, b long"
+    )
+    got = [
+        r.z
+        for r in df.select(morton_code("a", "b").alias("z")).orderBy("a", "b").collect()
+    ]
+    #  (0,1)->1, (1,0)->2, (2,1)->9, (3,3)->15, (ffff,ffff)->2^32-1
+    assert got == [1, 2, 9, 15, 2**32 - 1]
+
+
+def test_zordered_write_tightens_both_dimensions(spark, tmp_path):
+    from p6__mapreduce_spark.functions.zorder import write_zordered
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    # 16 files = 4 top Morton bits = 2 bits of constraint PER dimension
+    write_zordered(orders, zpath, "o_custkey", "o_orderkey", n_files=16)
+    # baseline: single-column sort (narrow custkey, wide orderkey)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def spans(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        return (
+            df.groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("c_span"),
+                (F.max("o_orderkey") - F.min("o_orderkey")).alias("o_span"),
+            )
+            .agg(F.avg("c_span").alias("c"), F.avg("o_span").alias("o"))
+            .first()
+        )
+
+    z, s = spans(zpath), spans(spath)
+    olo, ohi, clo, chi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    full_o, full_c = ohi - olo, chi - clo
+    # single-column sort leaves orderkey unconstrained per file...
+    assert s.o > 0.8 * full_o
+    # ...while z-order tightens BOTH dimensions well below full span
+    assert z.o < 0.5 * full_o
+    assert z.c < 0.5 * full_c
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from p6__mapreduce_spark.functions.zorder import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    # simulate a fragmented streaming sink: 64 tiny files
+    load_table(spark, SF, "orders").repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n == 1  # tiny table: one file target
+    # content preserved exactly
+    assert (
+        spark.read.parquet(dst).orderBy("o_orderkey").collect()
+        == spark.read.parquet(src).orderBy("o_orderkey").collect()
+    )
