@@ -101,6 +101,7 @@ HEADLINE = [
     "sketch_weekly_users",
     "order_price_percentiles",
     "qty_discount_corr",
+    "lang_source_chisq",
     "rare_bigram_ratio",
     "stratified_sample",
     "source_cap_sample",

@@ -786,6 +786,73 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH raw AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), obs AS (
+      -- full contingency grid: absent (lang, source) combinations are
+      -- REAL zero cells and must contribute (0-e)^2/e
+      SELECT l.lang, s.source, COALESCE(r.o, 0) AS o
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s
+      LEFT JOIN raw r ON r.lang = l.lang AND r.source = s.source
+    ), margins AS (
+      SELECT lang, source, o,
+             CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+             CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM obs
+    ), cells AS (
+      SELECT n,
+             CAST(floor(
+               (o - row_n * 1.0 * col_n / n) * (o - row_n * 1.0 * col_n / n)
+               / (row_n * 1.0 * col_n / n) * 1000000 + 0.5) AS BIGINT) AS term_q6
+      FROM margins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(term_q6) AS BIGINT) AS chisq_q6
+    FROM cells
+    """,
+)
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for (lang, source) — the
+    categorical counterpart of qty_discount_corr's exact-moment
+    correlation. Observed and marginal counts are exact integers; each
+    cell's (o-e)^2/e is identical double arithmetic in both engines
+    and is quantized to a 1e-6 int BEFORE the sum, so the total is
+    order-independent at any partitioning (the same
+    quantize-then-integer-sum recipe as unigram_surprise)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # full contingency grid (bounded: n_langs x n_sources categories) —
+    # absent combinations are real zero cells and must contribute e
+    grid = docs.select("lang").distinct().crossJoin(docs.select("source").distinct())
+    obs = grid.join(raw, ["lang", "source"], "left").select(
+        "lang", "source", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    m = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_n") * F.lit(1.0) * F.col("col_n") / F.col("n")
+    term_q6 = (
+        F.floor((F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+    )
+    return m.select("n", term_q6.alias("term_q6")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_docs"),
+        F.sum("term_q6").cast("long").alias("chisq_q6"),
+    )
+
+
 def _zorder_oracle() -> str:
     from p6__mapreduce_spark.functions.zorder import scaled_morton_oracle_expr
 

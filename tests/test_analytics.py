@@ -155,3 +155,29 @@ def test_gap_fill_daily_carries_value_through_silent_days(spark):
         (1, 4, 7.0, True),
         (2, 2, 9.0, True),
     ]
+
+
+def test_lang_source_chisq_independent_vs_dependent(spark):
+    from p6__mapreduce_spark.queries import QUERIES
+    import tempfile, shutil, os
+
+    def run(rows):
+        d = tempfile.mkdtemp(prefix="p6_chisq_")
+        try:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return QUERIES["lang_source_chisq"](spark, d).collect()[0]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # perfectly independent 2x2 (equal counts): chi-square exactly 0
+    indep = [(i, "t", ["en", "de"][i % 2], ["a", "b"][(i // 2) % 2], 1) for i in range(40)]
+    r = run(indep)
+    assert r.n_cells == 4 and r.chisq_q6 == 0
+    # perfectly dependent (lang determines source): chi-square == n
+    dep = [(i, "t", ["en", "de"][i % 2], ["a", "b"][i % 2], 1) for i in range(40)]
+    r2 = run(dep)
+    # full grid: 4 cells incl. the two zero cells; chi2 = n for a
+    # perfectly-associated 2x2
+    assert r2.n_cells == 4 and r2.chisq_q6 == 40 * 10**6
