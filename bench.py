@@ -102,6 +102,7 @@ HEADLINE = [
     "order_price_percentiles",
     "qty_discount_corr",
     "lang_source_chisq",
+    "event_value_mad",
     "rare_bigram_ratio",
     "stratified_sample",
     "source_cap_sample",

@@ -414,3 +414,77 @@ SELECT dim, n,
        min_q, max_q
 FROM agg ORDER BY dim
 """
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, *, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier profile via Median Absolute Deviation —
+    the quantile cousin of winsorization: MAD survives the very
+    outliers a stddev-based z-score is inflated by.
+
+    Positional definitions make it engine-exact: median = value at row
+    ceil(n/2) of the group's ascending sort (lower median, no
+    interpolation), MAD = the same positional median of |v - median|.
+    Outlier = deviation > k * MAD. Two rank windows per group + one
+    join back; all comparisons are IEEE doubles derived from the same
+    inputs in both engines.
+    """
+    w_v = Window.partitionBy("g").orderBy(F.col("v").asc())
+    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    counted = vals.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        vals.withColumn("rn", F.row_number().over(w_v))
+        .join(F.broadcast(counted), "g")
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("g", F.col("v").alias("med"))
+    )
+    dev = vals.join(F.broadcast(med), "g").withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    w_d = Window.partitionBy("g").orderBy(F.col("dev").asc())
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_d))
+        .join(F.broadcast(counted), "g")
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("g", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .withColumnRenamed("g", group_col)
+        .orderBy(group_col)
+    )
+
+
+MAD_OUTLIERS_ORACLE_SQL = """
+WITH vals AS (
+  SELECT {group} AS g, {value} AS v FROM {table}
+), counted AS (
+  SELECT g, COUNT(*) AS n FROM vals GROUP BY 1
+), med AS (
+  SELECT g, v AS med FROM (
+    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC) AS rn
+    FROM vals
+  ) JOIN counted USING (g)
+  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+), dev AS (
+  SELECT vals.g, abs(v - med) AS dev FROM vals JOIN med USING (g)
+), mad AS (
+  SELECT g, dev AS mad FROM (
+    SELECT g, dev, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev ASC) AS rn
+    FROM dev
+  ) JOIN counted USING (g)
+  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT dev.g AS {group}, COUNT(*) AS n, MAX(med.med) AS med, MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev > {k} * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (g) JOIN med USING (g)
+GROUP BY 1 ORDER BY 1
+"""

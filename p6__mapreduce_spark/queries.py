@@ -786,6 +786,25 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def _mad_oracle() -> str:
+    from p6__mapreduce_spark.operators.analytics import MAD_OUTLIERS_ORACLE_SQL
+
+    return MAD_OUTLIERS_ORACLE_SQL.format(
+        group="event_type", value="value", table="events", k=3.0
+    )
+
+
+@register("event_value_mad", oracle=_mad_oracle())
+def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: positional median + MAD
+    (no interpolation — engine-exact), outlier = deviation > 3*MAD.
+    The robust-statistics cousin of winsorized_event_values: MAD
+    survives the very outliers stddev is inflated by."""
+    from p6__mapreduce_spark.operators.analytics import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
 @register(
     "lang_source_chisq",
     oracle="""

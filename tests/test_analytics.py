@@ -181,3 +181,15 @@ def test_lang_source_chisq_independent_vs_dependent(spark):
     # full grid: 4 cells incl. the two zero cells; chi2 = n for a
     # perfectly-associated 2x2
     assert r2.n_cells == 4 and r2.chisq_q6 == 40 * 10**6
+
+
+def test_mad_outliers_hand_computed(spark):
+    from p6__mapreduce_spark.operators.analytics import mad_outliers
+
+    # group a: values 1..7 plus a wild 1000 -> n=8, lower median at
+    # pos ceil(8/2)=4 -> 4.0; devs sorted [0,1,1,2,2,3,3,996] -> MAD at
+    # pos 4 -> 2.0; outliers: dev > 6 -> only 1000
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outliers(df, "g", "v").collect()[0]
+    assert (r.n, r.med, r.mad, r.n_outliers) == (8, 4.0, 2.0, 1)
