@@ -161,6 +161,7 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_frames",
     "multimodal_decode",
+    "multimodal_audio_decode",
     "multimodal_resize",
 ]
 

@@ -201,3 +201,84 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 100) 
     return df.select("doc_id", payload_col).mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame binary"
     )
+
+
+def attach_wav_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mint a REAL decodable audio clip per document: a canonical PCM
+    WAV whose int16 samples are the doc's UTF-8 bytes read as
+    little-endian pairs (N = len//2 samples, >= 1 enforced by the
+    filter). Deterministic, so the decode oracle recomputes every
+    sample statistic from ``text`` alone in SQL — the audio analogue
+    of ``attach_ppm_payload``."""
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.wav import encode_wav
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                b = text.encode("utf-8")
+                n = len(b) // 2
+                samples = np.frombuffer(b[: n * 2], dtype="<i2")
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        docs.filter(F.length(F.encode(F.col(text_col), "UTF-8")) >= 2)
+        .select("doc_id", text_col)
+        .mapInPandas(mint, schema="doc_id long, payload binary")
+    )
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for PCM WAV payloads — pure NumPy chunk walk,
+    no codec library — returning per-clip sample count, rate, and
+    exact integer amplitude statistics (sum, sum of absolute values,
+    peak), the features an audio-quality gate (silence/clipping
+    filters) needs without keeping waveforms.
+
+    Compressed audio is an honest capability gate: MP3/OGG/FLAC magic
+    raises (no ffmpeg/libsndfile in this container); the WAV path
+    decodes for real."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from p6__mapreduce_spark.multimodal.wav import decode_wav
+
+        for pdf in batches:
+            ids, ns, rates, ssum, sabs, peak = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                magic = bytes(payload[:4])
+                if magic[:3] == b"ID3" or magic[:2] == b"\xff\xfb" or magic == b"OggS" or magic == b"fLaC":
+                    raise NotImplementedError(
+                        "compressed audio needs ffmpeg/libsndfile, not "
+                        "available here; PCM WAV decodes for real on this path"
+                    )
+                rate, samples = decode_wav(payload)
+                s64 = samples.astype("int64")
+                ids.append(doc_id)
+                ns.append(len(samples))
+                rates.append(rate)
+                ssum.append(int(s64.sum()))
+                sabs.append(int(np.abs(s64).sum()))
+                peak.append(int(np.abs(s64).max()) if len(samples) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                    "sum_amp": ssum,
+                    "sum_abs_amp": sabs,
+                    "peak_amp": peak,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_samples long, sample_rate int, "
+            "sum_amp long, sum_abs_amp long, peak_amp long"
+        ),
+    )

@@ -3517,6 +3517,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH au AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+      FROM documents WHERE octet_length(encode(text)) >= 2
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, CAST(n AS INTEGER)), i ->
+               (ascii(substr(text, CAST(2*i+1 AS INTEGER), 1))
+                + 256 * ascii(substr(text, CAST(2*i+2 AS INTEGER), 1)))
+               - 65536 * CASE WHEN ascii(substr(text, CAST(2*i+2 AS INTEGER), 1)) >= 128
+                              THEN 1 ELSE 0 END) AS samp
+      FROM au
+    )
+    SELECT doc_id, n AS n_samples, CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(list_sum(samp) AS BIGINT) AS sum_amp,
+           CAST(list_sum(list_transform(samp, x -> abs(x))) AS BIGINT) AS sum_abs_amp,
+           CAST(list_max(list_transform(samp, x -> abs(x))) AS BIGINT) AS peak_amp
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (the WAV analogue of multimodal_decode): each
+    doc mints a canonical PCM WAV whose int16 samples are its UTF-8
+    bytes as little-endian pairs; decode_audio walks the RIFF chunks
+    with pure NumPy inside Arrow-batched mapInPandas and returns exact
+    integer amplitude stats. The oracle recomputes every sample from
+    the text (int16 reconstruction incl. the sign bit) — the decode
+    path is hash-checked cross-engine."""
+    from p6__mapreduce_spark.multimodal.columns import attach_wav_payload, decode_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(attach_wav_payload(docs)).orderBy("doc_id")
+
+
+@register(
     "multimodal_resize",
     oracle=f"""
     WITH img AS (

@@ -135,3 +135,54 @@ def test_compressed_decode_is_explicit_gate(spark):
     )
     with pytest.raises(Exception, match="Pillow"):
         decode_image(jpeg).collect()
+
+
+def test_wav_roundtrip_including_negative_samples():
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.wav import decode_wav, encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    rate, got = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+def test_wav_decode_walks_extra_chunks_and_validates():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from p6__mapreduce_spark.multimodal.wav import decode_wav, encode_wav
+
+    wav = bytearray(encode_wav(np.array([5, -5], dtype=np.int16)))
+    # splice a LIST/INFO chunk between fmt and data (legal WAV)
+    info = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = bytes(wav[:36]) + info + bytes(wav[36:])
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, got = decode_wav(spliced)
+    assert list(got) == [5, -5]
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))  # foreign container
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav[:40]))  # truncated data chunk
+
+
+def test_decode_audio_stats_match_numpy(spark):
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.columns import attach_wav_payload, decode_audio
+
+    docs = spark.createDataFrame(
+        [(0, "abcdef"), (1, "xy")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in decode_audio(attach_wav_payload(docs)).collect()}
+    for doc_id, text in [(0, "abcdef"), (1, "xy")]:
+        want = np.frombuffer(text.encode()[: len(text) // 2 * 2], dtype="<i2").astype(
+            "int64"
+        )
+        r = rows[doc_id]
+        assert r.n_samples == len(want) and r.sample_rate == 16000
+        assert r.sum_amp == want.sum() and r.sum_abs_amp == np.abs(want).sum()
+        assert r.peak_amp == np.abs(want).max()
