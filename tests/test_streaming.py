@@ -293,3 +293,98 @@ def test_rocksdb_state_store_matches_default(spark):
     finally:
         spark.conf.set(key, saved)
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_transform_with_state_running_counts(spark):
+    """Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state variables, timers, RocksDB-only
+    backend). Pin it end-to-end: per-user running counts across two
+    forced micro-batches must equal the batch GROUP BY.
+
+    Capability gate: the API's driver-side schema worker imports
+    google.protobuf, which this container ships broken (no pip
+    installs allowed) — skip with the real reason rather than
+    pretending coverage. applyInPandasWithState (same semantics, no
+    protobuf dependency) is the oracle-checked path
+    (stateful_running_totals)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState needs google.protobuf (broken in this "
+            "container); applyInPandasWithState covers arbitrary "
+            "stateful streaming on the oracle-checked path"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "cnt long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.count.get()
+            total = (prev[0] if prev else 0) + n
+            self.count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id")
+    want = {
+        (r.user_id, r.n): None
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    src = tempfile.mkdtemp(prefix="p6_tws_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    try:
+        events.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+        events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.user_id, r.n): None
+                for r in spark.sql(
+                    "SELECT user_id, MAX(n_events) AS n FROM t_tws GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        assert got == want and len(got) > 50
+    finally:
+        spark.conf.set(key, saved)
+        shutil.rmtree(src, ignore_errors=True)
