@@ -162,6 +162,7 @@ HEADLINE = [
     "multimodal_frames",
     "multimodal_decode",
     "multimodal_audio_decode",
+    "multimodal_video_decode",
     "multimodal_resize",
 ]
 

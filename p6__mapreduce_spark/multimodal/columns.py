@@ -282,3 +282,83 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             "sum_amp long, sum_abs_amp long, peak_amp long"
         ),
     )
+
+
+_Y4M_W, _Y4M_H = 8, 2
+_Y4M_FRAME = _Y4M_W * _Y4M_H * 3  # C444: three full planes
+
+
+def attach_y4m_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mint a REAL decodable video clip per document: a YUV4MPEG2 C444
+    stream (8x2, F = len//48 frames >= 1) whose planes are the doc's
+    UTF-8 bytes in order — the video analogue of attach_ppm_payload /
+    attach_wav_payload, deterministic so the decode oracle recomputes
+    every plane statistic from ``text`` in SQL."""
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.y4m import encode_y4m
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                b = text.encode("utf-8")
+                n = len(b) // _Y4M_FRAME
+                arr = np.frombuffer(b[: n * _Y4M_FRAME], dtype=np.uint8)
+                payloads.append(encode_y4m(arr.reshape(n, 3, _Y4M_H, _Y4M_W)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        docs.filter(F.length(F.encode(F.col(text_col), "UTF-8")) >= _Y4M_FRAME)
+        .select("doc_id", text_col)
+        .mapInPandas(mint, schema="doc_id long, payload binary")
+    )
+
+
+def decode_video(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL video decode for Y4M streams — header + frame-marker walk
+    in pure NumPy — returning frame count, dimensions, and exact
+    integer per-plane sums (the black-clip / static-clip screening
+    features). Compressed containers raise an honest capability gate
+    (ffmpeg absent here); Y4M decodes for real."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from p6__mapreduce_spark.multimodal.y4m import decode_y4m
+
+        for pdf in batches:
+            ids, nf, ws, hs, sy, su, sv = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                magic = bytes(payload[:8])
+                if magic[4:8] == b"ftyp" or magic[:4] == b"\x1aE\xdf\xa3":
+                    raise NotImplementedError(
+                        "MP4/WebM decode requires ffmpeg, not available "
+                        "here; Y4M decodes for real on this path"
+                    )
+                frames = decode_y4m(payload)
+                s = frames.astype("int64").sum(axis=(0, 2, 3))
+                ids.append(doc_id)
+                nf.append(frames.shape[0])
+                hs.append(frames.shape[2])
+                ws.append(frames.shape[3])
+                sy.append(int(s[0]))
+                su.append(int(s[1]))
+                sv.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "width": ws,
+                    "height": hs,
+                    "sum_y": sy,
+                    "sum_u": su,
+                    "sum_v": sv,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_frames long, width int, height int, "
+            "sum_y long, sum_u long, sum_v long"
+        ),
+    )

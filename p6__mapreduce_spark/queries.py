@@ -3552,6 +3552,43 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(attach_wav_payload(docs)).orderBy("doc_id")
 
 
+def _y4m_plane_sum(p: int) -> str:
+    # sum over all frames of the 16 plane bytes: frame f's plane p
+    # occupies text bytes 48f + 16p + [0..15] (8x2 C444 layout)
+    return (
+        "CAST(list_sum(flatten(list_transform(range(0, CAST(n_frames AS INTEGER)), "
+        f"f -> list_transform(range(0, 16), j -> "
+        f"ascii(substr(text, CAST(48 * f + 16 * {p} + j + 1 AS INTEGER), 1)))))) AS BIGINT)"
+    )
+
+
+@register(
+    "multimodal_video_decode",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) // 48 AS BIGINT) AS n_frames
+      FROM documents WHERE octet_length(encode(text)) >= 48
+    )
+    SELECT doc_id, n_frames, CAST(8 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           {_y4m_plane_sum(0)} AS sum_y,
+           {_y4m_plane_sum(1)} AS sum_u,
+           {_y4m_plane_sum(2)} AS sum_v
+    FROM v ORDER BY doc_id
+    """,
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode completing the codec-free modality triad
+    (PPM image, WAV audio, Y4M video): each doc mints a YUV4MPEG2 C444
+    stream whose frames are its UTF-8 bytes; decode_video walks the
+    header + FRAME markers in pure NumPy inside Arrow-batched
+    mapInPandas and returns exact per-plane integer sums, hash-checked
+    against the SQL recomputation from text."""
+    from p6__mapreduce_spark.multimodal.columns import attach_y4m_payload, decode_video
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video(attach_y4m_payload(docs)).orderBy("doc_id")
+
+
 @register(
     "multimodal_resize",
     oracle=f"""

@@ -186,3 +186,35 @@ def test_decode_audio_stats_match_numpy(spark):
         assert r.n_samples == len(want) and r.sample_rate == 16000
         assert r.sum_amp == want.sum() and r.sum_abs_amp == np.abs(want).sum()
         assert r.peak_amp == np.abs(want).max()
+
+
+def test_y4m_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from p6__mapreduce_spark.multimodal.y4m import decode_y4m, encode_y4m
+
+    frames = np.arange(2 * 3 * 2 * 4, dtype=np.uint8).reshape(2, 3, 2, 4)
+    got = decode_y4m(encode_y4m(frames))
+    assert np.array_equal(got, frames)
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....WAVE")  # foreign container
+    with pytest.raises(ValueError):
+        # C420 (the spec default when no C tag): honest unsupported
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        decode_y4m(encode_y4m(frames)[:-5])  # truncated final frame
+
+
+def test_decode_video_stats_match_numpy(spark):
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.columns import attach_y4m_payload, decode_video
+
+    text = "".join(chr(97 + (i % 26)) for i in range(100))  # 100 bytes -> 2 frames
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = decode_video(attach_y4m_payload(docs)).collect()[0]
+    b = np.frombuffer(text.encode()[:96], dtype=np.uint8).reshape(2, 3, 2, 8)
+    sums = b.astype("int64").sum(axis=(0, 2, 3))
+    assert (r.n_frames, r.width, r.height) == (2, 8, 2)
+    assert (r.sum_y, r.sum_u, r.sum_v) == tuple(int(x) for x in sums)
