@@ -163,6 +163,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    "multimodal_audio_downsample",
     "multimodal_resize",
 ]
 

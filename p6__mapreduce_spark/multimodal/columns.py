@@ -362,3 +362,26 @@ def decode_video(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             "sum_y long, sum_u long, sum_v long"
         ),
     )
+
+
+def downsample_audio(df: DataFrame, factor: int = 2, payload_col: str = "payload") -> DataFrame:
+    """REAL audio downsample for WAV payloads: decode -> keep every
+    ``factor``-th sample (decimation, the nearest-neighbor resize of
+    audio) -> re-encode at rate//factor. Returns (doc_id, payload)
+    with every payload a valid PCM WAV — same mapInPandas shape as
+    resize_image; an ffmpeg-backed resampler would slot into the same
+    batch body."""
+
+    def down(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from p6__mapreduce_spark.multimodal.wav import decode_wav, encode_wav
+
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                rate, samples = decode_wav(p)
+                out.append(encode_wav(samples[::factor], sample_rate=rate // factor))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        down, schema="doc_id long, payload binary"
+    )

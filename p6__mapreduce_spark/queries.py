@@ -3552,6 +3552,47 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(attach_wav_payload(docs)).orderBy("doc_id")
 
 
+@register(
+    "multimodal_audio_downsample",
+    oracle="""
+    WITH au AS (
+      SELECT doc_id, text,
+             CAST((octet_length(encode(text)) // 2 + 1) // 2 AS BIGINT) AS n
+      FROM documents WHERE octet_length(encode(text)) >= 2
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, CAST(n AS INTEGER)), i ->
+               (ascii(substr(text, CAST(4*i+1 AS INTEGER), 1))
+                + 256 * ascii(substr(text, CAST(4*i+2 AS INTEGER), 1)))
+               - 65536 * CASE WHEN ascii(substr(text, CAST(4*i+2 AS INTEGER), 1)) >= 128
+                              THEN 1 ELSE 0 END) AS samp
+      FROM au
+    )
+    SELECT doc_id, n AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(list_sum(samp) AS BIGINT) AS sum_amp,
+           CAST(list_sum(list_transform(samp, x -> abs(x))) AS BIGINT) AS sum_abs_amp,
+           CAST(list_max(list_transform(samp, x -> abs(x))) AS BIGINT) AS peak_amp
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation (the resize of audio): decode -> every
+    2nd sample -> re-encode at half rate -> decode again for stats.
+    The oracle replays the index mapping literally (samples 0,2,4,...
+    = byte pairs 4i+1/4i+2), so the resample arithmetic is
+    hash-checked, not just shape-checked."""
+    from p6__mapreduce_spark.multimodal.columns import (
+        attach_wav_payload,
+        decode_audio,
+        downsample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(downsample_audio(attach_wav_payload(docs), factor=2)).orderBy(
+        "doc_id"
+    )
+
+
 def _y4m_plane_sum(p: int) -> str:
     # sum over all frames of the 16 plane bytes: frame f's plane p
     # occupies text bytes 48f + 16p + [0..15] (8x2 C444 layout)

@@ -218,3 +218,18 @@ def test_decode_video_stats_match_numpy(spark):
     sums = b.astype("int64").sum(axis=(0, 2, 3))
     assert (r.n_frames, r.width, r.height) == (2, 8, 2)
     assert (r.sum_y, r.sum_u, r.sum_v) == tuple(int(x) for x in sums)
+
+
+def test_downsample_audio_halves_and_keeps_even_samples(spark):
+    import numpy as np
+
+    from p6__mapreduce_spark.multimodal.columns import attach_wav_payload, downsample_audio
+    from p6__mapreduce_spark.multimodal.wav import decode_wav
+
+    text = "abcdefgh"  # 4 samples
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    payload = downsample_audio(attach_wav_payload(docs), factor=2).collect()[0].payload
+    rate, got = decode_wav(bytes(payload))
+    want = np.frombuffer(text.encode(), dtype="<i2")[::2]
+    assert rate == 8000
+    assert np.array_equal(got, want)
