@@ -99,3 +99,31 @@ def test_doc_chunks_reconstructs_token_stream(spark):
             # tokens before len(stream) are already emitted; append the rest
             stream += toks[len(stream) - start :]
         assert stream == want[doc_id], doc_id
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_code_interleave_roundtrip(spark, pairs):
+    """morton_code is a bijection on uint16 pairs: de-interleaving the
+    engine's output bits recovers exactly (a, b), for arbitrary
+    inputs — the property the Z-order layout key depends on."""
+    from p6__mapreduce_spark.functions.zorder import morton_code
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", morton_code("a", "b").alias("z")).collect()
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(16):
+            b |= ((z >> (2 * i)) & 1) << i
+            a |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r.z) == (r.a, r.b)
