@@ -111,6 +111,7 @@ HEADLINE = [
     "bigram_perplexity",
     "lexicon_hits",
     "event_props_variant",
+    "udaf_source_gmean",
     "embedding_dim_stats",
     # text / dedup / similarity / multimodal
     "token_stats",

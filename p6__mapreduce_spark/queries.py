@@ -899,6 +899,45 @@ def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udaf_source_gmean",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_log_q6,
+           CAST(SUM(CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) * 1.0
+             / (COUNT(*) * 1000000) AS avg_log
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_udaf_source_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF (GROUPED_AGG — the aggregate face of the
+    pandas-UDF surface, Arrow-batched per group): log-domain geometric
+    mean of document length per source. Per-value logs quantize to
+    1e-6 ints inside the UDAF, so the group sum is exact integer
+    arithmetic — the one construction that makes a PYTHON aggregate
+    hash-identical to the SQL oracle (exp is left to the caller:
+    monotone, and float exp would only add noise)."""
+    from p6__mapreduce_spark.functions.udafs import n_rows, sum_log_q6
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            n_rows(F.col("n_chars")).alias("n_docs"),
+            sum_log_q6(F.col("n_chars")).alias("sum_log_q6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_log_q6",
+            (F.col("sum_log_q6") * F.lit(1.0) / (F.col("n_docs") * F.lit(1e6))).alias(
+                "avg_log"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "event_props_variant",
     oracle="""
     SELECT event_type,
