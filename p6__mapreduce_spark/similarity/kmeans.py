@@ -95,7 +95,13 @@ def kmeans_lloyd(
     shuffle of k rows × (d+1) columns.
     """
     spark = embeddings.sparkSession
-    q = embeddings.select(F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e"))
+    # one materialization feeds init + every iteration + the final
+    # stats (2*iters + 2 separate jobs otherwise re-scan the source and
+    # re-quantize each time — measured ~40% of wall at sf0.1); at
+    # cluster scale this is the written quantized-features intermediate
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
+    ).localCheckpoint(eager=True)
 
     init = (
         q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
