@@ -190,3 +190,39 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         spark.read.parquet(dst).orderBy("o_orderkey").collect()
         == spark.read.parquet(src).orderBy("o_orderkey").collect()
     )
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact table on
+    its partition column with a SELECTIVE dimension must inject a
+    dynamicpruning subquery into the fact scan — at 100 TB this is
+    what turns a full-table scan into reading only the partitions the
+    dim side selects. Pinned on a returnflag-partitioned lineitem."""
+    from p6__mapreduce_spark.plans import formatted_plan
+
+    fact_path = str(tmp_path / "li_part")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").parquet(fact_path)
+
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "ack")], "flag string, label string"
+    ).filter(F.col("label") == "returned")
+
+    fact = spark.read.parquet(fact_path)
+    joined = (
+        fact.join(dim.hint("broadcast"), fact["l_returnflag"] == dim["flag"])
+        .groupBy("label")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    # and the result equals the statically-filtered aggregate
+    want = (
+        li.filter(F.col("l_returnflag") == "R")
+        .agg(F.sum("l_quantity"))
+        .first()[0]
+    )
+    got = joined.collect()
+    assert len(got) == 1 and got[0].qty == want
