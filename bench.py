@@ -149,6 +149,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "kmeans_lloyd",
+    "pq_codes",
     "ann_recall_audit",
     "embedding_neardup",
     "semantic_dedup",

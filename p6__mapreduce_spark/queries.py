@@ -1256,6 +1256,25 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def _pq_oracle() -> str:
+    from p6__mapreduce_spark.similarity.pq import pq_oracle_sql
+
+    return pq_oracle_sql(m=8, k=16, iters=2, dsub=8)
+
+
+@register("pq_codes", oracle=_pq_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, the FAISS IVF-PQ
+    compression): 64-dim vectors -> 8 one-byte codes via 8 independent
+    integer-exact Lloyd codebooks + a map-side argmin encode. The
+    ENTIRE pipeline — all 8 trainings, the encoding, and each vector's
+    exact quantization error — is reproduced bit-for-bit by one
+    unrolled DuckDB oracle (8 prefixed CTE chains)."""
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    return pq_codes(load_table(spark, sf_dir, "embeddings"), m=8, k=16, iters=2)
+
+
 @register("semantic_dedup")  # oracle generated per sf-dir in get_oracle_sql()
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): coarse k-means clustering bounds

@@ -76,6 +76,38 @@ def _round_half_away(v: float) -> int:
     return int(Decimal(v).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
+def lloyd_train(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """The driver-coordinated Lloyd loop over a (vec_id, e) DataFrame
+    of quantized int64 vectors: init = the k smallest ids' vectors,
+    per round one map-side assignment + one k-row partial-agg shuffle,
+    k*d ints back to the driver. Shared by kmeans_lloyd and the
+    product quantizer (which trains one codebook per subspace)."""
+    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
+    cents: list[list[int]] = [list(r.e) for r in init]
+    d = len(cents[0])
+    for _ in range(iters):
+        assigned = q.select(_best_expr("e", cents).getField("i").alias("cluster_id"), "e")
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        by_cluster = {int(r.cluster_id): r for r in stats}
+        cents = [
+            [
+                _round_half_away(by_cluster[c][f"s{i}"] * 1.0 / by_cluster[c]["n"])
+                for i in range(d)
+            ]
+            if c in by_cluster
+            else cents[c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+    return cents
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -103,33 +135,7 @@ def kmeans_lloyd(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     ).localCheckpoint(eager=True)
 
-    init = (
-        q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
-    )
-    cents: list[list[int]] = [list(r.e) for r in init]
-    d = len(cents[0])
-
-    for _ in range(iters):
-        assigned = q.select(_best_expr("e", cents).getField("i").alias("cluster_id"), "e")
-        stats = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(d)],
-            )
-            .collect()
-        )
-        by_cluster = {int(r.cluster_id): r for r in stats}
-        cents = [
-            [
-                _round_half_away(by_cluster[c][f"s{i}"] * 1.0 / by_cluster[c]["n"])
-                for i in range(d)
-            ]
-            if c in by_cluster
-            else cents[c]  # empty cluster: keep previous centroid
-            for c in range(k)
-        ]
-
+    cents = lloyd_train(q, k, iters)
     best = _best_expr("e", cents)
     final_stats = (
         q.select(
@@ -157,25 +163,28 @@ def kmeans_lloyd(
     )
 
 
-def _iteration_sql(prev: str, nxt: str, step: int, k: int) -> str:
+def _iteration_sql(prev: str, nxt: str, step: int, k: int, *, src: str = "q", pre: str = "") -> str:
     """One unrolled Lloyd round: assignment (window argmin with the
     same (distance, cluster_id) tie-break), per-(cluster, dim) integer
-    sums, centroid update with empty-cluster COALESCE."""
+    sums, centroid update with empty-cluster COALESCE. ``src`` names
+    the quantized-vectors CTE and ``pre`` prefixes the working CTE
+    names so multiple chains (one per PQ subspace) can coexist in a
+    single WITH."""
     return f"""
-a{step} AS (
+{pre}a{step} AS (
   SELECT vec_id, e, cluster_id,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
   FROM (
     SELECT q.vec_id, q.e, c.cluster_id,
            CAST(list_sum(list_transform(list_zip(q.e, c.c),
                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
-    FROM q CROSS JOIN {prev} c
+    FROM {src} q CROSS JOIN {prev} c
   )
 ),
-s{step} AS (
+{pre}s{step} AS (
   SELECT cluster_id, dim, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
   FROM (SELECT cluster_id, generate_subscripts(e, 1) AS dim, unnest(e) AS v
-        FROM a{step} WHERE rn = 1)
+        FROM {pre}a{step} WHERE rn = 1)
   GROUP BY 1, 2
 ),
 {nxt}x AS (
@@ -183,7 +192,7 @@ s{step} AS (
          COALESCE(CAST(round(s.s * 1.0 / s.n) AS BIGINT), p.coord) AS coord
   FROM (SELECT cluster_id, generate_subscripts(c, 1) AS dim, unnest(c) AS coord
         FROM {prev}) p
-  LEFT JOIN s{step} s USING (cluster_id, dim)
+  LEFT JOIN {pre}s{step} s USING (cluster_id, dim)
 ),
 {nxt} AS (
   SELECT cluster_id, list(coord ORDER BY dim) AS c FROM {nxt}x GROUP BY 1

@@ -1,0 +1,149 @@
+"""Product quantization (Jégou et al. 2011) — the compression behind
+billion-scale ANN indexes (FAISS IVF-PQ): split each d-dim vector
+into ``m`` subvectors, train an independent small codebook (k-means,
+k codes) per subspace, and store each vector as m one-byte code ids.
+64-dim float32 (256 B) becomes 8 B with distance computation reduced
+to m table lookups per candidate.
+
+Built entirely from this repo's exactly-reproducible integer k-means
+(``kmeans.lloyd_train``): coordinates quantize to 1e-6 int64 once,
+every subspace codebook trains with exact integer arithmetic, and the
+final code assignment is a map-side nested-array-literal argmin — so
+the WHOLE PIPELINE (8 trainings + encoding + per-vector quantization
+error) is reproduced bit-for-bit by an unrolled DuckDB oracle, which
+is normally impossible for float k-means.
+
+Scale shape: one quantize+checkpoint pass, then per subspace
+``iters`` rounds of (map-side assignment + k-row partial-agg shuffle)
+— driver traffic m*k*dsub ints total; encoding is a single map-side
+pass over the checkpointed vectors. At 100 TB the codebooks train on
+a sample and the encode pass streams — the same two-phase shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.similarity.kmeans import (
+    QUANT,
+    _best_expr,
+    _iteration_sql,
+    lloyd_train,
+    quantized_expr,
+)
+
+
+def _sub_expr(e_col: str, s: int, dsub: int) -> Column:
+    return F.slice(F.col(e_col), s * dsub + 1, dsub)
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, subspace, code, err_q): each vector's code id per
+    subspace plus the exact squared quantization error to its chosen
+    code — m rows per vector (the exploded layout keeps every cell a
+    scalar integer, hash-stable cross-engine)."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
+    ).localCheckpoint(eager=True)
+
+    codebooks = [
+        lloyd_train(q.select("vec_id", _sub_expr("e", s, dsub).alias("e")), k, iters)
+        for s in range(m)
+    ]
+
+    per_sub = [
+        F.struct(
+            F.lit(s).cast("long").alias("subspace"),
+            _pq_best(s, dsub, codebooks[s]).alias("b"),
+        )
+        for s in range(m)
+    ]
+    return (
+        q.select("vec_id", F.explode(F.array(*per_sub)).alias("ps"))
+        .select(
+            "vec_id",
+            F.col("ps.subspace").alias("subspace"),
+            F.col("ps.b.i").alias("code"),
+            F.col("ps.b.d").alias("err_q"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+def _pq_best(s: int, dsub: int, codebook: list[list[int]]) -> Column:
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    sub = F.slice(F.col("e"), s * dsub + 1, dsub)
+    matrix = F.lit([[int(x) for x in c] for c in codebook])
+
+    def dist(c: Column, i: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d.alias("d"), i.cast("long").alias("i"))
+
+    return F.array_min(F.transform(matrix, dist))
+
+
+def pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8) -> str:
+    """The full PQ pipeline — m independent unrolled Lloyd chains over
+    sliced vectors plus the final per-subspace assignments — as ONE
+    DuckDB query (the per-subspace CTE chains share the WITH via name
+    prefixes)."""
+    parts = [
+        f"""qq AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {QUANT}.0) AS BIGINT) for x in embedding] AS e
+  FROM embeddings
+)"""
+    ]
+    selects = []
+    for s in range(m):
+        pre = f"p{s}"
+        parts.append(
+            f"{pre}q AS (SELECT vec_id, e[{s * dsub + 1}:{(s + 1) * dsub}] AS e FROM qq)"
+        )
+        parts.append(
+            f"{pre}c0 AS (SELECT vec_id AS cluster_id, e AS c FROM {pre}q WHERE vec_id < {k})"
+        )
+        for i in range(iters):
+            parts.append(
+                _iteration_sql(
+                    f"{pre}c{i}", f"{pre}c{i + 1}", i + 1, k, src=f"{pre}q", pre=pre
+                ).lstrip()
+            )
+        parts.append(
+            f"""{pre}asg AS (
+  SELECT vec_id, cluster_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM (
+    SELECT q.vec_id, c.cluster_id,
+           CAST(list_sum(list_transform(list_zip(q.e, c.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+    FROM {pre}q q CROSS JOIN {pre}c{iters} c
+  )
+)"""
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, cluster_id AS code, dist AS err_q "
+            f"FROM {pre}asg WHERE rn = 1"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY vec_id, subspace"

@@ -193,3 +193,36 @@ def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
     assert by_c[1][1].n_points == 0 and by_c[1][1].inertia_q == 0
     # the empty cluster's centroid survives as its init value
     assert by_c[1][1].coord_q == by_c[0][1].coord_q == int(0.5 * QUANT)
+
+
+def test_pq_codes_recover_planted_subspace_clusters(spark):
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    # 4-dim vectors, m=2 subspaces of 2 dims; each subspace has two
+    # planted clusters ((0,0) vs (5,5)); ids 0/1 seed k=2 init with one
+    # member of each cluster in BOTH subspaces
+    lo, hi = [0.01, 0.02], [5.01, 5.02]
+    rows = [
+        (0, lo + lo),
+        (1, hi + hi),
+        (2, lo + hi),
+        (3, hi + lo),
+        (4, [0.03, 0.0] + [4.99, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_id, r.subspace): r for r in pq_codes(df, m=2, k=2, iters=2).collect()}
+    assert len(out) == 10
+    # same-cluster vectors share a code per subspace; cross pairs differ
+    assert out[(0, 0)].code == out[(2, 0)].code == out[(4, 0)].code
+    assert out[(1, 0)].code == out[(3, 0)].code != out[(0, 0)].code
+    assert out[(0, 1)].code == out[(3, 1)].code
+    assert out[(1, 1)].code == out[(2, 1)].code == out[(4, 1)].code
+    # tight clusters: per-subspace quantization error stays tiny
+    # (coords quantized at 1e6; spread ~0.02 -> err ~ (2e4)^2 * 2)
+    assert all(r.err_q < 10**10 for r in out.values())
+    # deterministic under a different layout
+    out2 = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_codes(df.repartition(5), m=2, k=2, iters=2).collect()
+    }
+    assert out2 == {kk: r.code for kk, r in out.items()}
