@@ -27,9 +27,7 @@ from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.similarity.kmeans import (
     QUANT,
-    _best_expr,
     _iteration_sql,
-    lloyd_train,
     quantized_expr,
 )
 
@@ -61,10 +59,7 @@ def pq_codes(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     ).localCheckpoint(eager=True)
 
-    codebooks = [
-        lloyd_train(q.select("vec_id", _sub_expr("e", s, dsub).alias("e")), k, iters)
-        for s in range(m)
-    ]
+    codebooks = _train_all(q, m, k, iters, dsub)
 
     per_sub = [
         F.struct(
@@ -83,6 +78,57 @@ def pq_codes(
         )
         .orderBy("vec_id", "subspace")
     )
+
+
+def _train_all(
+    q: DataFrame, m: int, k: int, iters: int, dsub: int
+) -> list[list[list[int]]]:
+    """All m subspace codebooks trained together: per Lloyd round ONE
+    Spark job computes every subspace's per-code sums (explode the m
+    (subspace, code, subvector) assignments, one groupBy(s, code)
+    shuffle of m*k rows after partial agg) — 2 jobs total for iters=2
+    instead of m*iters, and the per-round cost is independent of m.
+    The arithmetic is identical to running lloyd_train per subspace
+    (same integer sums, same rounding), which the oracle relies on."""
+    from p6__mapreduce_spark.similarity.kmeans import _round_half_away
+
+    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
+    codebooks = [
+        [list(r.e[s * dsub : (s + 1) * dsub]) for r in init] for s in range(m)
+    ]
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                _pq_best(s, dsub, codebooks[s]).getField("i").alias("code"),
+                _sub_expr("e", s, dsub).alias("v"),
+            )
+            for s in range(m)
+        ]
+        stats = (
+            q.select(F.explode(F.array(*structs)).alias("x"))
+            .select("x.s", "x.code", "x.v")
+            .groupBy("s", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(dsub)],
+            )
+            .collect()
+        )
+        by_key = {(int(r.s), int(r.code)): r for r in stats}
+        codebooks = [
+            [
+                [
+                    _round_half_away(by_key[(s, c)][f"s{j}"] * 1.0 / by_key[(s, c)]["n"])
+                    for j in range(dsub)
+                ]
+                if (s, c) in by_key
+                else codebooks[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
 
 
 def _pq_best(s: int, dsub: int, codebook: list[list[int]]) -> Column:
