@@ -226,3 +226,57 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     got = joined.collect()
     assert len(got) == 1 and got[0].qty == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join splitting — the session-default remedy SCALE.md
+    leans on for hot join keys. Local data can't cross the 256 MB
+    default skew threshold, so lower it and require the executed plan
+    to read the hot side as 'AQEShuffleRead skewed' (the runtime
+    split) with the join result unchanged. Note the documented
+    limitation this test encodes: a keyed operator directly downstream
+    of the join suppresses the split (duplicated partitions would
+    break its distribution), so the probe aggregates globally."""
+    import io
+    from contextlib import redirect_stdout
+
+    hot = spark.range(300_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(9_000).select((F.col("id") % 9 + 1).alias("k"), F.col("id").alias("v"))
+    left = hot.union(cold)
+    right = spark.range(200_000).select((F.col("id") % 10).alias("k"), F.col("id").alias("w"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # the split needs enough map partitions for the size statistics
+        # to isolate the hot key (the 8-partition test default lumps
+        # keys together and the skew detector stays quiet)
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {c: spark.conf.get(c) for c in confs}
+
+    def run():
+        df = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+        )
+        # collect() (not first(): that builds a separate limit plan)
+        # so THIS df's adaptive plan executes and explain() shows the
+        # final runtime-optimized plan
+        row = df.collect()[0]
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return (row.n, row.s), buf.getvalue()
+
+    try:
+        want, _ = run()
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        got, plan = run()
+        assert "AQEShuffleRead skewed" in plan
+        assert got == want
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
