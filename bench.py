@@ -150,6 +150,7 @@ HEADLINE = [
     "knn_ivf",
     "kmeans_lloyd",
     "pq_codes",
+    "knn_pq",
     "ann_recall_audit",
     "embedding_neardup",
     "semantic_dedup",

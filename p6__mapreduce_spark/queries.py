@@ -1256,6 +1256,25 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def _knn_pq_oracle() -> str:
+    from p6__mapreduce_spark.similarity.pq import knn_pq_oracle_sql
+
+    return knn_pq_oracle_sql(n_queries=16, topk=5, m=8, k=16, iters=2, dsub=8)
+
+
+@register("knn_pq", oracle=_knn_pq_oracle())
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN search via Asymmetric Distance Computation
+    (the FAISS search path): per query one m*k lookup table (broadcast
+    ints) joined to the 8-byte-per-vector code corpus, m lookups
+    summed per candidate, rank window top-5. Exact integer distances
+    end-to-end, so training + encoding + search all hash-match the
+    unrolled oracle."""
+    from p6__mapreduce_spark.similarity.pq import knn_pq
+
+    return knn_pq(load_table(spark, sf_dir, "embeddings"))
+
+
 def _pq_oracle() -> str:
     from p6__mapreduce_spark.similarity.pq import pq_oracle_sql
 

@@ -193,3 +193,124 @@ def pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8) -> str
         )
     union = "\nUNION ALL\n".join(selects)
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY vec_id, subspace"
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN search over the PQ codes via Asymmetric Distance
+    Computation (the FAISS search path): per query, ONE m*k
+    distance-to-code table replaces all vector arithmetic — a
+    candidate's approximate distance is m table lookups summed. Here
+    the lookup tables join against the (vec_id, subspace, code) rows
+    and one groupBy(query, candidate) sums the m partial distances;
+    top-k per query via the rank window. All distances are exact
+    integers in quantized space, so the whole search — training,
+    encoding, tables, ranking — is reproduced by the SQL oracle.
+
+    Scale shape: the code table is the 8-byte-per-vector compressed
+    corpus; the ADC join shuffles codes (m rows/vector), the lookup
+    tables are a broadcast of n_queries*m*k ints, and the final agg is
+    keyed by (query, candidate). 100 TB of raw vectors becomes ~3% as
+    many bytes of codes — the point of PQ."""
+    from pyspark.sql import Window
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    dsub = d // m
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
+    ).localCheckpoint(eager=True)
+    codebooks = _train_all(q, m, k, iters, dsub)
+
+    # corpus codes: (vec_id, subspace, code)
+    per_sub = [
+        F.struct(
+            F.lit(s).cast("long").alias("subspace"),
+            _pq_best(s, dsub, codebooks[s]).getField("i").alias("code"),
+        )
+        for s in range(m)
+    ]
+    codes = q.select("vec_id", F.explode(F.array(*per_sub)).alias("ps")).select(
+        "vec_id", F.col("ps.subspace").alias("subspace"), F.col("ps.code").alias("code")
+    )
+
+    # query-side ADC tables: exact integer distance from each query's
+    # subvector to every code of every subspace (driver computes
+    # n_queries*m*k ints from the collected query vectors — bounded)
+    queries = (
+        q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    rows = []
+    for qr in queries:
+        qe = list(qr.e)
+        for s in range(m):
+            sub = qe[s * dsub : (s + 1) * dsub]
+            for c, cent in enumerate(codebooks[s]):
+                dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+                rows.append((int(qr.vec_id), s, c, int(dist)))
+    spark = embeddings.sparkSession
+    tables = spark.createDataFrame(
+        rows, "query_id long, subspace long, code long, dq long"
+    )
+
+    scored = (
+        codes.join(F.broadcast(tables), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist_q").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "adc_dist_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_pq_oracle_sql(
+    n_queries: int = 16, topk: int = 5, m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8
+) -> str:
+    """ADC search as SQL on top of the unrolled PQ chains: the lookup
+    table is the cross join of query subvectors x trained codebooks
+    (exact integer distances), joined to the per-subspace code
+    assignments and summed."""
+    base = pq_oracle_sql(m=m, k=k, iters=iters, dsub=dsub)
+    with_body = base[len("WITH ") : base.index("\nSELECT vec_id, CAST(0 AS BIGINT)")]
+    # rebuild: keep every CTE, discard the UNION tail; then add search
+    ctes = [with_body]
+    code_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, cluster_id AS code "
+        f"FROM p{s}asg WHERE rn = 1"
+        for s in range(m)
+    )
+    table_union = "\nUNION ALL\n".join(
+        f"""SELECT q.vec_id AS query_id, CAST({s} AS BIGINT) AS subspace, c.cluster_id AS code,
+       CAST(list_sum(list_transform(list_zip(q.e, c.c),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dq
+FROM p{s}q q CROSS JOIN p{s}c{iters} c WHERE q.vec_id < {n_queries}"""
+        for s in range(m)
+    )
+    return f"""WITH {ctes[0]},
+codes AS ({code_union}),
+tables AS ({table_union}),
+scored AS (
+  SELECT t.query_id, codes.vec_id, CAST(SUM(t.dq) AS BIGINT) AS adc_dist_q
+  FROM codes JOIN tables t USING (subspace, code)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, vec_id, adc_dist_q FROM (
+  SELECT query_id, vec_id, adc_dist_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist_q ASC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {topk}
+ORDER BY query_id, rank"""

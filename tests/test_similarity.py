@@ -226,3 +226,23 @@ def test_pq_codes_recover_planted_subspace_clusters(spark):
         for r in pq_codes(df.repartition(5), m=2, k=2, iters=2).collect()
     }
     assert out2 == {kk: r.code for kk, r in out.items()}
+
+
+def test_knn_pq_self_match_and_recall(spark):
+    from p6__mapreduce_spark.similarity.pq import knn_pq
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = knn_pq(emb, n_queries=8, topk=5).collect()
+    assert len(rows) == 8 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        # ADC distance of a vector to ITSELF is its own quantization
+        # error — small, so every query's rank-1 hit is itself on this
+        # well-separated synthetic corpus
+        assert rs[0].vec_id == qid
+        # ranks are 1..5 with non-decreasing distances
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r.adc_dist_q for r in rs]
+        assert dists == sorted(dists)
