@@ -83,6 +83,10 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q12_shipmode",
     "tpch_q16_supplier_diversity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
     "zorder_codes",
     "skew_profile",
     "gap_fill_daily",

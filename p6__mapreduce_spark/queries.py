@@ -3067,6 +3067,264 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reduced schema has no partsupp table, so the four TPC-H queries
+# that price supply (Q2/Q9/Q11/Q20) derive a supply relation from
+# lineitem history: per (part, supplier), the minimum observed unit
+# price in exact cents. The derivation is itself a partial-agg-friendly
+# groupBy, and each query keeps its spec's ESSENTIAL shape (correlated
+# scalar min, profit aggregation, global-total HAVING, nested
+# semi-joins) — the shapes Catalyst's decorrelation/rewrite rules are
+# graded on, not the missing column.
+_SUPPLY_CTE = """
+    supply AS (
+      SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+             MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived supply relation: min observed unit price per (part,
+    supplier) in exact BIGINT cents (unit price is one IEEE double
+    division, identical bit pattern in Spark and DuckDB; MIN of exact
+    ints is order-free). One shuffle on (partkey, suppkey) with
+    map-side partial MIN — at 100 TB this is the classic shrink-early
+    aggregation: output is bounded by |part|x|supp-per-part|, not by
+    lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_cents = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("sp_partkey"), F.col("l_suppkey").alias("sp_suppkey")
+    ).agg(F.min(unit_cents).alias("cost_cents"))
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_SUPPLY_CTE},
+    eu_supply AS (
+      SELECT sp_partkey, sp_suppkey, cost_cents, s_acctbal, s_name, n_name
+      FROM supply
+      JOIN supplier ON s_suppkey = sp_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+    FROM part JOIN eu_supply ON p_partkey = sp_partkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+      AND cost_cents = (
+        SELECT MIN(e2.cost_cents) FROM eu_supply e2
+        WHERE e2.sp_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each small LARGE-type part,
+    the European supplier(s) matching the region-wide minimum derived
+    supply cost. The spec's correlated scalar subquery decorrelates into
+    a per-part MIN aggregate joined back on partkey — both sides of
+    that join read the SAME supply aggregation, whose shuffle exchange
+    is byte-identical in both subtrees, so AQE's runtime exchange reuse
+    materializes it once (static plans show two scans; the adaptive
+    plan shows ReusedExchange). part is filtered before the join
+    (predicate pushdown to the parquet scan) and broadcast; ties at
+    the minimum keep all rows, exactly like the spec."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_dim = s.join(
+        F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    eu_supply = _supply(spark, sf_dir).join(
+        F.broadcast(eu_dim), F.col("sp_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_supply.groupBy(F.col("sp_partkey").alias("mc_partkey")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return (
+        eu_supply.join(
+            min_cost,
+            (F.col("sp_partkey") == F.col("mc_partkey"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(p), F.col("sp_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost_cents")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               - CAST(round(p_retailprice * 50) AS BIGINT) * CAST(l_quantity AS BIGINT)
+               AS amount_cents
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): revenue minus supply cost per
+    supplier-nation per year, for parts matching a name substring. Cost
+    proxy = half retail price x quantity in exact cents (no partsupp in
+    the reduced schema). The LIKE filter prunes part BEFORE its join
+    (broadcast), orders/supplier/nation broadcast or hash-join on keys,
+    and the profit SUM is a BIGINT — partial aggregation absorbs any
+    nation/year skew map-side, and the result is bit-identical across
+    engines and partition counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    cost = F.round(F.col("p_retailprice") * 50).cast("long") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (revenue - cost).alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_cents").alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH nat_value AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT partkey, value_cents
+    FROM nat_value
+    WHERE CAST(value_cents AS DOUBLE) > (
+      SELECT CAST(SUM(value_cents) AS DOUBLE) * 0.001 FROM nat_value
+    )
+    ORDER BY value_cents DESC, partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose supply value from one
+    nation's suppliers exceeds a fraction of that nation's TOTAL supply
+    value — the global-scalar-in-HAVING shape. The scalar total is the
+    SUM of the SAME per-part aggregate the filter reads, so the per-part
+    relation is computed once, its one-row total re-aggregated and
+    broadcast back as a literal-like join (no second lineitem scan).
+    Both sums are exact BIGINT cents; the 0.1% threshold multiplies in
+    double identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    nat_dim = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    per_part = (
+        li.join(F.broadcast(nat_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = per_part.agg(
+        (F.sum("value_cents").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents").cast("double") > F.col("threshold"))
+        .select("partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "partkey")
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT pk AS tpk, SUM(qty) AS total_qty FROM shipped GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT sk FROM shipped JOIN tot ON pk = tpk
+      WHERE CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE)
+    )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (promotion-candidate suppliers): suppliers who shipped
+    a dominant share (>30%) of some red part's 1996 volume — the spec's
+    nested IN-subquery chain (part names -> qualifying part-supp pairs
+    -> supplier semi-join). The part-name IN becomes a broadcast
+    LEFT SEMI join pushed below the aggregation; the dominance test is
+    a per-part total joined back on partkey (same exchange reused); the
+    final supplier filter is another LEFT SEMI, so no supplier row
+    duplicates regardless of how many parts qualify. Quantities are
+    integral doubles cast to BIGINT, so every sum is exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("pk").alias("tpk")).agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(tot, F.col("pk") == F.col("tpk"))
+        .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double"))
+        .select("sk")
+    )
+    return (
+        s.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # The driver compares Spark vs oracle at this scale factor; knn_ivf's
 # oracle embeds centroids trained (reproducibly, Spark-free) on the
 # sf dir's own data, so it is generated on demand per sf dir rather

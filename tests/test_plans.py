@@ -248,3 +248,27 @@ def test_source_cap_no_full_source_single_task_window(spark):
     # (map partition, group) — pin it so a regression (e.g. a window
     # rewrite that defeats the pushdown) reintroduces full-data shuffles
     assert plan.count("WindowGroupLimit") == 4, plan  # 2 stages x Partial+Final
+
+
+def test_tpch_supply_derived_shapes(spark):
+    # Q2/Q9/Q11/Q20 on the reduced schema (supply relation derived from
+    # lineitem): no cartesian anywhere; the only no-condition broadcast
+    # join allowed is Q11's 1-row scalar-threshold build side (the
+    # decorrelated HAVING-subquery shape)
+    for q in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q20_promotion_suppliers",
+    ):
+        plan = plan_of(QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    q11 = plan_of(QUERIES["tpch_q11_important_stock"](spark, SF))
+    assert "CartesianProduct" not in q11
+    assert q11.count("BroadcastNestedLoopJoin") == 1  # the 1-row scalar
+    # Q20's IN-subquery chain must plan as semi joins (no row blowup)
+    q20 = plan_of(QUERIES["tpch_q20_promotion_suppliers"](spark, SF))
+    assert "LeftSemi" in q20
+    # Q9's part LIKE filter must prune part before its broadcast join
+    q9 = plan_of(QUERIES["tpch_q9_product_profit"](spark, SF))
+    assert "Contains(p_name, widget)" in q9 or "widget" in q9
