@@ -117,6 +117,7 @@ HEADLINE = [
     "event_props_variant",
     "udaf_source_gmean",
     "embedding_dim_stats",
+    "dsir_weights",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -4325,6 +4325,20 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from p6__mapreduce_spark.operators.dsir import dsir_oracle_sql, dsir_weights  # noqa: E402
+
+
+@register("dsir_weights", oracle=dsir_oracle_sql())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log-likelihood ratio
+    of a target-domain hashed-n-gram model over the whole-corpus model,
+    per document — the standard statistic for tilting a 100 TB crawl
+    toward a target domain by importance resampling. One explode pass,
+    one near-unique-key shuffle, bounded bucket-model relations, exact
+    integer fixed-point weights (see operators/dsir.py)."""
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

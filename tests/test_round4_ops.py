@@ -128,3 +128,44 @@ def test_python_udtf_sentence_split(spark):
         (0, 2, "Third", 1),
         (1, 0, "No split here", 3),
     ]
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    # target-lang docs use gram 'aa'; off-target docs use 'zz'; a mixed
+    # doc sits between. The importance weight must rank: pure-target >
+    # mixed > pure-off-target, and n_grams counts uni+bi instances.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa", "en"),
+            (2, "zz zz zz", "de"),
+            (3, "aa zz aa", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from p6__mapreduce_spark.operators.dsir import dsir_weights
+
+    out = {r.doc_id: r for r in dsir_weights(docs, target_lang="en").collect()}
+    assert set(out) == {1, 2, 3}
+    # 3 tokens -> 3 unigrams + 2 bigrams = 5 gram instances
+    assert all(out[d].n_grams == 5 for d in out)
+    assert out[1].avg_logratio > out[3].avg_logratio > out[2].avg_logratio
+    # exact fixed point: the weight is an integer, avg = weight/(n*1e6)
+    for r in out.values():
+        assert r.logweight_q6 == int(r.logweight_q6)
+        assert abs(r.avg_logratio - r.logweight_q6 / (r.n_grams * 1e6)) < 1e-12
+
+
+def test_dsir_plan_single_corpus_shuffle(spark):
+    # scale pin: the corpus-sized relation is shuffled ONLY on the
+    # near-unique (doc_id, lang, bucket) key; the bucket model and the
+    # ratio table must arrive via broadcast, never a corpus-sized join
+    from p6__mapreduce_spark.operators.dsir import dsir_weights
+    from p6__mapreduce_spark.sources.readers import load_table
+    from tests.test_plans import SF, plan_of
+
+    plan = plan_of(dsir_weights(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan
+    # ratio-table join + 1-row totals join are broadcast
+    assert plan.count("BroadcastExchange") >= 1
+    # no Python anywhere: pure codegen expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
