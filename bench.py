@@ -118,6 +118,7 @@ HEADLINE = [
     "udaf_source_gmean",
     "embedding_dim_stats",
     "dsir_weights",
+    "contrastive_mining",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

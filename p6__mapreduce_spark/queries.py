@@ -4326,6 +4326,24 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from p6__mapreduce_spark.operators.dsir import dsir_oracle_sql, dsir_weights  # noqa: E402
+from p6__mapreduce_spark.similarity.mining import (  # noqa: E402
+    mine_contrastive_pairs,
+    mining_oracle_sql,
+)
+
+
+@register("contrastive_mining", oracle=mining_oracle_sql())
+def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative + hardest-positive mining for contrastive
+    embedding training: per query vector the top-5 most-confusable
+    different-label neighbors and the single most-distant same-label
+    neighbor, ranked in ONE window over one scored relation (signed
+    sort key). Brute-force candidates here (the exact baseline); at
+    corpus scale pass ANN probe sets via ``candidates=``
+    (similarity/mining.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mine_contrastive_pairs(emb, emb.filter(F.col("vec_id") < 16), k_neg=5)
+
 
 
 @register("dsir_weights", oracle=dsir_oracle_sql())

@@ -246,3 +246,45 @@ def test_knn_pq_self_match_and_recall(spark):
         assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
         dists = [r.adc_dist_q for r in rs]
         assert dists == sorted(dists)
+
+
+def test_contrastive_mining_roles_and_ranks(spark):
+    # 2D toy: labels split left/right of the x axis. Query (1,0) label 0.
+    # Hard negative = label-1 vector closest in cosine; hard positive =
+    # label-0 vector farthest in cosine.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),    # near positive
+        (2, [0.1, 0.9], 0),    # far positive -> hardest
+        (3, [0.8, 0.2], 1),    # most confusable negative
+        (4, [-1.0, 0.0], 1),   # easy negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from p6__mapreduce_spark.similarity.mining import mine_contrastive_pairs
+
+    out = mine_contrastive_pairs(
+        emb, emb.filter("vec_id = 0"), k_neg=2
+    ).collect()
+    negs = [r.neighbor_id for r in out if r.role == "hard_neg"]
+    pos = [r.neighbor_id for r in out if r.role == "hard_pos"]
+    assert negs == [3, 4]  # confusable first
+    assert pos == [2]      # most distant same-label only
+    assert all(r.rank == i + 1 for r in out if r.role == "hard_neg" for i in [negs.index(r.neighbor_id)])
+
+
+def test_contrastive_mining_composes_with_candidate_prefilter(spark):
+    # the scale path: restricting candidates must only shrink the pool,
+    # never change ranking semantics within it
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (3, [0.8, 0.2], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from p6__mapreduce_spark.similarity.mining import mine_contrastive_pairs
+
+    out = mine_contrastive_pairs(
+        emb, emb.filter("vec_id = 0"), k_neg=5,
+        candidates=emb.filter("vec_id = 4"),
+    ).collect()
+    assert [(r.role, r.neighbor_id) for r in out] == [("hard_neg", 4)]
