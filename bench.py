@@ -119,6 +119,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "dsir_weights",
     "contrastive_mining",
+    "bpe_learn_merges",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

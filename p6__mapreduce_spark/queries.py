@@ -4357,6 +4357,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_oracle() -> str:
+    from p6__mapreduce_spark.operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(num_merges=8)
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 8 BPE merges learned from corpus
+    word frequencies (Sennrich et al. 2016). Corpus scanned ONCE into
+    the word-frequency vocab; each merge round is one pair-count
+    aggregation over the vocab aggregate + a 1-row argmax round-trip
+    (exact integer counts, lexicographic tie-break), so the iteration
+    cost is bounded by |vocab|, never corpus bytes. The DuckDB oracle
+    replays the full iteration as chained CTE stages with NO literals
+    from the Spark run (operators/bpe.py)."""
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(spark, load_table(spark, sf_dir, "documents"), num_merges=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

@@ -169,3 +169,36 @@ def test_dsir_plan_single_corpus_shuffle(spark):
     assert plan.count("BroadcastExchange") >= 1
     # no Python anywhere: pure codegen expressions
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_learns_expected_merges(spark):
+    # corpus: 'abab' x3, 'abc' x1 -> pairs: (a,b):3*2+1=7, (b,a):3, (b,c):1
+    # merge 0 = (a,b). Then 'abab' -> [ab, ab], 'abc' -> [ab, c]:
+    # pairs: (ab,ab):3, (ab,c):1 -> merge 1 = (ab,ab).
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab abc")], "doc_id long, text string"
+    )
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+
+    out = bpe_learn_merges(spark, docs, num_merges=2).collect()
+    assert [(r.merge_idx, r.lhs, r.rhs, r.pair_count) for r in out] == [
+        (0, "a", "b", 7),
+        (1, "ab", "ab", 3),
+    ]
+
+
+def test_bpe_merge_fold_leftmost_nonoverlapping(spark):
+    # 'aaa' under merge (a,a) must become [aa, a], never [a, aa] or [aaa]
+    from p6__mapreduce_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(_merge_fold("syms", "a", "a").alias("m")).collect()[0].m
+    assert out == ["aa", "a"]
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    # single-char words have no adjacent pairs at all -> empty merge table
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+
+    assert bpe_learn_merges(spark, docs, num_merges=4).count() == 0
