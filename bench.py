@@ -120,6 +120,7 @@ HEADLINE = [
     "dsir_weights",
     "contrastive_mining",
     "bpe_learn_merges",
+    "bpe_fertility",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -69,12 +69,11 @@ def word_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn_merges(
-    spark: SparkSession, docs: DataFrame, num_merges: int = 8
-) -> DataFrame:
-    """(merge_idx, lhs, rhs, pair_count): the first ``num_merges``
-    learned BPE merges in training order. Stops early if no adjacent
-    pair remains."""
+def _train(
+    docs: DataFrame, num_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-learning iteration; returns (merge list, final
+    vocab state with fully-merged symbol arrays)."""
     vocab = word_vocab(docs).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for i in range(num_merges):
@@ -108,15 +107,62 @@ def bpe_learn_merges(
         vocab = vocab.select(
             "word", "n", _merge_fold("syms", lhs, rhs).alias("syms")
         ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_learn_merges(
+    spark: SparkSession, docs: DataFrame, num_merges: int = 8
+) -> DataFrame:
+    """(merge_idx, lhs, rhs, pair_count): the first ``num_merges``
+    learned BPE merges in training order. Stops early if no adjacent
+    pair remains."""
+    merges, _ = _train(docs, num_merges)
     return spark.createDataFrame(
         merges, "merge_idx int, lhs string, rhs string, pair_count long"
     ).orderBy("merge_idx")
 
 
-def bpe_oracle_sql(num_merges: int = 8) -> str:
-    """Self-contained DuckDB replica: K chained (pairs -> argmax ->
-    re-merged vocab) CTE stages reproducing the identical iteration —
-    exact integer counts, lexicographic tie-break, list_reduce fold."""
+def bpe_encode_stats(
+    spark: SparkSession, docs: DataFrame, num_merges: int = 8
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, fertility): tokenize the corpus with
+    the merges just learned from it and report per-document subword
+    counts — fertility (pieces per word) is the standard tokenizer-fit
+    diagnostic a curation pipeline thresholds on.
+
+    Scale shape: the fold runs once per DISTINCT word (the final vocab
+    state falls out of training for free); documents then join their
+    exploded words to the word -> piece-count table — bounded by
+    |vocab|, so Catalyst broadcasts it — and aggregate per doc. The
+    100 TB corpus is touched by exactly two jobs (the vocab build and
+    this count join), never by the per-round iteration."""
+    _, vocab = _train(docs, num_merges)
+    pieces = vocab.select("word", F.size("syms").cast("long").alias("pieces"))
+    words = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("pieces").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            (F.col("n_pieces") * F.lit(1.0) / F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_ctes(num_merges: int, *, emit_final_vocab: bool) -> tuple[list[str], list[str]]:
+    """Shared CTE generator for both oracle shapes: K chained
+    (pairs -> argmax -> re-merged vocab) stages reproducing the exact
+    iteration — integer counts, lexicographic tie-break, list_reduce
+    fold. Returns (ctes, per-merge selects)."""
     from p6__mapreduce_spark.operators.text_analysis import TOKENS_ORACLE
 
     toks = TOKENS_ORACLE.format(col="text")
@@ -144,7 +190,7 @@ def bpe_oracle_sql(num_merges: int = 8) -> str:
             f" GROUP BY 1, 2)"
         )
         ctes.append(f"{t} AS (SELECT lhs, rhs, c FROM {p} ORDER BY c DESC, lhs, rhs LIMIT 1)")
-        if i < num_merges - 1:
+        if i < num_merges - 1 or emit_final_vocab:
             ctes.append(
                 f"{nv} AS (SELECT word, n, {fold(v, t)} AS syms"
                 f" FROM {v} CROSS JOIN {t})"
@@ -153,8 +199,38 @@ def bpe_oracle_sql(num_merges: int = 8) -> str:
             f"SELECT CAST({i} AS INTEGER) AS merge_idx, lhs, rhs,"
             f" c AS pair_count FROM {t}"
         )
+    return ctes, selects
+
+
+def bpe_oracle_sql(num_merges: int = 8) -> str:
+    """DuckDB replica of :func:`bpe_learn_merges` (the merge table)."""
+    ctes, selects = _oracle_ctes(num_merges, emit_final_vocab=False)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY merge_idx"
+    )
+
+
+def bpe_encode_oracle_sql(num_merges: int = 8) -> str:
+    """DuckDB replica of :func:`bpe_encode_stats`: re-derives the final
+    vocab state v{K} through the same chained iteration, then joins the
+    corpus words to per-word piece counts.
+
+    NOTE: a merge round that finds no pair leaves t{i} empty and the
+    CROSS JOIN empties v{i+1} — the same corpora where the Spark loop
+    breaks early — so this oracle is only valid when all ``num_merges``
+    rounds fire (true for the driver corpora; asserted in tests)."""
+    from p6__mapreduce_spark.operators.text_analysis import TOKENS_ORACLE
+
+    ctes, _ = _oracle_ctes(num_merges, emit_final_vocab=True)
+    toks = TOKENS_ORACLE.format(col="text")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    pieces AS (SELECT word, CAST(len(syms) AS BIGINT) AS pieces FROM v{num_merges}),
+    words AS (SELECT doc_id, unnest({toks}) AS word FROM documents)
+    SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(pieces) AS BIGINT) * 1.0e0 / COUNT(*) AS fertility
+    FROM words JOIN pieces USING (word)
+    GROUP BY 1 ORDER BY 1"""
     )

@@ -4378,6 +4378,25 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(spark, load_table(spark, sf_dir, "documents"), num_merges=8)
 
 
+def _bpe_encode_oracle() -> str:
+    from p6__mapreduce_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(num_merges=8)
+
+
+@register("bpe_fertility", oracle=_bpe_encode_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fit: encode the corpus with the 8 merges just learned
+    from it and report per-document subword counts + fertility (pieces
+    per word) — the diagnostic a curation pipeline thresholds on. The
+    fold runs once per DISTINCT word (final vocab state falls out of
+    training); documents only explode words and broadcast-join the
+    piece-count table (operators/bpe.py)."""
+    from p6__mapreduce_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(spark, load_table(spark, sf_dir, "documents"), num_merges=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

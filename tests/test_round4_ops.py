@@ -202,3 +202,17 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
 
     assert bpe_learn_merges(spark, docs, num_merges=4).count() == 0
+
+
+def test_bpe_fertility_counts(spark):
+    # after merges (a,b) then (ab,ab): 'abab' -> 1 piece... no: 'abab'
+    # -> [ab, ab] -> [abab] = 1; 'abc' -> [ab, c] = 2 pieces
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab abc")], "doc_id long, text string"
+    )
+    from p6__mapreduce_spark.operators.bpe import bpe_encode_stats
+
+    out = {r.doc_id: r for r in bpe_encode_stats(spark, docs, num_merges=2).collect()}
+    assert out[1].n_words == 2 and out[1].n_pieces == 2   # [abab], [abab]
+    assert out[2].n_words == 2 and out[2].n_pieces == 3   # [abab], [ab, c]
+    assert abs(out[2].fertility - 1.5) < 1e-12
