@@ -121,6 +121,7 @@ HEADLINE = [
     "contrastive_mining",
     "bpe_learn_merges",
     "bpe_fertility",
+    "hybrid_search_rrf",
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",

@@ -4397,6 +4397,31 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(spark, load_table(spark, sf_dir, "documents"), num_merges=8)
 
 
+def _hybrid_oracle() -> str:
+    from p6__mapreduce_spark.similarity.hybrid import hybrid_rrf_oracle_sql
+
+    return hybrid_rrf_oracle_sql(_BM25_TERMS, 42)
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 leg + cosine leg, fused by Reciprocal
+    Rank Fusion (1/(60+rank) summed over the lists a doc appears in).
+    Each leg cuts to its top-50 via orderBy+limit — Spark plans
+    TakeOrderedAndProject (parallel partial top-k, no global sort) —
+    so the rank windows and fusion join run over bounded candidate
+    sets. Legs rank on exact ints / bit-identical cosines, all ties by
+    doc id (similarity/hybrid.py)."""
+    from p6__mapreduce_spark.similarity.hybrid import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        42,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

@@ -288,3 +288,60 @@ def test_contrastive_mining_composes_with_candidate_prefilter(spark):
         candidates=emb.filter("vec_id = 4"),
     ).collect()
     assert [(r.role, r.neighbor_id) for r in out] == [("hard_neg", 4)]
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    # doc 1 dominates the lexical leg, doc 3 the vector leg; doc 2 is
+    # second on both -> RRF must rank doc 2 first:
+    # d2: 1/62 + 1/62 = 0.03226 > d1: 1/61 + 1/63 = 0.03227? compute:
+    # 1/61+1/63 = .016393+.015873 = .032266; 2/62 = .032258 -> d1 wins.
+    # Use rank-3 ties instead: d1 lex=(1), vec=(3); d3 lex=(3), vec=(1);
+    # d2 lex=2, vec=2. 1/61+1/63=.032266 vs 2/62=.032258: d1 & d3 tie
+    # ahead of d2, tie broken by doc_id -> order d1, d3, d2.
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join x y"),
+            (3, "join a b c"),
+            (4, "zz zz zz zz"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1, 0.9]),
+            (2, [0.6, 0.4]),
+            (3, [0.99, 0.01]),
+            (4, [-1.0, 0.0]),
+            (9, [1.0, 0.0]),  # the query vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from p6__mapreduce_spark.similarity.hybrid import hybrid_search_rrf
+
+    out = hybrid_search_rrf(docs, emb, ["spark"], 9, k=3, n_candidates=3).collect()
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].lex_rank == 1 and by_id[3].vec_rank == 1
+    # doc 3 has no 'spark' -> may still rank lexically (score 0) but
+    # the fused score must reflect both legs
+    assert abs(by_id[2].rrf_score - (1 / 62 + 1 / 62)) < 1e-12
+
+
+def test_hybrid_rrf_legs_plan_take_ordered(spark):
+    # scale pin: neither leg may globally sort the corpus — both cuts
+    # must plan as TakeOrderedAndProject partial top-k
+    from p6__mapreduce_spark.similarity.hybrid import hybrid_search_rrf
+    from p6__mapreduce_spark.sources.readers import load_table
+    from tests.test_plans import SF, plan_of
+
+    plan = plan_of(
+        hybrid_search_rrf(
+            load_table(spark, SF, "documents"),
+            load_table(spark, SF, "embeddings"),
+            ["spark"],
+            42,
+        )
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan
