@@ -101,6 +101,37 @@ def read_orc(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
     return spark.read.orc(*paths)
 
 
+def parquet_stats(spark: SparkSession, path: str, cols: Sequence[str] = ()) -> list:
+    """COUNT(*) + per-column MIN/MAX answered from parquet FOOTER
+    metadata — no data pages read at all. At 100 TB this is the
+    difference between an O(files) metadata pass and a full scan for
+    profiling/row-count/watermark-bound questions.
+
+    Mechanics: Spark's aggregate pushdown (PushedAggregation in the
+    scan) only exists on the DSv2 parquet reader, so the session is
+    temporarily flipped to v2-parquet + aggregatePushdown for THIS
+    plan and restored after (the confs only affect plan *creation*, so
+    scoping them around the collect is safe in a shared session).
+    MIN/MAX is limited to types whose parquet stats are trustworthy
+    (ints/longs/doubles/strings — notably NOT timestamps); the caller
+    picks ``cols`` accordingly. Returns the collected 1-row result."""
+    from pyspark.sql import functions as F
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        return spark.read.parquet(path).agg(*aggs).collect()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic benchmark table from a scale-factor directory.
 

@@ -280,3 +280,33 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for c, v in saved.items():
             spark.conf.set(c, v)
+
+
+def test_parquet_aggregate_pushdown_footer_stats(spark):
+    # COUNT/MIN/MAX answered from parquet footers: the v2 scan must
+    # show a non-empty PushedAggregation, and the values must equal a
+    # full-scan aggregation
+    from p6__mapreduce_spark.sources.readers import parquet_stats
+
+    path = f"{SF}/lineitem.parquet"
+    [row] = parquet_stats(spark, path, ["l_orderkey"])
+    full = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).collect()[0]
+    assert (row.row_count, row.min_l_orderkey, row.max_l_orderkey) == (full.n, full.lo, full.hi)
+    # plan-shape: rebuild the pushed plan under the same confs and pin it
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        plan = physical_plan(
+            spark.read.parquet(path).agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("lo"))
+        )
+        pushed = [l for l in plan.splitlines() if "PushedAggregation" in l]
+        assert pushed and "COUNT(*)" in pushed[0] and "MIN(l_orderkey)" in pushed[0], plan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+    # session restored
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == old_v1
