@@ -63,6 +63,8 @@ HEADLINE = [
     "customer_order_stats",
     "mode_event_type_per_user",
     "user_value_sliding_avg",
+    "user_value_trailing_1h",
+    "event_transition_matrix",
     "user_event_type_sets",
     "deterministic_sample",
     "session_windows_native",

@@ -4422,6 +4422,110 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS c_pair
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev_type, CAST(SUM(c_pair) AS BIGINT) AS c_ctx FROM pairs GROUP BY 1
+    )
+    SELECT pairs.prev_type, next_type, c_pair, c_ctx,
+           CAST(c_pair * 1000000 // c_ctx AS BIGINT) AS p_q6
+    FROM pairs JOIN ctx ON pairs.prev_type = ctx.prev_type
+    ORDER BY 1, 2
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current type), the transition matrix behind funnel prediction and
+    anomaly scoring. lag() over per-user time order needs ONE shuffle
+    on user_id (bounded state per task); the matrix itself is
+    |types|^2 rows. Probability is integer division of exact counts
+    at 1e-6 — no float anywhere, identical on any partitioning and
+    engine. Tie order inside equal timestamps is pinned by event_id."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    ctx = pairs.groupBy(F.col("prev_type").alias("cp")).agg(
+        F.sum("c_pair").alias("c_ctx")
+    )
+    return (
+        pairs.join(ctx, F.col("prev_type") == F.col("cp"))
+        .select(
+            "prev_type",
+            "next_type",
+            "c_pair",
+            "c_ctx",
+            F.floor(F.col("c_pair") * F.lit(1_000_000) / F.col("c_ctx"))
+            .cast("long")
+            .alias("p_q6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "user_value_trailing_1h",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch(ts) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trail_cents,
+           COUNT(*) OVER w AS trail_n
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing aggregate: each event's 1-hour-lookback
+    sum/count per user — RANGE frames (value-based, on epoch seconds),
+    the shape ROWS windows cannot express when event density varies.
+    RANGE frames include ALL rows at equal timestamps in both frames,
+    so the result is deterministic even under timestamp ties (no
+    tie-break column needed — unlike ROWS). One shuffle on user_id;
+    exact cents."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return (
+        v.select(
+            "user_id",
+            "event_id",
+            F.sum("cents").over(w).alias("trail_cents"),
+            F.count(F.lit(1)).over(w).alias("trail_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

@@ -193,3 +193,54 @@ def test_mad_outliers_hand_computed(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mad_outliers(df, "g", "v").collect()[0]
     assert (r.n, r.med, r.mad, r.n_outliers) == (8, 4.0, 2.0, 1)
+
+
+def test_event_transition_matrix_probabilities(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 7, "click", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 3), 7, "click", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 4), 7, "purchase", 0.0, "{}"),
+        # second user: single event -> no transitions
+        (6, datetime(2024, 1, 1, 0, 0), 8, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from p6__mapreduce_spark.queries import QUERIES
+    import tempfile, os
+
+    # drive the registered query through a temp sf_dir
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {(r.prev_type, r.next_type): r for r in QUERIES["event_transition_matrix"](spark, d).collect()}
+    # view -> click twice, click -> view once, click -> purchase once
+    assert out[("view", "click")].c_pair == 2 and out[("view", "click")].p_q6 == 1_000_000
+    assert out[("click", "view")].c_pair == 1 and out[("click", "view")].p_q6 == 500_000
+    assert out[("click", "purchase")].p_q6 == 500_000
+    assert ("view", "view") not in out
+
+
+def test_trailing_range_window_time_based(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 30), 7, "a", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 15), 7, "a", 4.0, "{}"),  # 1h back reaches 10:30 only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from p6__mapreduce_spark.queries import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_id: r for r in QUERIES["user_value_trailing_1h"](spark, d).collect()}
+    assert out[1].trail_cents == 100 and out[1].trail_n == 1
+    assert out[2].trail_cents == 300 and out[2].trail_n == 2   # 10:00 within 1h
+    assert out[3].trail_cents == 600 and out[3].trail_n == 2   # only 10:30 + itself
