@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_length_histogram",
     "winsorized_event_values",
     "sketch_weekly_users",
+    "cms_heavy_hitters",
     "order_price_percentiles",
     "qty_discount_corr",
     "lang_source_chisq",

@@ -4526,6 +4526,25 @@ def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    from p6__mapreduce_spark.operators.sketches import cms_audit_oracle_sql
+
+    return cms_audit_oracle_sql()
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch accuracy audit on the corpus token stream: the
+    top-20 true-heaviest tokens with exact count next to the sketch
+    estimate (min over 4 hash rows of a 4x256 integer matrix). The
+    sketch is the mergeable frequency counterpart of the HLL rollup —
+    fixed-size, cell-wise additive, exact integer arithmetic, so the
+    estimates are bit-identical cross-engine (operators/sketches.py)."""
+    from p6__mapreduce_spark.operators.sketches import cms_token_audit
+
+    return cms_token_audit(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

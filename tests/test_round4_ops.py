@@ -216,3 +216,38 @@ def test_bpe_fertility_counts(spark):
     assert out[1].n_words == 2 and out[1].n_pieces == 2   # [abab], [abab]
     assert out[2].n_words == 2 and out[2].n_pieces == 3   # [abab], [ab, c]
     assert abs(out[2].fertility - 1.5) < 1e-12
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    # CMS guarantee: est >= exact for every queried key; with width 256
+    # and a tiny corpus there are no collisions, so est == exact
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b zz")], "doc_id long, text string"
+    )
+    from p6__mapreduce_spark.operators.sketches import cms_token_audit
+
+    out = {r.token: r for r in cms_token_audit(docs, top=4).collect()}
+    assert out["a"].exact_cnt == 4 and out["b"].exact_cnt == 3
+    for r in out.values():
+        assert r.cms_est >= r.exact_cnt
+    assert out["a"].cms_est == 4  # no collision at this scale
+
+
+def test_cms_matrix_bounded_and_mergeable(spark):
+    # the matrix never exceeds depth*width rows, and summing two
+    # sketches equals the sketch of the union (cell-wise additivity)
+    docs1 = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    docs2 = spark.createDataFrame([(2, "x q")], "doc_id long, text string")
+    from p6__mapreduce_spark.functions.text import tokens_expr
+    from p6__mapreduce_spark.operators.sketches import count_min_sketch
+    from pyspark.sql import functions as F
+
+    t1 = docs1.select(F.explode(tokens_expr("text")).alias("token"))
+    t2 = docs2.select(F.explode(tokens_expr("text")).alias("token"))
+    s1, s2 = count_min_sketch(t1, "token"), count_min_sketch(t2, "token")
+    both = count_min_sketch(t1.unionAll(t2), "token")
+    assert both.count() <= 4 * 256
+    merged = (
+        s1.unionAll(s2).groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
