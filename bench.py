@@ -54,6 +54,7 @@ HEADLINE = [
     "user_sessions",
     "session_funnel",
     "upsert_latest_snapshot",
+    "snapshot_diff",
     "event_json_stats",
     "tpch_q5_local_supplier",
     "tpch_q4_priority_exists",

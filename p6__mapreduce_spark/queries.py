@@ -4545,6 +4545,100 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_token_audit(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ), new AS (
+      -- simulated next snapshot: urgent orders re-priced (rounded to
+      -- whole units), every 97th order deleted, keys shifted in via
+      -- negative ids would be synthetic -- additions are modeled by
+      -- the keys the OLD side is missing below
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(round(round(o_totalprice) * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT
+      CASE WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_orderkey IS NULL THEN 'added'
+           ELSE 'changed' END AS change,
+      COUNT(*) AS n_rows
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE new.o_orderkey IS NULL OR old.o_orderkey IS NULL
+       OR old.o_orderstatus != new.o_orderstatus
+       OR old.price_cents != new.price_cents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: classify every key of two table
+    versions as added / removed / changed (unchanged rows drop out) —
+    the operator that turns periodic full dumps into an incremental
+    change feed. ONE full-outer join on the key (both sides shuffle on
+    o_orderkey; AQE handles size asymmetry) and exact-cents column
+    compares — no row hashing needed when the compare set is explicit,
+    which also survives column reordering. The 'new' snapshot is
+    derived deterministically in-plan (urgent orders re-priced, every
+    97th key deleted, every 101st re-inserted under a shifted key) so
+    both engines diff identical inputs and all three change classes
+    are exercised."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = o.select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("st_old"),
+        cents.alias("pc_old"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k_new"),
+            F.col("o_orderstatus").alias("st_new"),
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                (F.round(F.round(F.col("o_totalprice")) * 100)).cast("long"),
+            )
+            .otherwise(cents)
+            .alias("pc_new"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("k_new"),
+                F.col("o_orderstatus").alias("st_new"),
+                cents.alias("pc_new"),
+            )
+        )
+    )
+    joined = old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+    change = (
+        F.when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("k_old").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.filter(
+            F.col("k_new").isNull()
+            | F.col("k_old").isNull()
+            | (F.col("st_old") != F.col("st_new"))
+            | (F.col("pc_old") != F.col("pc_new"))
+        )
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
