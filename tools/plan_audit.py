@@ -64,6 +64,19 @@ CARTESIAN_EXEMPT = {
     # bounded category-domain grid (n_langs x n_sources distinct
     # values) — the full contingency table including real zero cells
     "lang_source_chisq",
+    # 16 broadcast query vectors x corpus — the deliberate exact
+    # mining baseline, same shape as knn_bruteforce; at scale the
+    # candidates= hook swaps in ANN probe sets
+    "contrastive_mining",
+    # 1-row totals (n_s, n_t) broadcast into the <=num_buckets ratio
+    # table — the scalar-broadcast shape, not a data cross product
+    "dsir_weights",
+    # 1-row query-vector build side broadcast into the vector leg's
+    # cosine scan (cut to top-N by TakeOrdered immediately after)
+    "hybrid_search_rrf",
+    # 1-row global-total threshold broadcast into the per-part filter
+    # (the decorrelated HAVING-scalar of TPC-H Q11)
+    "tpch_q11_important_stock",
 }
 
 
