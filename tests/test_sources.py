@@ -145,3 +145,23 @@ def test_read_json_quarantines_corrupt_records(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL")
     assert good.count() == 2 and bad.count() == 1
     assert bad.collect()[0]._corrupt_record.startswith("{BROKEN")
+
+
+def test_python_datasource_numbered_lines(spark, tmp_path):
+    # Spark-4 Python DataSource API: per-file sequential line numbers —
+    # the thing byte-range text splits cannot provide
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    a.write_text("x\ny\nz\n")
+    b.write_text("q\n")
+    from p6__mapreduce_spark.sources.pyds import read_numbered_lines
+
+    df = read_numbered_lines(spark, [str(a), str(b)])
+    rows = {(r.file.split("/")[-1], r.line_no): r.line for r in df.collect()}
+    assert rows == {
+        ("a.txt", 1): "x", ("a.txt", 2): "y", ("a.txt", 3): "z",
+        ("b.txt", 1): "q",
+    }
+    # parallelism = files: exactly 2 partitions
+    assert df.rdd.getNumPartitions() == 2
+    # registration is idempotent
+    assert read_numbered_lines(spark, str(a)).count() == 3
