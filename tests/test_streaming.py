@@ -388,3 +388,33 @@ def test_transform_with_state_running_counts(spark):
     finally:
         spark.conf.set(key, saved)
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_statestore_reader_matches_batch_aggregate(spark, tmp_path):
+    # Spark-4 checkpoint forensics: the keyed state of a committed
+    # streaming aggregation, read back as a DataFrame, must equal the
+    # batch GROUP BY over the same input
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    events = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "a")], "id long, k string"
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema("id long, k string").parquet(src)
+    q = (
+        stream.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(f"t_state_{tmp_path.name}")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from p6__mapreduce_spark.streaming.inspect import read_query_state, state_key_counts
+
+    state = {(r.key.k): r.value["count"] for r in read_query_state(spark, ckpt).collect()}
+    batch = {r.k: r.n for r in events.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert state == batch == {"a": 3, "b": 1}
+    # skew diagnostic: key counts per state partition sum to |keys|
+    assert sum(r.n_keys for r in state_key_counts(spark, ckpt).collect()) == 2
