@@ -41,6 +41,35 @@ def inflate_documents(docs: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def inflate_documents_lang(docs: DataFrame, k: int) -> DataFrame:
+    # like inflate_documents but carries the lang column (DSIR's
+    # target/source split): each copy keeps the base lang mix, so the
+    # target fraction — the thing that shapes the bucket model — is
+    # unchanged while gram volume grows k x
+    out = None
+    for i in range(k):
+        copy = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"([a-z0-9]+)", rf"$1x{i}").alias("text"),
+            "lang",
+        )
+        out = copy if out is None else out.unionAll(copy)
+    return out
+
+
+def inflate_events(ev: DataFrame, k: int) -> DataFrame:
+    # offset user ids -> disjoint user populations per copy: per-user
+    # sequences (the lag/window unit) stay base-sized, their count
+    # grows k x — the regime that must parallelize, not serialize
+    out = None
+    for i in range(k):
+        copy = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 100_000_000))
+        out = copy if out is None else out.unionAll(copy)
+    return out
+
+
 def inflate_lineitem(li: DataFrame, k: int) -> DataFrame:
     out = None
     for i in range(k):
@@ -161,6 +190,60 @@ def main() -> None:
         ),
         "skew_profile": (lambda d: _skew(d, "doc_id"), docs, inflate_documents),
     }
+
+    # continuation ops. hybrid_search_rrf is intentionally absent: its
+    # two legs are exactly bm25_scores (probed above) and a cosine
+    # top-k scan (probed via knn_lsh), and everything past the legs is
+    # O(n_candidates) by construction.
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges as _bpe
+    from p6__mapreduce_spark.operators.dsir import dsir_weights as _dsir
+    from p6__mapreduce_spark.operators.sketches import cms_token_audit as _cms
+    from p6__mapreduce_spark.similarity.mining import mine_contrastive_pairs as _mine
+
+    docs_lang = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    events = load_table(spark, sf_dir, "events")
+
+    def _transition(ev):
+        # the registered query reads from a dir; rebuild the same plan
+        # over the (possibly inflated) events frame
+        from pyspark.sql import Window
+
+        seq = ev.select(
+            "event_type",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_type"),
+        )
+        pairs = (
+            seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("c_pair"))
+        )
+        return pairs
+
+    ops.update(
+        {
+            # gram volume k x, bucket model constant-size: ~linear scan
+            "dsir_weights": (lambda d: _dsir(d), docs_lang, inflate_documents_lang),
+            # sketch matrix constant-size; explode + partial agg k x
+            "cms_heavy_hitters": (lambda d: _cms(d), docs, inflate_documents),
+            # vocab k x (disjoint suffixed words), rounds constant
+            "bpe_learn_merges": (
+                lambda d: _bpe(spark, d, num_merges=4),
+                docs,
+                inflate_documents,
+            ),
+            # fixed 16-query set against the k x candidate corpus
+            "contrastive_mining": (
+                lambda d: _mine(d, d.filter(F.col("vec_id") < 16)),
+                emb,
+                inflate_embeddings,
+            ),
+            # k x disjoint user populations: window state per task is
+            # base-sized, matrix output stays |types|^2
+            "event_transition_matrix": (lambda d: _transition(d), events, inflate_events),
+        }
+    )
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
         t0 = time.time()
