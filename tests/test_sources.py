@@ -165,3 +165,17 @@ def test_python_datasource_numbered_lines(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     # registration is idempotent
     assert read_numbered_lines(spark, str(a)).count() == 3
+
+
+def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
+    # df.observe: QA counters ride the write job's tasks — no second scan
+    from p6__mapreduce_spark.sources.sinks import write_parquet_observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    out = str(tmp_path / "observed")
+    metrics = write_parquet_observed(df, out, null_check_cols=["v"])
+    assert metrics == {"row_count": 4, "nulls_v": 2}
+    # the write itself is intact
+    assert spark.read.parquet(out).count() == 4
