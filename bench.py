@@ -113,6 +113,7 @@ HEADLINE = [
     "event_value_mad",
     "rare_bigram_ratio",
     "stratified_sample",
+    "weighted_sample_topk",
     "source_cap_sample",
     "temperature_mixture",
     "stable_dense_ids",

@@ -4639,6 +4639,24 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle() -> str:
+    from p6__mapreduce_spark.operators.pipeline import WEIGHTED_SAMPLE_ORACLE_SQL
+
+    return WEIGHTED_SAMPLE_ORACLE_SQL
+
+
+@register("weighted_sample_topk", oracle=_weighted_sample_oracle())
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement (Efraimidis-
+    Spirakis keys, hash-derandomized): inclusion probability scales
+    with the weight column, output size is exactly k — the primitive
+    behind "sample N docs by quality weight". Map-side key + TakeOrdered
+    partial top-k; no global sort (operators/pipeline.py)."""
+    from p6__mapreduce_spark.operators.pipeline import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

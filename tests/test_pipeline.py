@@ -289,3 +289,32 @@ def test_leakage_safe_splits_keep_neardups_together(spark):
     assert any(v >= 2 for v in sizes.values())
     # all three splits are populated
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_weighted_sample_exact_k_and_weight_bias(spark):
+    # exactly k rows out; a 100x-weight stratum must dominate the
+    # sample (E-S inclusion probability scales with weight)
+    rows = [(i, 10000 if i < 50 else 100) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    from p6__mapreduce_spark.operators.pipeline import weighted_sample
+
+    out = weighted_sample(docs, k=50).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r.doc_id < 50)
+    # 50 heavy docs at 100x weight vs 950 light: the sample must be
+    # mostly heavy (derandomized, so this is a fixed property of the
+    # hash, not flaky)
+    assert heavy >= 35
+    # zero/negative weights never sampled
+    docs2 = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_chars int")
+    assert [r.doc_id for r in weighted_sample(docs2, k=10).collect()] == [2]
+
+
+def test_weighted_sample_plan_take_ordered(spark):
+    from p6__mapreduce_spark.operators.pipeline import weighted_sample
+    from p6__mapreduce_spark.sources.readers import load_table
+    from tests.test_plans import SF, plan_of
+
+    plan = plan_of(weighted_sample(load_table(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan  # pure map-side + heap merge
