@@ -171,3 +171,33 @@ def publish_parquet_atomic(
     for v in survivors:
         shutil.rmtree(os.path.join(versions_root, f"v{v}"), ignore_errors=True)
     return current_real
+
+
+def published_versions(path: str) -> list[int]:
+    """Retained version numbers of an atomic-publish dataset, oldest
+    first ([] for a never-published path)."""
+    versions_root = path + ".versions"
+    if not os.path.isdir(versions_root):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(versions_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def read_published(spark, path: str, *, version: int | None = None) -> "DataFrame":
+    """Time-travel read over the atomic-publish history: the live
+    symlink by default, or any retained ``version`` — the rollback /
+    reproduce-yesterday's-training-set read path that completes
+    ``publish_parquet_atomic`` (lakehouse time travel's v0, bounded by
+    ``keep_versions``). Raises with the retained list if the asked-for
+    version was already garbage-collected."""
+    if version is None:
+        return spark.read.parquet(path)
+    have = published_versions(path)
+    if version not in have:
+        raise ValueError(
+            f"version {version} not retained for {path}; available: {have}"
+        )
+    return spark.read.parquet(os.path.join(path + ".versions", f"v{version}"))

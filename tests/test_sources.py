@@ -179,3 +179,28 @@ def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
     assert metrics == {"row_count": 4, "nulls_v": 2}
     # the write itself is intact
     assert spark.read.parquet(out).count() == 4
+
+
+def test_time_travel_read_over_publish_history(spark, tmp_path):
+    from p6__mapreduce_spark.sources.sinks import (
+        publish_parquet_atomic,
+        published_versions,
+        read_published,
+    )
+
+    path = str(tmp_path / "dataset")
+    v1 = spark.createDataFrame([(1, "old")], "id long, v string")
+    v2 = spark.createDataFrame([(1, "new"), (2, "new")], "id long, v string")
+    publish_parquet_atomic(v1, path, keep_versions=2)
+    publish_parquet_atomic(v2, path, keep_versions=2)
+    assert published_versions(path) == [1, 2]
+    # live read = latest; explicit versions readable; GC'd raises
+    assert read_published(spark, path).count() == 2
+    assert {r.v for r in read_published(spark, path, version=1).collect()} == {"old"}
+    v3 = spark.createDataFrame([(9, "x")], "id long, v string")
+    publish_parquet_atomic(v3, path, keep_versions=2)  # GCs v1
+    assert published_versions(path) == [2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="available"):
+        read_published(spark, path, version=1)
