@@ -55,6 +55,7 @@ HEADLINE = [
     "session_funnel",
     "upsert_latest_snapshot",
     "snapshot_diff",
+    "incremental_agg_merge",
     "event_json_stats",
     "tpch_q5_local_supplier",
     "tpch_q4_priority_exists",

@@ -4657,6 +4657,52 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
 
 
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored per-key aggregate
+    state (3/4 of the events, standing in for yesterday's snapshot)
+    merged with a delta batch's aggregate by the mergeable-state rules
+    (cnt+cnt, sum+sum, min(min), max(max)) — NO rescan of the stored
+    three quarters. The oracle aggregates the WHOLE table directly, so
+    a driver-green row proves the merge identity cross-engine: this is
+    the algebraic fact that makes 100 TB rollups maintainable per-day
+    instead of recomputed per-query."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+
+    stored = agg_of(ev.filter(F.col("event_id") % 4 != 3))
+    delta = agg_of(ev.filter(F.col("event_id") % 4 == 3))
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
