@@ -216,3 +216,44 @@ def run_streaming_click_purchase_left_join(
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def run_stream_static_enrichment(
+    spark,
+    events: "DataFrame",
+    dim: "DataFrame",
+) -> "DataFrame":
+    """Stream-static enrichment join: a micro-batched event stream
+    joined against a STATIC dimension table (the lookup-table pattern —
+    user profiles, catalog metadata). Unlike stream-stream joins this
+    needs NO watermark and NO join state: every micro-batch plans a
+    fresh batch join against the static side, which Catalyst broadcasts
+    when small — so at 100 TB of stream the per-batch cost is the
+    batch's size, and dimension updates are picked up by re-publishing
+    the static table (compose with sinks.publish_parquet_atomic).
+
+    Runs the stream with availableNow against a temp parquet copy of
+    ``events`` and returns the enriched rows collected from a memory
+    sink (test/demo harness, same conventions as the other run_*
+    helpers here)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="p6_stream_static_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "segment"
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

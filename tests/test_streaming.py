@@ -418,3 +418,25 @@ def test_statestore_reader_matches_batch_aggregate(spark, tmp_path):
     assert state == batch == {"a": 3, "b": 1}
     # skew diagnostic: key counts per state partition sum to |keys|
     assert sum(r.n_keys for r in state_key_counts(spark, ckpt).collect()) == 2
+
+
+def test_stream_static_enrichment_matches_batch_join(spark):
+    events = spark.createDataFrame(
+        [(1, 7, "click"), (2, 8, "view"), (3, 7, "view"), (4, 9, "click")],
+        "event_id long, user_id long, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "free")], "user_id long, segment string"
+    )
+    from p6__mapreduce_spark.streaming.join import run_stream_static_enrichment
+
+    got = {
+        (r.event_id, r.segment)
+        for r in run_stream_static_enrichment(spark, events, dim).collect()
+    }
+    want = {
+        (r.event_id, r.segment)
+        for r in events.join(dim, "user_id").select("event_id", "segment").collect()
+    }
+    # inner semantics: user 9 (no dim row) drops out; no state, no watermark
+    assert got == want == {(1, "gold"), (3, "gold"), (2, "free")}
