@@ -56,6 +56,7 @@ HEADLINE = [
     "upsert_latest_snapshot",
     "snapshot_diff",
     "incremental_agg_merge",
+    "value_drift_psi",
     "event_json_stats",
     "tpch_q5_local_supplier",
     "tpch_q4_priority_exists",

@@ -4703,6 +4703,63 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_drift_psi",
+    oracle="""
+    WITH split AS (
+      SELECT CASE WHEN ts < TIMESTAMP '1995-07-01' THEN 'base' ELSE 'cur' END AS period,
+             LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+      FROM events
+    ), hist AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM split GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS t_base, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM hist
+    )
+    SELECT bucket, n_base, n_cur,
+           CAST(floor(((n_cur + 1) * 1.0e0 / (t_cur + 10) - (n_base + 1) * 1.0e0 / (t_base + 10))
+                 * ln(((n_cur + 1) * 1.0e0 / (t_cur + 10)) / ((n_base + 1) * 1.0e0 / (t_base + 10)))
+                 * 1000000000 + 5.0e-1) AS BIGINT) AS psi_q9
+    FROM hist CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bucket — THE production drift
+    metric for a feature between a baseline and current period (here:
+    event values before/after a time split, 10 equi-width buckets with
+    a clamped tail). PSI term = (q - p) * ln(q / p) with +1/+B Laplace
+    smoothing so empty buckets stay finite. One scan, one bounded
+    histogram aggregation, 1-row totals broadcast; the term quantizes
+    to 1e-9 fixed point (sum of per-bucket ints = total PSI, exact on
+    any partitioning; ln's cross-libm ulp noise sits 7+ orders below
+    the quantum)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = ev.select(
+        F.when(F.col("ts") < "1995-07-01", F.lit("base")).otherwise(F.lit("cur")).alias(
+            "period"
+        ),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long")).alias(
+            "bucket"
+        ),
+    )
+    hist = split.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = hist.agg(F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur"))
+    p = (F.col("n_base") + 1) * F.lit(1.0) / (F.col("t_base") + 10)
+    q = (F.col("n_cur") + 1) * F.lit(1.0) / (F.col("t_cur") + 10)
+    psi_q9 = F.floor((q - p) * F.log(q / p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        hist.join(F.broadcast(tot))
+        .select("bucket", "n_base", "n_cur", psi_q9.alias("psi_q9"))
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
