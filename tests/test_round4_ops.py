@@ -251,3 +251,15 @@ def test_cms_matrix_bounded_and_mergeable(spark):
         s1.unionAll(s2).groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+
+
+def test_bpe_all_rounds_fire_on_driver_corpora(spark):
+    # bpe_fertility's oracle re-derives the final vocab through ALL 8
+    # CTE stages, which is only valid when no round stops early (an
+    # empty argmax would empty the chained vocab). Guard the
+    # precondition on the smallest driver corpus.
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert bpe_learn_merges(spark, docs, num_merges=8).count() == 8
