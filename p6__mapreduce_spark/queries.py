@@ -4485,7 +4485,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_trailing_1h",
     oracle="""
     WITH v AS (
-      SELECT user_id, event_id, epoch(ts) AS sec,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     )
@@ -4493,28 +4493,30 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cents) OVER w AS BIGINT) AS trail_cents,
            COUNT(*) OVER w AS trail_n
     FROM v
-    WINDOW w AS (PARTITION BY user_id ORDER BY sec
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id
     """,
 )
 def q_user_value_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based trailing aggregate: each event's 1-hour-lookback
-    sum/count per user — RANGE frames (value-based, on epoch seconds),
-    the shape ROWS windows cannot express when event density varies.
-    RANGE frames include ALL rows at equal timestamps in both frames,
-    so the result is deterministic even under timestamp ties (no
-    tie-break column needed — unlike ROWS). One shuffle on user_id;
-    exact cents."""
+    sum/count per user — RANGE frames (value-based, on exact epoch
+    MICROSECONDS: unix_timestamp() truncates to seconds while DuckDB's
+    epoch() is fractional, which skewed 1-in-100k boundary rows at
+    sf0.1 — micros are exact integers in both engines), the shape ROWS
+    windows cannot express when event density varies. RANGE frames
+    include ALL rows at equal timestamps in both frames, so the result
+    is deterministic even under timestamp ties (no tie-break column
+    needed — unlike ROWS). One shuffle on user_id; exact cents."""
     from pyspark.sql import Window
 
     v = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").alias("sec"),
+        F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, 0)
     return (
         v.select(
             "user_id",
