@@ -77,6 +77,9 @@ CARTESIAN_EXEMPT = {
     # 1-row global-total threshold broadcast into the per-part filter
     # (the decorrelated HAVING-scalar of TPC-H Q11)
     "tpch_q11_important_stock",
+    # 1-row (t_base, t_cur) totals broadcast into the bounded
+    # histogram — the scalar-broadcast shape
+    "value_drift_psi",
 }
 
 
