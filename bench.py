@@ -144,6 +144,7 @@ HEADLINE = [
     "passage_dedup_rewrite",
     "dup_ngram_coverage",
     "dedup_ngram_jaccard",
+    "dedup_prefix_filter",
     "dedup_minhash_lsh",
     "minhash_geometry_probe",
     # runs after dedup_minhash_lsh on purpose: it reuses the same LSH

@@ -181,3 +181,62 @@ FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
 WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= {threshold}
 ORDER BY 1, 2
 """
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. 2006 /
+    Bayardo et al. AllPairs): same result set as ``ngram_jaccard_pairs``
+    through a different — often far smaller — candidate space.
+
+    Under one global shingle order (document frequency ascending, then
+    shingle; rarest first), any two sets with J >= t must share a
+    shingle within their first |X| - ceil(t*|X|) + 1 ordered elements,
+    so only PREFIX postings enter the candidate self-join. Two scale
+    effects fall out: (1) candidate volume is driven by RARE shingles
+    (a 20% prefix at t=0.8), while the inverted-index join pays for hot
+    shingles unless `max_doc_freq` truncates them — prefix filtering
+    needs no such lossy cap; (2) the join input shrinks ~5x at t=0.8
+    before any pair forms. Verification reuses the shared exact-Jaccard
+    machinery on the candidate pairs; the pair set is IDENTICAL to the
+    full join's (asserted in tests), so this registers against the same
+    oracle.
+
+    The per-doc prefix rank is a window partitioned BY DOC (bounded
+    work per task); the global order needs no global rank — (df,
+    shingle) is itself the order key, computed by one posting-list
+    aggregation."""
+    from pyspark.sql import Window
+
+    postings = shingle_postings(docs, k).cache()
+    postings.count()
+    doc_freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        postings.join(doc_freq, "shingle")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("rk"),
+            (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).alias("plen"),
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("plen")).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        docs, threshold, k, candidates=candidates, postings=postings
+    )

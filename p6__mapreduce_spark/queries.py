@@ -4762,6 +4762,20 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_prefix_filter", oracle=_JACCARD_08)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (AllPairs /
+    SSJoin): rarest-first global shingle order, only the first
+    |X| - ceil(0.8|X|) + 1 postings per doc enter the candidate join —
+    candidate volume driven by rare shingles instead of hot ones, no
+    lossy df cap needed. Registered against the SAME oracle as
+    dedup_ngram_jaccard because the result set is provably identical
+    (the prefix lemma guarantees recall; verification is exact)."""
+    from p6__mapreduce_spark.dedup.jaccard import prefix_filter_pairs
+
+    return prefix_filter_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------

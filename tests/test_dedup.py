@@ -307,3 +307,40 @@ def test_edit_distance_pairs_refines_candidates(spark):
         assert 0.9 < r.edit_sim < 1.0
     # jaccard column passes through from the candidate edges
     assert abs(out[(0, 1)].jaccard - py_jaccard(BASE, NEAR_DUP)) < 1e-9
+
+
+def test_prefix_filter_pairs_identical_to_full_join(spark):
+    # the prefix lemma's recall guarantee, asserted end-to-end: the
+    # prefix-filtered pair set must EQUAL the full inverted-index join's
+    from p6__mapreduce_spark.dedup.jaccard import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r.id1, r.id2) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    pref = {(r.id1, r.id2) for r in prefix_filter_pairs(docs, 0.8).collect()}
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_candidate_space_shrinks(spark):
+    # the point of the method: prefix postings are a strict subset —
+    # at t=0.8 roughly the rarest ~20% + 1 per doc
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+    from p6__mapreduce_spark.sources.readers import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    postings = shingle_postings(docs, 3)
+    df = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = postings.join(df, "shingle").join(sizes, "doc_id").select(
+        "doc_id", F.row_number().over(w).alias("rk"),
+        (F.col("n") - F.ceil(F.col("n") * F.lit(0.8)) + 1).alias("plen"),
+    )
+    n_all = postings.count()
+    n_prefix = ranked.filter(F.col("rk") <= F.col("plen")).count()
+    assert n_prefix < 0.35 * n_all  # ~20% + 1-per-doc slack
