@@ -69,6 +69,7 @@ HEADLINE = [
     "user_value_trailing_1h",
     "event_transition_matrix",
     "user_event_type_sets",
+    "user_cohort_retention",
     "deterministic_sample",
     "session_windows_native",
     "skewed_event_value_salted",

@@ -4776,6 +4776,40 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "user_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT cohort_week, activity_week, COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week
+    (cohort) x weeks they were active — the standard retention
+    triangle. Two aggregations over one scan lineage (first-seen is a
+    per-user MIN; activity is a per-user-week DISTINCT) joined on
+    user_id; both shuffles share the user_id key so AQE co-locates
+    them. Output is |weeks|^2/2 rows regardless of event volume; weekly
+    truncation is engine-portable (ISO Monday weeks in both Spark
+    date_trunc and DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("activity_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "activity_week")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
