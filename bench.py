@@ -70,6 +70,7 @@ HEADLINE = [
     "event_transition_matrix",
     "user_event_type_sets",
     "user_cohort_retention",
+    "top_event_paths",
     "deterministic_sample",
     "session_windows_native",
     "skewed_event_value_salted",

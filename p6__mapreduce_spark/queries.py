@@ -4810,6 +4810,54 @@ def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM (SELECT user_id, event_type, ts, event_id FROM events
+            WHERE event_id % 16 = 0)
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY 1
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: each user's time-ordered event-type
+    sequence collapsed to a path string, then the most common paths —
+    the exploratory first cut of journey analysis. The ordered list
+    aggregation is sort_array over per-user (ts, event_id, type)
+    structs (ties pinned by event_id, so the path string is
+    deterministic cross-engine); one user_id shuffle, then a path-
+    frequency aggregation whose partial combine absorbs popular paths
+    map-side. A 1/16 event sample keeps paths short — realistic for
+    the demo and keeps the path cardinality meaningful."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 16 == 0)
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
