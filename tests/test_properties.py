@@ -127,3 +127,33 @@ def test_morton_code_interleave_roundtrip(spark, pairs):
 
     for r in rows:
         assert deinterleave(r.z) == (r.a, r.b)
+
+
+def test_continuation_ops_partition_invariant(spark):
+    # round-4 continuation ops: result is a pure function of the data,
+    # not the partitioning — 1 partition vs a skewed 13 must agree
+    # bit-for-bit (all of these quantize/fix-point before aggregation)
+    from p6__mapreduce_spark.operators.dsir import dsir_weights
+    from p6__mapreduce_spark.operators.pipeline import weighted_sample
+    from p6__mapreduce_spark.operators.sketches import cms_token_audit
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for op in (
+        lambda d: dsir_weights(d),
+        lambda d: cms_token_audit(d),
+        lambda d: weighted_sample(d),
+    ):
+        a = sorted(map(tuple, op(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, op(docs.repartition(13)).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_bpe_merges_partition_invariant(spark):
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = [tuple(r) for r in bpe_learn_merges(spark, docs.repartition(1), 4).collect()]
+    b = [tuple(r) for r in bpe_learn_merges(spark, docs.repartition(13), 4).collect()]
+    assert a == b and len(a) == 4
