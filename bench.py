@@ -127,6 +127,7 @@ HEADLINE = [
     "udaf_source_gmean",
     "embedding_dim_stats",
     "dsir_weights",
+    "dsir_resample_topk",
     "contrastive_mining",
     "bpe_learn_merges",
     "bpe_fertility",

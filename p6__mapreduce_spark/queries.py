@@ -4858,6 +4858,60 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_resample_oracle() -> str:
+    from p6__mapreduce_spark.operators.dsir import dsir_oracle_sql
+
+    inner = dsir_oracle_sql().strip().removesuffix("ORDER BY 1")
+    return f"""
+    WITH w AS ({inner}),
+    keyed AS (
+      SELECT doc_id, logweight_q6,
+             logweight_q6 * 1.0e0 / 1000000
+               - ln(-ln((list_reduce([CAST(7 AS BIGINT)] ||
+                   [CAST(ascii(c) AS BIGINT) for c in string_split(CAST(doc_id AS VARCHAR), '')],
+                   (acc, x) -> (acc * 31 + x) % 2147483647) + 1) * 1.0e0 / 2147483648))
+               AS k
+      FROM w
+    )
+    SELECT doc_id, logweight_q6,
+           CAST(floor(k * 1000000000 + 5.0e-1) AS BIGINT) AS key_q9
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+    """
+
+
+@register("dsir_resample_topk", oracle=_dsir_resample_oracle())
+def q_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of DSIR: importance RESAMPLING of the corpus by
+    the learned log-weights via the Gumbel-top-k trick (Kool et al.
+    2019) — adding derandomized Gumbel noise -ln(-ln(u)) to each log-
+    weight and taking the top-k draws an exactly-k sample with
+    probability proportional to the importance weight, entirely as a
+    map-side expression + TakeOrdered partial top-k (no normalization
+    pass, no global sort). u derives from the portable hash (seed 7,
+    distinct from the weighted_sample stream); the reported key is
+    1e-9-quantized for the same cross-libm ln-ulp reason as
+    weighted_sample_topk."""
+    from p6__mapreduce_spark.functions.hashing import POLY_MOD, poly_hash_expr
+    from p6__mapreduce_spark.operators.dsir import dsir_weights
+
+    w = dsir_weights(load_table(spark, sf_dir, "documents"))
+    u = (poly_hash_expr(F.col("doc_id").cast("string"), seed=7) + 1) * F.lit(1.0) / F.lit(
+        POLY_MOD + 1
+    )
+    key = F.col("logweight_q6") * F.lit(1.0) / F.lit(1_000_000) - F.log(-F.log(u))
+    return (
+        w.select(
+            "doc_id",
+            "logweight_q6",
+            F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("long").alias("key_q9"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(100)
+        .drop("_k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
