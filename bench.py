@@ -114,6 +114,7 @@ HEADLINE = [
     "order_price_percentiles",
     "qty_discount_corr",
     "lang_source_chisq",
+    "lang_id_confusion",
     "event_value_mad",
     "rare_bigram_ratio",
     "stratified_sample",

@@ -4912,6 +4912,38 @@ def q_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_confusion_oracle() -> str:
+    inner = _lang_id_oracle().strip().removesuffix("ORDER BY doc_id\n    ").strip()
+    inner = inner.removesuffix("ORDER BY doc_id")
+    return f"""
+    WITH preds AS ({inner})
+    SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n_docs
+    FROM documents d JOIN preds p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("lang_id_confusion", oracle=_lang_confusion_oracle())
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation artifact: the declared-vs-predicted
+    language confusion matrix for the stopword language heuristic —
+    the table that decides whether a cheap classifier is good enough
+    to gate a 100 TB corpus, and where it fails (which language pairs
+    confuse). Both sides of the join share the doc_id-keyed lineage;
+    output is |langs|^2 rows at any corpus size."""
+    from p6__mapreduce_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order
 # ---------------------------------------------------------------------------
