@@ -80,6 +80,8 @@ CARTESIAN_EXEMPT = {
     # 1-row (t_base, t_cur) totals broadcast into the bounded
     # histogram — the scalar-broadcast shape
     "value_drift_psi",
+    # inherits dsir_weights' 1-row totals broadcast (same plan prefix)
+    "dsir_resample_topk",
 }
 
 
