@@ -4956,6 +4956,17 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed keeps its file registration order after the window and is
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
+# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, swap ~20 slots
+# whose occupants will then have driver-green history for the round-4
+# continuation queries, which ship this round on two-SF local evidence
+# only (ORACLE_LOCAL_r4_final*.txt): tpch_q2_min_cost_supplier,
+# tpch_q9_product_profit, tpch_q11_important_stock,
+# tpch_q20_promotion_suppliers, dsir_weights, dsir_resample_topk,
+# contrastive_mining, bpe_learn_merges, bpe_fertility,
+# hybrid_search_rrf, cms_heavy_hitters, event_transition_matrix,
+# user_value_trailing_1h, snapshot_diff, incremental_agg_merge,
+# value_drift_psi, weighted_sample_topk, user_cohort_retention,
+# top_event_paths, dedup_prefix_filter, lang_id_confusion.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",
