@@ -107,6 +107,7 @@ HEADLINE = [
     "doc_chunks",
     "sequence_packing",
     "profile_orders",
+    "fk_integrity_profile",
     "doc_length_histogram",
     "winsorized_event_values",
     "sketch_weekly_users",

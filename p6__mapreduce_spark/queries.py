@@ -4956,6 +4956,76 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed keeps its file registration order after the window and is
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
+@register(
+    "fk_integrity_profile",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, (
+      SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', (
+      SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', (
+      SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', (
+      SELECT COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    ORDER BY 1
+    """,
+)
+def q_fk_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile: orphaned-foreign-key counts for
+    every edge of the star schema — the data-quality gate a warehouse
+    runs after every load. Each edge is ONE left-anti join (semi-join
+    pruning; the dimension side broadcasts when small) feeding a 1-row
+    count; the four counts union to a fixed 4-row report at any data
+    volume. Zero rows on healthy data is the assertion; the query
+    reports the counts rather than failing so the gate can threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        n = (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk"), "n_orphans")
+
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        orphans(
+            li,
+            "l_partkey",
+            load_table(spark, sf_dir, "part"),
+            "p_partkey",
+            "lineitem.l_partkey->part",
+        ),
+        orphans(
+            li,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+            "lineitem.l_suppkey->supplier",
+        ),
+        orphans(
+            o,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+            "orders.o_custkey->customer",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
+
+
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, swap ~20 slots
 # whose occupants will then have driver-green history for the round-4
 # continuation queries, which ship this round on two-SF local evidence
