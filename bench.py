@@ -176,6 +176,7 @@ HEADLINE = [
     "ann_recall_audit",
     "embedding_neardup",
     "semantic_dedup",
+    "cluster_medoids",
     "cube_flag_status",
     "orders_status_pivot",
     "rollup_orders_by_month",

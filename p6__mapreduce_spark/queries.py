@@ -3348,6 +3348,12 @@ def get_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         out["semantic_dedup"] = semantic_dedup_oracle_sql(f"{sf_dir}/embeddings.parquet")
     except Exception:  # parquet absent -> semantic_dedup stays rows-only
         pass
+    try:
+        from p6__mapreduce_spark.dedup.semantic import cluster_medoids_oracle_sql
+
+        out["cluster_medoids"] = cluster_medoids_oracle_sql(f"{sf_dir}/embeddings.parquet")
+    except Exception:  # parquet absent -> cluster_medoids stays rows-only
+        pass
     if "knn_ivf" in out:
         ivf_sql = out["knn_ivf"].replace("ORDER BY query_id, rank", "")
         bf_sql = _KNN_BF_ORACLE.replace("ORDER BY query_id, rank", "")
@@ -4955,6 +4961,23 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline -> dedup/ANN -> representative analytics. Everything NOT
 # listed keeps its file registration order after the window and is
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
+
+@register("cluster_medoids")  # oracle generated per sf-dir in get_oracle_sql()
+def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The best REAL representative of every coarse semantic cluster
+    (medoid = member maximizing total within-cluster cosine) — what
+    you read, label, or ship as a few-shot exemplar; centroids are
+    synthetic averages, medoids are actual documents. Shares the
+    memoized trained centroids with knn_ivf/semantic_dedup; same
+    n²/n_clusters bounded pair space; 1e-9-quantized cosine sums make
+    the argmax exact on any partitioning (dedup/semantic.py)."""
+    from p6__mapreduce_spark.dedup.semantic import cluster_medoids
+
+    return cluster_medoids(
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=_trained_centroids(spark, sf_dir),
+    )
+
 
 @register(
     "fk_integrity_profile",
