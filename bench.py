@@ -177,6 +177,7 @@ HEADLINE = [
     "embedding_neardup",
     "semantic_dedup",
     "cluster_medoids",
+    "source_centroid_similarity",
     "cube_flag_status",
     "orders_status_pivot",
     "rollup_orders_by_month",

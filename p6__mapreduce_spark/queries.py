@@ -4962,6 +4962,79 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed keeps its file registration order after the window and is
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
+@register(
+    "source_centroid_similarity",
+    oracle="""
+    WITH joined AS (
+      SELECT d.source, e.embedding FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id
+    ), dims AS (
+      SELECT source, i AS dim,
+             CAST(SUM(CAST(floor(embedding[i] * 1000000 + 5.0e-1) AS BIGINT)) AS BIGINT) AS s_q6,
+             COUNT(*) AS n
+      FROM (SELECT source, embedding::DOUBLE[] AS embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i FROM joined)
+      GROUP BY 1, 2
+    ), cents AS (
+      SELECT source, array_agg(s_q6 * 1.0e0 / n ORDER BY dim) AS c FROM dims GROUP BY 1
+    )
+    SELECT a.source AS source1, b.source AS source2,
+           list_inner_product(a.c, b.c) /
+             (sqrt(list_inner_product(a.c, a.c)) * sqrt(list_inner_product(b.c, b.c)))
+             AS cosine
+    FROM cents a JOIN cents b ON a.source < b.source
+    ORDER BY 1, 2
+    """,
+)
+def q_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are semantically close: pairwise cosine between
+    per-source MEAN embeddings — the signal behind mixture design
+    (don't over-weight two near-identical crawl sources) and source-
+    level contamination checks. Per-dim values quantize to 1e-6 ints
+    BEFORE the mean's sum (exact at any partitioning — the same trick
+    as embedding_dim_stats); everything after the first aggregation is
+    bounded by |sources| x dims, and the centroid pair join is
+    |sources|^2/2 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    q6 = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    dims = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "val"))
+        .select("source", (F.col("d0") + 1).alias("dim"), q6.alias("v_q6"))
+        .groupBy("source", "dim")
+        .agg(F.sum("v_q6").alias("s_q6"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        dims.groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", (F.col("s_q6") * F.lit(1.0) / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda s: s.getField("m"),
+            ).alias("c")
+        )
+    )
+    from p6__mapreduce_spark.functions.vectors import dot_product, l2_norm
+
+    a = cents.select(F.col("source").alias("source1"), F.col("c").alias("ca"))
+    b = cents.select(F.col("source").alias("source2"), F.col("c").alias("cb"))
+    return (
+        a.join(b, F.col("source1") < F.col("source2"))
+        .select(
+            "source1",
+            "source2",
+            (dot_product("ca", "cb") / (l2_norm("ca") * l2_norm("cb"))).alias("cosine"),
+        )
+        .orderBy("source1", "source2")
+    )
+
+
 @register("cluster_medoids")  # oracle generated per sf-dir in get_oracle_sql()
 def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The best REAL representative of every coarse semantic cluster
