@@ -82,6 +82,10 @@ CARTESIAN_EXEMPT = {
     "value_drift_psi",
     # inherits dsir_weights' 1-row totals broadcast (same plan prefix)
     "dsir_resample_topk",
+    # inequality pair join over the |sources| centroid table (<= 20
+    # rows/side after aggregation) — bounded category-domain grid,
+    # same class as lang_source_chisq
+    "source_centroid_similarity",
 }
 
 
