@@ -137,6 +137,7 @@ HEADLINE = [
     # text / dedup / similarity / multimodal
     "token_stats",
     "word_freq",
+    "zipf_fit",
     "tfidf_doc_terms",
     "bm25_scores",
     "unigram_surprise",

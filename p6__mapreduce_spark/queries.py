@@ -4963,6 +4963,80 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
 @register(
+    "zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY 1
+    ), head AS (
+      SELECT token, c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rk
+      FROM (SELECT * FROM freq ORDER BY c DESC, token LIMIT 1000)
+    ), pts AS (
+      SELECT CAST(floor(ln(rk) * 1000000 + 5.0e-1) AS BIGINT) AS x_q6,
+             CAST(floor(ln(c) * 1000000 + 5.0e-1) AS BIGINT) AS y_q6
+      FROM head
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x_q6) AS BIGINT) AS sx, CAST(SUM(y_q6) AS BIGINT) AS sy,
+             CAST(SUM(x_q6 * y_q6) AS BIGINT) AS sxy,
+             CAST(SUM(x_q6 * x_q6) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           (n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx) * sx)
+             / (n * 1000000.0e0) AS intercept_ln
+    FROM sums
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: closed-form OLS
+    of ln(freq) on ln(rank) over the top-1000 head — the slope (~ -1
+    for natural language) is the classic sanity check that a corpus is
+    language-like rather than templated or synthetic spam. The head is
+    a TakeOrdered partial top-k (no global vocab sort); (x, y) points
+    quantize to 1e-6 fixed point so the OLS moment sums are exact
+    integers (products stay < 2^63 at this quantum), and the final
+    slope/intercept divisions are bit-identical cross-engine."""
+    from p6__mapreduce_spark.functions.text import tokens_expr
+    from pyspark.sql import Window
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(1000)
+    )
+    head = freq.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), "token")).alias("rk")
+    )
+    x = F.floor(F.log("rk") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    y = F.floor(F.log("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    sums = head.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / (F.col("n") * F.lit(1_000_000.0))).alias(
+            "intercept_ln"
+        ),
+    )
+
+
+@register(
     "source_centroid_similarity",
     oracle="""
     WITH joined AS (
