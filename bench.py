@@ -161,6 +161,7 @@ HEADLINE = [
     "leakage_safe_splits",
     "minhash_estimate_error",
     "canonical_best_quality",
+    "quality_pct_by_source",
     "dedup_simhash",
     "dedup_simhash64",
     # dedup_simhash64_pairs excluded like dedup_simhash_pairs: the

@@ -4963,6 +4963,62 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
 @register(
+    "quality_pct_by_source",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST((CASE WHEN len(w) >= 20 AND n_chars <= 2000 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars * 1.0 / len(w) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_distinct(w)) * 1.0 / len(w) >= 0.3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS q3
+      FROM (SELECT doc_id, source, n_chars,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+            FROM documents)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, source, q3,
+           (row_number() OVER (PARTITION BY source ORDER BY q3, doc_id) - 1) * 1.0e0
+             / (COUNT(*) OVER (PARTITION BY source) - 1) AS pct_in_source
+    FROM q ORDER BY doc_id
+    """,
+)
+def q_quality_pct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: each document's POSITIONAL
+    percentile of the 0-3 quality indicator count WITHIN its source —
+    the normalization applied before a single global quality threshold
+    (raw scores aren't comparable across sources with different style
+    distributions; percentiles are). Positional (row_number - 1)/(n - 1)
+    with doc_id tie-break: exact integers until one final division, one
+    source-keyed shuffle, window state bounded per source partition
+    (AQE splits a dominant source)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    w = tokens_expr("text")
+    n = F.size(w)
+    q3 = (
+        ((n >= 20) & (F.col("n_chars") <= 2000)).cast("int")
+        + ((F.col("n_chars") * F.lit(1.0) / n).between(2.0, 12.0)).cast("int")
+        + ((F.size(F.array_distinct(w)) * F.lit(1.0) / n) >= 0.3).cast("int")
+    ).cast("long")
+    base = docs.filter(F.size(w) > 0).select("doc_id", "source", q3.alias("q3"))
+    win = Window.partitionBy("source").orderBy("q3", "doc_id")
+    wc = Window.partitionBy("source")
+    return base.select(
+        "doc_id",
+        "source",
+        "q3",
+        (
+            (F.row_number().over(win) - 1)
+            * F.lit(1.0)
+            / (F.count(F.lit(1)).over(wc) - 1)
+        ).alias("pct_in_source"),
+    ).orderBy("doc_id")
+
+
+@register(
     "zipf_fit",
     oracle="""
     WITH freq AS (
