@@ -112,6 +112,7 @@ HEADLINE = [
     "winsorized_event_values",
     "sketch_weekly_users",
     "cms_heavy_hitters",
+    "arrival_burstiness",
     "order_price_percentiles",
     "qty_discount_corr",
     "lang_source_chisq",
@@ -176,6 +177,7 @@ HEADLINE = [
     "pq_codes",
     "knn_pq",
     "ann_recall_audit",
+    "retrieval_mrr_eval",
     "embedding_neardup",
     "semantic_dedup",
     "cluster_medoids",

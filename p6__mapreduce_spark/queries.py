@@ -4963,6 +4963,135 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
 @register(
+    "retrieval_mrr_eval",
+    oracle="""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS c_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                         sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 16
+    ), hits AS (
+      SELECT query_id, MIN(rank) AS first_rel_rank
+      FROM ranked WHERE rank <= 10 AND q_label = c_label
+      GROUP BY 1
+    )
+    SELECT q.query_id, hits.first_rel_rank,
+           COALESCE(CAST(floor(1000000000.0e0 / hits.first_rel_rank + 5.0e-1) AS BIGINT), 0)
+             AS rr_q9
+    FROM (SELECT DISTINCT query_id FROM ranked) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+)
+def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: reciprocal rank of the first
+    SAME-LABEL neighbor within the cosine top-10, per query — the MRR
+    building block that grades whether vector search surfaces relevant
+    (same-class) items before the index goes to production. Reuses the
+    exact brute-force ranker; relevance comes from the label column;
+    rr quantizes to 1e-9 ints (ranks are exact ints, so this is
+    lossless for ranks <= 10). Queries with no top-10 hit report
+    rank NULL / rr 0 — visible, not dropped."""
+    from p6__mapreduce_spark.similarity.bruteforce import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    top = knn_bruteforce(emb, queries=queries, k=10)
+    labels = emb.select("vec_id", "label")
+    hits = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+                        .withColumnRenamed("label", "q_label")),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+                        .withColumnRenamed("label", "c_label")),
+            "neighbor_id",
+        )
+        .filter(F.col("q_label") == F.col("c_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    rr = F.floor(F.lit(1e9) / F.col("first_rel_rank") + F.lit(0.5)).cast("long")
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.coalesce(rr, F.lit(0).cast("long")).alias("rr_q9"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "arrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) / 3600.0e6 * 1000 + 5.0e-1)
+               AS BIGINT) AS gap_mh
+      FROM events
+    ), g AS (SELECT event_type, gap_mh FROM gaps WHERE gap_mh IS NOT NULL)
+    SELECT event_type, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_mh) AS BIGINT) AS sum_mh,
+           CAST(SUM(gap_mh * gap_mh) AS BIGINT) AS sumsq_mh,
+           (CAST(SUM(gap_mh * gap_mh) AS BIGINT) * 1.0e0 / COUNT(*)
+             - (CAST(SUM(gap_mh) AS BIGINT) * 1.0e0 / COUNT(*))
+               * (CAST(SUM(gap_mh) AS BIGINT) * 1.0e0 / COUNT(*)))
+             / (CAST(SUM(gap_mh) AS BIGINT) * 1.0e0 / COUNT(*)) AS fano_mh
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-shape profile: inter-arrival burstiness (Fano factor,
+    variance/mean of same-user gaps in milli-hours) per event type —
+    distinguishes Poisson-like organic traffic (~1) from bursty
+    automation/batch replays (>>1). The lag window shuffles once on
+    user_id; gaps quantize to exact milli-hour ints so the moment sums
+    are exact on any partitioning (squares stay well inside int64 at
+    this quantum), and variance/mean are two exact-input divisions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_mh = F.floor(
+        (us - F.lag(us).over(w)) / F.lit(3600.0 * 1e6) * F.lit(1000) + F.lit(0.5)
+    ).cast("long")
+    g = ev.select("event_type", gap_mh.alias("gap_mh")).filter(
+        F.col("gap_mh").isNotNull()
+    )
+    mean = F.col("sum_mh") * F.lit(1.0) / F.col("n_gaps")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_mh").alias("sum_mh"),
+            F.sum(F.col("gap_mh") * F.col("gap_mh")).alias("sumsq_mh"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_mh",
+            "sumsq_mh",
+            (
+                (F.col("sumsq_mh") * F.lit(1.0) / F.col("n_gaps") - mean * mean) / mean
+            ).alias("fano_mh"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "quality_pct_by_source",
     oracle="""
     WITH q AS (
