@@ -157,3 +157,53 @@ def test_bpe_merges_partition_invariant(spark):
     a = [tuple(r) for r in bpe_learn_merges(spark, docs.repartition(1), 4).collect()]
     b = [tuple(r) for r in bpe_learn_merges(spark, docs.repartition(13), 4).collect()]
     assert a == b and len(a) == 4
+
+
+def _bpe_reference(texts, num_merges):
+    # pure-Python BPE reference: word-frequency vocab, weighted pair
+    # counts, (count desc, lhs, rhs) argmax, leftmost-nonoverlap merge
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower().strip()):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for idx in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (lhs, rhs), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((idx, lhs, rhs, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=1, max_size=12), min_size=1, max_size=8))
+@spark_settings
+def test_bpe_matches_python_reference(spark, texts):
+    from p6__mapreduce_spark.operators.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_idx, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn_merges(spark, docs, num_merges=3).collect()
+    ]
+    assert got == _bpe_reference(texts, 3)
