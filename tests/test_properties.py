@@ -207,3 +207,28 @@ def test_bpe_matches_python_reference(spark, texts):
         for r in bpe_learn_merges(spark, docs, num_merges=3).collect()
     ]
     assert got == _bpe_reference(texts, 3)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@spark_settings
+def test_prefix_filter_equals_full_join_on_random_corpora(spark, word_lists):
+    # the prefix lemma must hold on ANY corpus, including degenerate
+    # ones (identical docs, disjoint docs, single-shingle docs)
+    from p6__mapreduce_spark.dedup.jaccard import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    full = {(r.id1, r.id2) for r in ngram_jaccard_pairs(docs, 0.6).collect()}
+    pref = {(r.id1, r.id2) for r in prefix_filter_pairs(docs, 0.6).collect()}
+    assert pref == full
