@@ -86,6 +86,9 @@ CARTESIAN_EXEMPT = {
     # rows/side after aggregation) — bounded category-domain grid,
     # same class as lang_source_chisq
     "source_centroid_similarity",
+    # embeds knn_bruteforce (the deliberate exact baseline) as its
+    # ranker — same exemption as ann_recall_audit
+    "retrieval_mrr_eval",
 }
 
 
