@@ -53,6 +53,7 @@ HEADLINE = [
     "events_window_sliding",
     "user_sessions",
     "session_funnel",
+    "multi_touch_attribution",
     "upsert_latest_snapshot",
     "snapshot_diff",
     "incremental_agg_merge",

@@ -4963,6 +4963,74 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
 @register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS p_cents
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT click_id, purchase_id, p_cents
+      FROM clicks JOIN purchases USING (user_id)
+      WHERE click_ts < p_ts AND click_ts >= p_ts - INTERVAL 1 HOUR
+    ), touch AS (
+      SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touch FROM pairs GROUP BY 1
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(p_cents * 1000000 // n_touch) AS BIGINT) AS attributed_ucents
+    FROM pairs JOIN touch USING (purchase_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    equally across the user's clicks in the preceding hour; each click
+    accumulates its share over all purchases it touched. The pair
+    space is a user-keyed equi-join with a time-range predicate (one
+    shuffle on user_id — never a time cross product); per-pair credit
+    is INTEGER division into micro-cents, so the final sums are exact
+    at any partitioning. The conversion-window semantics mirror the
+    streaming click->purchase interval join's batch twin — this is the
+    attribution layer on top of it."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "p_cents")
+    touch = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    return (
+        pairs.join(touch, "purchase_id")
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.floor(F.col("p_cents") * F.lit(1_000_000) / F.col("n_touch")).cast(
+                    "long"
+                )
+            ).alias("attributed_ucents"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@register(
     "retrieval_mrr_eval",
     oracle="""
     WITH ranked AS (
