@@ -68,6 +68,7 @@ HEADLINE = [
     "mode_event_type_per_user",
     "user_value_sliding_avg",
     "user_value_trailing_1h",
+    "time_decayed_user_value",
     "event_transition_matrix",
     "user_event_type_sets",
     "user_cohort_retention",

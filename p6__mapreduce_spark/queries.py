@@ -4962,6 +4962,64 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed keeps its file registration order after the window and is
 # covered by the committed full-registry run (ORACLE_LOCAL_r3.txt).
 
+def _decay_table_q6(half_life_days: int = 30, max_days: int = 2500) -> list[int]:
+    """floor(1e6 * 0.5^(d / half_life)) for d in 0..max_days — computed
+    ONCE in Python and embedded as the same literal table in both the
+    Spark plan and the DuckDB oracle, so no engine evaluates a
+    transcendental at query time (exp/pow differ by 1 ulp across libms;
+    at 100k rows that's an expected hash flip — the lookup table is the
+    standard fix, and it is also FASTER than per-row exp)."""
+    import math
+
+    return [
+        int(math.floor(1_000_000 * math.pow(0.5, d / half_life_days)))
+        for d in range(max_days + 1)
+    ]
+
+
+def _decayed_value_oracle() -> str:
+    table = "[" + ", ".join(str(v) for v in _decay_table_q6()) + "]"
+    return f"""
+    WITH aged AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             LEAST(date_diff('day', ts, TIMESTAMP '2024-02-01'), 2500) AS age_d
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(cents * ({table})[age_d + 1]) AS BIGINT) AS decayed_q6
+    FROM aged GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("time_decayed_user_value", oracle=_decayed_value_oracle())
+def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store staple: each user's exponentially recency-weighted
+    value total (30-day half-life against the fixed 2024-02-01 reference). The
+    decay weights come from a 2.5k-entry integer lookup table embedded
+    identically in both engines' plans — query time does ONE array
+    index per row instead of an exp(), making the aggregate exact
+    integer arithmetic at any partitioning AND immune to cross-libm
+    transcendental ulp drift. One user-keyed shuffle with map-side
+    partial sums."""
+    ev = load_table(spark, sf_dir, "events")
+    age_d = F.least(
+        F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")),
+        F.lit(2500),
+    )
+    w = F.element_at(F.lit(_decay_table_q6()), (age_d + 1).cast("int"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("user_id", (cents * w).alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("term").alias("decayed_q6"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register(
     "multi_touch_attribution",
     oracle="""
