@@ -69,6 +69,7 @@ HEADLINE = [
     "user_value_sliding_avg",
     "user_value_trailing_1h",
     "time_decayed_user_value",
+    "running_value_since_purchase",
     "event_transition_matrix",
     "user_event_type_sets",
     "user_cohort_retention",

@@ -5021,6 +5021,66 @@ def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_value_since_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER
+             (PARTITION BY user_id, epoch ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_cents,
+           epoch
+    FROM seq ORDER BY user_id, event_id
+    """,
+)
+def q_running_value_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional cumulative sum with resets (the gaps-and-islands
+    composition): each user's running value total that restarts after
+    every purchase — 'spend accumulated since last conversion', the
+    feature behind propensity models. Two stacked windows on the SAME
+    (user_id, ts, event_id) sort: the first assigns a purchase-epoch
+    id (cumulative marker count), the second sums within (user,
+    epoch) — one shuffle total, Spark reuses the sort. Exact cents,
+    ties pinned by event_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w1)
+        .cast("long")
+        .alias("epoch"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w2).alias("run_cents"),
+        "epoch",
+    ).orderBy("user_id", "event_id")
+
+
+@register(
     "multi_touch_attribution",
     oracle="""
     WITH clicks AS (
