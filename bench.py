@@ -70,6 +70,7 @@ HEADLINE = [
     "user_value_trailing_1h",
     "time_decayed_user_value",
     "running_value_since_purchase",
+    "ewma_daily_revenue",
     "event_transition_matrix",
     "user_event_type_sets",
     "user_cohort_retention",

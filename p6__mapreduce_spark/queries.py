@@ -5020,6 +5020,66 @@ def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_weights_q6(alpha: float = 0.3, max_lag: int = 40) -> list[int]:
+    """floor(1e6 * (1-alpha)^k) for k in 0..max_lag — one shared
+    integer table in both engines (same rationale as the decay table:
+    no per-row pow, no cross-libm drift)."""
+    import math
+
+    return [int(math.floor(1_000_000 * math.pow(1 - alpha, k))) for k in range(max_lag + 1)]
+
+
+def _ewma_oracle() -> str:
+    table = "[" + ", ".join(str(v) for v in _ewma_weights_q6()) + "]"
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r_cents
+      FROM events GROUP BY 1
+    )
+    SELECT a.day, a.r_cents,
+           CAST(SUM(b.r_cents * ({table})[date_diff('day', b.day, a.day) + 1]) AS BIGINT)
+             * 1.0e0 /
+           CAST(SUM(({table})[date_diff('day', b.day, a.day) + 1]) AS BIGINT) AS ewma_cents
+    FROM daily a JOIN daily b
+      ON b.day <= a.day AND date_diff('day', b.day, a.day) <= 40
+    GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+@register("ewma_daily_revenue", oracle=_ewma_oracle())
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (adjusted
+    EWMA: ratio of weighted sums over a 40-day lookback) — the
+    smoothing behind every ops dashboard trend line. Weights come from
+    the same shared-integer-table trick as time_decayed_user_value, so
+    both sums are exact ints and the EWMA is ONE deterministic
+    division. The day-level self-join is bounded by |days| x lookback
+    (tiny at any corpus size — the corpus collapses to daily rows
+    first)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("r_cents"))
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("r_cents").alias("a_r"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("r_cents").alias("b_r"))
+    lag = F.datediff(F.col("a_day"), F.col("b_day"))
+    w = F.element_at(F.lit(_ewma_weights_q6()), (lag + 1).cast("int"))
+    return (
+        a.join(b, (F.col("b_day") <= F.col("a_day")) & (lag <= 40))
+        .groupBy(F.col("a_day").alias("day"), F.col("a_r").alias("r_cents"))
+        .agg(
+            (
+                F.sum(F.col("b_r") * w).cast("double")
+                / F.sum(w.cast("long")).cast("double")
+            ).alias("ewma_cents")
+        )
+        .orderBy("day")
+    )
+
+
 @register(
     "running_value_since_purchase",
     oracle="""

@@ -89,6 +89,9 @@ CARTESIAN_EXEMPT = {
     # embeds knn_bruteforce (the deliberate exact baseline) as its
     # ranker — same exemption as ann_recall_audit
     "retrieval_mrr_eval",
+    # day-level lookback self-join AFTER the corpus collapses to daily
+    # rows — bounded |days| x 40 grid, same class as lang_source_chisq
+    "ewma_daily_revenue",
 }
 
 
