@@ -119,6 +119,7 @@ HEADLINE = [
     "arrival_burstiness",
     "order_price_percentiles",
     "qty_discount_corr",
+    "bootstrap_mean_ci",
     "lang_source_chisq",
     "lang_id_confusion",
     "event_value_mad",

@@ -5020,6 +5020,98 @@ def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _poisson_cdf_thresholds(max_k: int = 8) -> list[float]:
+    """Cumulative P(Poisson(1) <= k) for k in 0..max_k-1, as double
+    literals shared by both engines: a hash-uniform u maps to weight
+    w = #(thresholds < u) — the inverse-CDF lookup that makes the
+    Poisson bootstrap deterministic and engine-exact."""
+    import math
+
+    acc, out, p = 0.0, [], math.exp(-1.0)
+    for k in range(max_k):
+        acc += p
+        out.append(acc)
+        p /= k + 1
+    return out
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b, CAST(round(value * 100) AS BIGINT) AS cents,
+             (((event_id * 64 + b) * 1103515245 + 12345) % 2147483647 + 1) * 1.0e0
+               / 2147483648 AS u
+      FROM events CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+    ), weighted AS (
+      SELECT b, cents,
+             CAST(len(list_filter({_poisson_cdf_thresholds()}, t -> t < u)) AS BIGINT) AS w
+      FROM draws
+    ), replicas AS (
+      SELECT b, CAST(SUM(w * cents) AS BIGINT) * 1.0e0 / CAST(SUM(w) AS BIGINT)
+               AS mean_cents
+      FROM weighted GROUP BY b
+    ), sorted AS (SELECT array_agg(mean_cents ORDER BY mean_cents) AS m FROM replicas)
+    SELECT CAST(64 AS BIGINT) AS n_replicas,
+           m[2] AS lo_mean, m[32] AS med_mean, m[63] AS hi_mean
+    FROM sorted
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (Chamandy et al. 2012 — the
+    bootstrap that works on data too large to resample by index): 64
+    replicas of the mean event value, each row's replica weight drawn
+    as Poisson(1) via an inverse-CDF lookup on a hash-uniform — fully
+    derandomized, so the confidence interval is bit-reproducible AND
+    exactly oracle-checkable (a property textbook RNG bootstraps can't
+    have). One explode (x64), one partial-aggregated groupBy(b); the
+    64 replica means sort in ONE tiny aggregation; lo/med/hi are
+    positional picks (2.5/50/97.5-ish on 64). Exact integer weighted
+    sums; the only doubles are 64 final divisions. The per-draw
+    uniform comes from one integer LCG step ((k*1103515245+12345) mod
+    2^31-1) rather than the string-fold hash — identical in both
+    engines and O(1) per row (the string fold measured ~7x slower at
+    6.4M draws)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    draws = ev.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "cents",
+        (
+            (
+                ((F.col("event_id") * 64 + F.col("b")) * F.lit(1103515245) + F.lit(12345))
+                % F.lit(2147483647)
+                + 1
+            )
+            * F.lit(1.0)
+            / F.lit(2147483648)
+        ).alias("u"),
+    )
+    thresholds = F.lit(_poisson_cdf_thresholds())
+    w = F.size(F.filter(thresholds, lambda t: t < F.col("u"))).cast("long")
+    replicas = (
+        draws.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w").cast("double")).alias(
+                "mean_cents"
+            )
+        )
+    )
+    m = F.sort_array(F.collect_list("mean_cents"))
+    return replicas.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.element_at(m, 2).alias("lo_mean"),
+        F.element_at(m, 32).alias("med_mean"),
+        F.element_at(m, 63).alias("hi_mean"),
+    )
+
+
 def _ewma_weights_q6(alpha: float = 0.3, max_lag: int = 40) -> list[int]:
     """floor(1e6 * (1-alpha)^k) for k in 0..max_lag — one shared
     integer table in both engines (same rationale as the decay table:
