@@ -54,6 +54,7 @@ HEADLINE = [
     "user_sessions",
     "session_funnel",
     "multi_touch_attribution",
+    "position_attribution",
     "upsert_latest_snapshot",
     "snapshot_diff",
     "incremental_agg_merge",

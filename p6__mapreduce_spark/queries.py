@@ -5301,6 +5301,104 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "position_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS p_cents
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT click_id, purchase_id, p_cents,
+             row_number() OVER (PARTITION BY purchase_id ORDER BY click_ts, click_id) AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+      FROM clicks JOIN purchases USING (user_id)
+      WHERE click_ts < p_ts AND click_ts >= p_ts - INTERVAL 1 HOUR
+    ), credited AS (
+      SELECT click_id, purchase_id,
+             CASE WHEN n_touch = 1 THEN p_cents * 1000000
+                  WHEN n_touch = 2 THEN p_cents * 500000
+                  WHEN pos = 1 OR pos = n_touch THEN p_cents * 400000
+                  ELSE p_cents * 200000 // (n_touch - 2) END AS ucents
+      FROM pairs
+    )
+    SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(ucents) AS BIGINT) AS attributed_ucents
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution: 40% of each purchase's
+    value to the FIRST touch, 40% to the LAST, 20% split across the
+    middles (100% / 50-50 for 1- and 2-touch journeys) — the policy
+    marketers actually compare against linear. Same user-keyed range
+    join as multi_touch_attribution plus ONE positional window per
+    purchase (bounded by touches-per-conversion); credit in exact
+    integer micro-cents with the middle share integer-divided."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    wc = Window.partitionBy("purchase_id")
+    pairs = (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("click_ts") < F.col("p_ts"))
+            & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "p_cents",
+            "click_ts",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "p_cents",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(wc).alias("n_touch"),
+        )
+    )
+    ucents = (
+        F.when(F.col("n_touch") == 1, F.col("p_cents") * F.lit(1_000_000))
+        .when(F.col("n_touch") == 2, F.col("p_cents") * F.lit(500_000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")),
+            F.col("p_cents") * F.lit(400_000),
+        )
+        .otherwise(
+            F.floor(F.col("p_cents") * F.lit(200_000) / (F.col("n_touch") - 2)).cast(
+                "long"
+            )
+        )
+    )
+    return (
+        pairs.select("click_id", ucents.alias("ucents"))
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("ucents").alias("attributed_ucents"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@register(
     "retrieval_mrr_eval",
     oracle="""
     WITH ranked AS (
