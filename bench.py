@@ -75,6 +75,7 @@ HEADLINE = [
     "event_transition_matrix",
     "user_event_type_sets",
     "user_cohort_retention",
+    "kaplan_meier_conversion",
     "top_event_paths",
     "deterministic_sample",
     "session_windows_native",

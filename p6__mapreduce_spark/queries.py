@@ -5301,6 +5301,103 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY 1
+    ), durations AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+                  THEN date_diff('day', first_view, first_purchase)
+                  ELSE date_diff('day', first_view, TIMESTAMP '2024-02-01') END AS t_days,
+             CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+                  THEN 1 ELSE 0 END AS converted
+      FROM per_user WHERE first_view IS NOT NULL
+    ), steps AS (
+      SELECT t_days, CAST(SUM(converted) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM durations GROUP BY 1
+    ), risk AS (
+      SELECT t_days, d,
+             CAST((SELECT COUNT(*) FROM durations) AS BIGINT)
+               - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM steps
+    )
+    SELECT t_days, n_risk, d,
+           CAST(SUM(CAST(floor(ln((n_risk - d) * 1.0e0 / n_risk) * 1000000000 - 5.0e-1)
+                 AS BIGINT) * CASE WHEN d > 0 THEN 1 ELSE 0 END)
+             OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS surv_lnq9
+    FROM risk WHERE d > 0 ORDER BY t_days
+    """,
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis: Kaplan-Meier estimate of time from first view
+    to first purchase, with never-converting users right-censored at
+    the observation end — the correct way to answer 'how long does
+    conversion take' when many journeys are incomplete (naive averages
+    over converters only are biased short). The corpus collapses to
+    one row per user, then to one row per distinct duration, so the
+    risk-set windows run over a days-bounded table. The survival curve
+    is carried as the CUMULATIVE LOG (exact 1e-9-quantized ln(1-d/n)
+    terms, integer-summed — same ln discipline as bigram_entropy);
+    consumers exponentiate. Output only at event times (d > 0), the KM
+    convention."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") >= F.col("first_view")
+    )
+    durations = per_user.filter(F.col("first_view").isNotNull()).select(
+        F.when(
+            converted,
+            F.datediff(F.col("first_purchase").cast("date"), F.col("first_view").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.lit("2024-02-01").cast("date"), F.col("first_view").cast("date"))
+        )
+        .alias("t_days"),
+        converted.cast("int").alias("converted"),
+    )
+    steps = durations.groupBy("t_days").agg(
+        F.sum("converted").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    total = durations.count()
+    w_prev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = steps.select(
+        "t_days",
+        "d",
+        (F.lit(total) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    term = F.floor(
+        F.log((F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk"))
+        * F.lit(1e9)
+        - F.lit(0.5)
+    ).cast("long") * F.when(F.col("d") > 0, 1).otherwise(0)
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.select(
+            "t_days", "n_risk", "d", F.sum(term).over(w_cum).alias("surv_lnq9")
+        )
+        .filter(F.col("d") > 0)
+        .orderBy("t_days")
+    )
+
+
+@register(
     "position_attribution",
     oracle="""
     WITH clicks AS (
