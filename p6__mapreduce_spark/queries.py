@@ -5924,7 +5924,14 @@ def q_fk_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hybrid_search_rrf, cms_heavy_hitters, event_transition_matrix,
 # user_value_trailing_1h, snapshot_diff, incremental_agg_merge,
 # value_drift_psi, weighted_sample_topk, user_cohort_retention,
-# top_event_paths, dedup_prefix_filter, lang_id_confusion.
+# top_event_paths, dedup_prefix_filter, lang_id_confusion — plus the
+# later continuation batch (cluster_medoids, source_centroid_similarity,
+# zipf_fit, quality_pct_by_source, arrival_burstiness,
+# retrieval_mrr_eval, multi_touch_attribution, position_attribution,
+# time_decayed_user_value, running_value_since_purchase,
+# ewma_daily_revenue, bootstrap_mean_ci, kaplan_meier_conversion).
+# All carry committed three-SF local evidence; rotate oldest-evidence
+# first.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",
