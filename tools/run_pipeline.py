@@ -114,6 +114,17 @@ def main() -> int:
     deduped = deduped.join(mix, "doc_id")
     counts["after_mixture"] = deduped.count()
 
+    # 3b'. DSIR tilt: keep docs whose hashed-n-gram importance weight
+    # (target = 'en') is non-negative — the published
+    # importance-resampling gate, here as a cheap threshold filter on
+    # the survivors (full Gumbel-top-k resampling is the
+    # dsir_resample_topk query)
+    from p6__mapreduce_spark.operators.dsir import dsir_weights
+
+    tilt = dsir_weights(deduped).filter(F.col("logweight_q6") >= 0).select("doc_id")
+    deduped = deduped.join(tilt, "doc_id")
+    counts["after_dsir"] = deduped.count()
+
     # 3c. leakage-safe split labels from the SAME component map the
     # dedup stage already computed: near-dup survivors of one cluster
     # can only ever land in one split
