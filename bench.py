@@ -17,7 +17,7 @@ synthetic shared-vocabulary corpus puts ~10% of ALL doc pairs within
 hamming 3, so its runtime measures output cardinality — a data
 property — not the banded plan), and the hypothesis-style micro ops.
 
-If a previous round's BENCH_r*.json exists in the repo root, the JSON
+If a previous round's bench artifact exists in the repo root, the JSON
 line also carries "prev_total", "delta_total" and a "regressions" map
 (queries >=30% and >=0.3s slower than the previous round) so perf
 regressions are visible in the bench output itself. Each flagged query
@@ -26,6 +26,25 @@ is re-run once and its steady-state time attached ("recheck_steady" +
 whole-stage-codegen compilation whose run-to-run variance false-flags
 sub-2s queries (root-caused in round 4 — r3's two flagged regressions
 had unchanged pinned plans and steady states at/below their r1 times).
+
+Round-over-round comparison reads BENCH_LOCAL_r{N}.json FIRST (the
+builder's own parsed artifact, written by this script at the end of
+every run) and falls back to the driver's BENCH_r{N}.json only when no
+local artifact exists. Root cause (r4 verdict "What's wrong" #4): the
+driver's r2/r3 artifacts carry `parsed: null` with a truncated stdout
+tail, so `_previous_round` skipped them and silently compared r4
+against ROUND 1, masking genuine r3->r4 drift in the similarity
+family. The local artifact always carries the full queries map, so the
+comparison can never silently fall back more than one round again.
+
+The >=3s iterative heavyweights (STEADY_SET below) are additionally
+run three times — {cold, steady} per query, steady = median of the
+three — because their single cold time carries 1-1.5s of codegen noise
+that makes round-over-round deltas unreadable. The headline total and
+the "queries" map keep COLD times (comparable with all prior rounds);
+"steady" is the extra signal for drift analysis, and regressions on
+the steady set are judged on steady-vs-steady when the previous round
+recorded one.
 """
 
 from __future__ import annotations
@@ -206,6 +225,21 @@ HEADLINE = [
 ]
 
 
+# >=3s iterative training / pair-generation queries whose cold-run
+# codegen noise (±1-1.5s) swamps round-over-round deltas: timed 3x,
+# {cold, steady} both reported (r4 verdict "Next round" #8)
+STEADY_SET = frozenset(
+    {
+        "knn_pq",
+        "pq_codes",
+        "kmeans_lloyd",
+        "dedup_minhash_lsh",
+        "knn_ivf",
+        "cluster_medoids",
+    }
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -221,11 +255,20 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    steady: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # isolate queries: no cross-query cache memory
+        if name in STEADY_SET:
+            runs = [timings[name]]
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+            steady[name] = {"cold": runs[0], "steady": sorted(runs)[1]}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -233,20 +276,37 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steady": steady,
         "sf": sf,
     }
-    prev = _previous_round(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev = _previous_round(root)
     if prev:
         prev_q = prev.get("queries", {})
+        prev_s = prev.get("steady", {})
         out["prev_round"] = prev["round"]
+        out["prev_source"] = prev["source"]
         out["prev_total"] = prev.get("value")
         if isinstance(out["prev_total"], (int, float)):
             out["delta_total"] = round(total - out["prev_total"], 3)
-        out["regressions"] = {
-            n: {"prev": prev_q[n], "now": t}
-            for n, t in timings.items()
-            if n in prev_q and t >= prev_q[n] * 1.3 and t - prev_q[n] >= 0.3
-        }
+
+        def _basis(n: str, t: float) -> tuple[float, float] | None:
+            """(now, prev) on the fairest comparable basis: steady vs
+            steady where both rounds recorded one, else cold vs cold."""
+            if n in steady and isinstance(prev_s.get(n), dict):
+                return steady[n]["steady"], prev_s[n]["steady"]
+            if n in prev_q:
+                return t, prev_q[n]
+            return None
+
+        out["regressions"] = {}
+        for n, t in timings.items():
+            basis = _basis(n, t)
+            if basis is None:
+                continue
+            now_t, prev_t = basis
+            if now_t >= prev_t * 1.3 and now_t - prev_t >= 0.3:
+                out["regressions"][n] = {"prev": prev_t, "now": now_t}
         # First execution of a query pays one-time whole-stage-codegen
         # compilation (measured: 1-1.5s run-to-run variance on sub-2s
         # queries — r3 flagged wordcount_lines 1.33->1.86s while its
@@ -260,36 +320,76 @@ def main() -> None:
             entry["recheck_steady"] = round(time.time() - t0, 3)
             entry["verdict"] = (
                 "first_run_noise"
-                if entry["recheck_steady"] <= prev_q[n] * 1.15
+                if entry["recheck_steady"] <= entry["prev"] * 1.15
                 else "investigate"
             )
             spark.catalog.clearCache()
+    _write_local_artifact(root, out)
     print(json.dumps(out))
 
 
-def _previous_round(root: str) -> dict | None:
-    """Latest BENCH_r{N}.json's parsed payload, tagged with its round."""
+def _write_local_artifact(root: str, out: dict) -> None:
+    """Persist this run's FULL parsed payload as BENCH_LOCAL_r{N}.json
+    (N = current round = latest driver BENCH_r*.json + 1, or 1).
+    Committed each round, it guarantees `_previous_round` always finds
+    a complete previous-round queries map even when the driver's own
+    artifact is truncated (`parsed: null` — the r2/r3 failure mode that
+    made r4 silently compare against r1)."""
     import glob
 
-    best: tuple[int, dict] | None = None
+    latest = 0
     for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as f:
-                data = json.load(f)
-            parsed = data.get("parsed") or data
-            if "queries" not in parsed:
+        if m:
+            latest = max(latest, int(m.group(1)))
+    dst = os.path.join(root, f"BENCH_LOCAL_r{latest + 1}.json")
+    try:
+        with open(dst, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # bench output on stdout is still the artifact of record
+
+
+def _previous_round(root: str) -> dict | None:
+    """Latest usable bench payload, tagged with its round and source.
+
+    BENCH_LOCAL_r{N}.json (builder-written, always a full queries map)
+    outranks the driver's BENCH_r{N}.json at the same round; across
+    rounds the highest round with a parseable queries map wins. The
+    current in-progress round's own local artifact (written by a prior
+    bench invocation THIS round, i.e. newer than every driver BENCH_r*)
+    is excluded — comparisons are round-over-round, not run-over-run."""
+    import glob
+
+    latest_driver = 0
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            latest_driver = max(latest_driver, int(m.group(1)))
+
+    # (round, priority, payload): priority 1 = local artifact, 0 = driver
+    best: tuple[int, int, dict] | None = None
+    for pattern, prio in (("BENCH_LOCAL_r*.json", 1), ("BENCH_r*.json", 0)):
+        for path in glob.glob(os.path.join(root, pattern)):
+            m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", path)
+            if not m:
                 continue
-        except (OSError, json.JSONDecodeError):
-            continue
-        n = int(m.group(1))
-        if best is None or n > best[0]:
-            best = (n, parsed)
+            n = int(m.group(1))
+            if prio == 1 and n > latest_driver:
+                continue  # this round's own earlier run — not a previous round
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+                parsed = data.get("parsed") or data
+                if "queries" not in parsed:
+                    continue
+            except (OSError, json.JSONDecodeError):
+                continue
+            if best is None or (n, prio) > (best[0], best[1]):
+                best = (n, prio, parsed)
     if best is None:
         return None
-    return {"round": best[0], **best[1]}
+    return {"round": best[0], "source": "local" if best[1] else "driver", **best[2]}
 
 
 if __name__ == "__main__":

@@ -223,7 +223,16 @@ def prefix_filter_pairs(
             "doc_id",
             "shingle",
             F.row_number().over(w).alias("rk"),
-            (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).alias("plen"),
+            # ceil on raw doubles can round an exact integer product UP
+            # past itself (e.g. t=3/17 at n=85 -> 15.000000000000002 ->
+            # ceil 16), shortening the prefix below what the AllPairs
+            # lemma requires and silently missing qualifying pairs.
+            # Nudging down by 1e-9 makes the ceil err only LONGER
+            # (a longer prefix admits extra candidates — safe; the exact
+            # Jaccard verify step downstream filters them).
+            (
+                F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+            ).alias("plen"),
         )
     )
     prefix = ranked.filter(F.col("rk") <= F.col("plen")).select("doc_id", "shingle")

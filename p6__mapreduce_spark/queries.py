@@ -5040,7 +5040,15 @@ def _poisson_cdf_thresholds(max_k: int = 8) -> list[float]:
     oracle=f"""
     WITH draws AS (
       SELECT b, CAST(round(value * 100) AS BIGINT) AS cents,
-             (((event_id * 64 + b) * 1103515245 + 12345) % 2147483647 + 1) * 1.0e0
+             -- reduce mod 2^31-1 BEFORE the multiply: the unreduced
+             -- (event_id*64+b)*1103515245 overflows int64 once event_id
+             -- exceeds ~1.3e8 (Spark non-ANSI wraps, DuckDB raises).
+             -- (x % M * c + d) % M == (x*c+d) % M, so results are
+             -- unchanged where the old form didn't overflow; the
+             -- reduced intermediate is bounded by (M-1)*1103515245
+             -- ~ 2.4e18 < 2^63 at ANY event_id.
+             (((((event_id % 2147483647) * 64 + b) % 2147483647)
+                * 1103515245 + 12345) % 2147483647 + 1) * 1.0e0
                / 2147483648 AS u
       FROM events CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
     ), weighted AS (
@@ -5082,9 +5090,21 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "b",
         "cents",
+        # event_id reduced mod 2^31-1 BEFORE the multiply (mirrors the
+        # oracle comment): keeps every intermediate < 2^63 at any
+        # event_id, where the unreduced form wrapped silently past
+        # event_id ~1.3e8 (and DuckDB would raise instead — a
+        # cross-engine break, not a graceful degrade).
         (
             (
-                ((F.col("event_id") * 64 + F.col("b")) * F.lit(1103515245) + F.lit(12345))
+                (
+                    (
+                        (F.col("event_id") % F.lit(2147483647) * 64 + F.col("b"))
+                        % F.lit(2147483647)
+                    )
+                    * F.lit(1103515245)
+                    + F.lit(12345)
+                )
                 % F.lit(2147483647)
                 + 1
             )
@@ -5639,8 +5659,13 @@ def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(w) > 0
     )
     SELECT doc_id, source, q3,
-           (row_number() OVER (PARTITION BY source ORDER BY q3, doc_id) - 1) * 1.0e0
-             / (COUNT(*) OVER (PARTITION BY source) - 1) AS pct_in_source
+           -- single-doc source guard: (rn-1)/(n-1) is 0/0 there, which
+           -- DuckDB evaluates to NaN but Spark to NULL - define it as
+           -- percentile 0.0 in both engines instead
+           CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+                THEN (row_number() OVER (PARTITION BY source ORDER BY q3, doc_id) - 1) * 1.0e0
+                       / (COUNT(*) OVER (PARTITION BY source) - 1)
+                ELSE 0.0e0 END AS pct_in_source
     FROM q ORDER BY doc_id
     """,
 )
@@ -5668,15 +5693,20 @@ def q_quality_pct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.size(w) > 0).select("doc_id", "source", q3.alias("q3"))
     win = Window.partitionBy("source").orderBy("q3", "doc_id")
     wc = Window.partitionBy("source")
+    # single-doc source: (rn-1)/(n-1) is 0/0 -> NULL in Spark, NaN in
+    # DuckDB; pin the degenerate case to 0.0 in both engines
     return base.select(
         "doc_id",
         "source",
         "q3",
-        (
+        F.when(
+            F.count(F.lit(1)).over(wc) > 1,
             (F.row_number().over(win) - 1)
             * F.lit(1.0)
-            / (F.count(F.lit(1)).over(wc) - 1)
-        ).alias("pct_in_source"),
+            / (F.count(F.lit(1)).over(wc) - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_in_source"),
     ).orderBy("doc_id")
 
 
@@ -5940,64 +5970,72 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "range_bucket_sort",
     "mr_facade_wordcount",
     "mr_facade_sort",
-    # --- round-4 rotation: every remaining slot goes to a query that has
-    # NEVER had a driver-verified row (CORRECTNESS_r01-r03), so cumulative
-    # driver coverage grows 68 -> 104+ of the registry.  Rotated-out
-    # veterans all have >=2 rounds of driver-green history and committed
-    # local oracle evidence at sf0.01 AND sf0.1 (ORACLE_LOCAL_r4*.txt).
-    # text / ranking signals
-    "bm25_scores",
-    "bigram_entropy",
-    "vocab_coverage",
-    "doc_length_histogram",
-    # corpus curation / sampling / splits
-    "group_kfold_splits",
-    "stratified_sample",
-    "source_cap_sample",
-    # dedup family
-    "semantic_dedup",
-    "dup_ngram_coverage",
-    "dedup_cluster_stats",
-    "minhash_estimate_error",
-    # similarity / multimodal
-    "ann_recall_audit",
-    "multimodal_frames",
-    # analytics: windows, percentiles, stats
-    "event_neighbor_counts",
-    "grouping_sets_explicit",
-    "ntile_price_quartiles",
-    "event_span_per_user",
-    "median_price_by_priority",
-    "order_price_percentiles",
-    "qty_discount_corr",
-    "profile_orders",
-    "winsorized_event_values",
+    # --- round-5 rotation (the plan the r4 verdict asked to execute):
+    # every remaining slot goes to a query that has NEVER had a
+    # driver-verified row (CORRECTNESS_r01-r04 union = 112 of 173), so
+    # cumulative driver coverage grows 112 -> 156 of the registry.
+    # Rotated-out r4 occupants all have fresh driver-green history
+    # (CORRECTNESS_r04: 50/50 full pass) plus committed local oracle
+    # evidence at three scale factors (ORACLE_LOCAL_r4_final*.txt).
+    # Still never-verified after this round (17, queued for r6):
+    # dedup_edit_distance, zorder_codes, event_props_variant,
+    # lexicon_hits, embedding_dim_stats, gap_fill_daily, skew_profile,
+    # stable_dense_ids, snapshot_diff, top_event_paths,
+    # time_decayed_user_value, running_value_since_purchase,
+    # arrival_burstiness, zipf_fit, fk_integrity_profile, plus the two
+    # inherently rows-only sketches (approx_stats, sketch_weekly_users).
+    # iterative training heavyweights (r4 verdict priority #1)
+    "pq_codes",
+    "knn_pq",
+    "kmeans_lloyd",
+    "bpe_learn_merges",
+    "bpe_fertility",
+    "textrank_keywords",
+    # data-selection / mining
+    "dsir_weights",
+    "dsir_resample_topk",
+    "contrastive_mining",
+    "hybrid_search_rrf",
+    "retrieval_mrr_eval",
+    # dedup / similarity continuation
+    "dedup_prefix_filter",
+    "cluster_medoids",
+    "source_centroid_similarity",
+    # sketches / stats family
+    "cms_heavy_hitters",
+    "kaplan_meier_conversion",
+    "bootstrap_mean_ci",
+    "ewma_daily_revenue",
+    "value_drift_psi",
+    "event_value_mad",
+    "lang_source_chisq",
+    "udaf_source_gmean",
+    "bigram_perplexity",
+    "lang_id_confusion",
+    "quality_pct_by_source",
     # TPC-H shapes never yet driver-verified
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_rich_customers",
-    # streaming / stateful / CDC
-    "clicks_to_purchases_streaming",
-    "upsert_latest_snapshot",
-    "stateful_running_totals",
-    "session_funnel",
-    "append_finalized_windows_streaming",
-    # round-4 additions: REAL PPM decode/resize (stub retired), 64-bit
-    # SimHash (corpus-scale width, exact to hamming<=7)
-    "multimodal_decode",
-    "multimodal_resize",
-    "dedup_simhash64",
-    "dedup_simhash64_pairs",
-    "minhash_geometry_probe",
-    "events_window_sliding",
-    "bigram_lm",
-    "passage_dedup_rewrite",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q16_supplier_diversity",
+    "tpch_q20_promotion_suppliers",
+    # multimodal audio/video decode rows (r4 verdict item #6)
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "multimodal_audio_downsample",
+    # pipeline / sampling / attribution continuation
+    "weighted_sample_topk",
+    "incremental_agg_merge",
+    "temperature_mixture",
+    "leakage_safe_splits",
+    "user_cohort_retention",
+    "multi_touch_attribution",
+    "position_attribution",
+    "event_transition_matrix",
+    "user_value_trailing_1h",
+    # streaming continuation (left-outer stream-stream join)
+    "clicks_left_outer_streaming",
 )
 
 
@@ -6007,7 +6045,7 @@ def _apply_registration_order() -> None:
         raise RuntimeError(f"VERIFIED_WINDOW names unknown queries: {missing}")
     # knn_ivf / semantic_dedup / ann_recall_audit oracles are generated
     # per sf-dir in get_oracle_sql() (model literals depend on the data).
-    _GENERATED = {"knn_ivf", "semantic_dedup", "ann_recall_audit"}
+    _GENERATED = {"knn_ivf", "semantic_dedup", "ann_recall_audit", "cluster_medoids"}
     no_oracle = [
         n for n in VERIFIED_WINDOW if n not in ORACLE_SQL and n not in _GENERATED
     ]

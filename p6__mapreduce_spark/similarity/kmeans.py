@@ -28,6 +28,18 @@ Init = the embeddings of the k smallest ids (deterministic,
 data-defined, no RNG); an empty cluster keeps its previous centroid
 (standard Lloyd fallback), mirrored by the oracle's LEFT JOIN +
 COALESCE.
+
+Sample training (``sample_mod``): at 100 TB the centroids don't need
+the whole corpus — pass ``sample_mod=N`` to train on the deterministic
+sha256 bucket-0 sample (1/N of rows, the same engine-portable bucket
+every sampler in this repo uses, see ``dedup/geometry.py``). Only the
+small TRAINING SAMPLE is materialized (localCheckpoint); the full
+corpus is touched exactly once, by the final un-checkpointed map-side
+assignment pass fused with quantization. Default ``None`` keeps the
+bit-exact full-corpus training the DuckDB oracles replay; sampling is
+equally deterministic (the bucket predicate is a plan literal both
+engines could run) but intentionally not wired into the registered
+oracles, which pin the default path.
 """
 
 from __future__ import annotations
@@ -76,13 +88,33 @@ def _round_half_away(v: float) -> int:
     return int(Decimal(v).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
-def lloyd_train(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+def sampled_train_set(q: DataFrame, sample_mod: int) -> DataFrame:
+    """Deterministic 1/sample_mod training sample: sha256-nibble bucket
+    0 of vec_id — the identical engine-portable bucket used by
+    ``dedup/geometry.py`` and ``operators/pipeline.py``, so which rows
+    train is a pure function of the data, never of partitioning or RNG
+    state."""
+    nib8 = F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 8)
+    return q.filter((F.conv(nib8, 16, 10).cast("long") % F.lit(sample_mod)) == 0)
+
+
+def lloyd_train(q: DataFrame, k: int, iters: int, *, init_smallest_k: bool = False) -> list[list[int]]:
     """The driver-coordinated Lloyd loop over a (vec_id, e) DataFrame
     of quantized int64 vectors: init = the k smallest ids' vectors,
     per round one map-side assignment + one k-row partial-agg shuffle,
     k*d ints back to the driver. Shared by kmeans_lloyd and the
-    product quantizer (which trains one codebook per subspace)."""
-    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
+    product quantizer (which trains one codebook per subspace).
+
+    ``init_smallest_k`` switches init from ``vec_id < k`` (the oracle-
+    pinned default — assumes contiguous ids from 0) to the k smallest
+    ids PRESENT (orderBy + limit), which a hash-sampled training set
+    needs because bucket 0 has no reason to contain ids 0..k-1."""
+    if init_smallest_k:
+        init = q.orderBy("vec_id").limit(k).select("vec_id", "e").collect()
+        if len(init) < k:
+            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
+    else:
+        init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
     cents: list[list[int]] = [list(r.e) for r in init]
     d = len(cents[0])
     for _ in range(iters):
@@ -115,6 +147,7 @@ def kmeans_lloyd(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """`iters` Lloyd rounds then a final assignment; returns one row per
     (cluster_id, dim): the final centroid coordinate plus the cluster's
@@ -125,20 +158,31 @@ def kmeans_lloyd(
     Driver memory is k×d int64 per round regardless of table size; the
     per-round Spark job is scan → map-side assignment → partial-agg
     shuffle of k rows × (d+1) columns.
+
+    ``sample_mod=N``: train on the deterministic sha256 bucket-0
+    1/N-sample (only the SAMPLE is checkpointed); the full corpus is
+    read exactly once by the final assignment pass, never materialized
+    — the 100 TB shape SCALE.md promises. Init becomes the k smallest
+    sampled ids. Default None = bit-exact oracle-pinned full training.
     """
     spark = embeddings.sparkSession
-    # one materialization feeds init + every iteration + the final
-    # stats (2*iters + 2 separate jobs otherwise re-scan the source and
-    # re-quantize each time — measured ~40% of wall at sf0.1); at
-    # cluster scale this is the written quantized-features intermediate
-    q = embeddings.select(
+    quant = embeddings.select(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
-    ).localCheckpoint(eager=True)
-
-    cents = lloyd_train(q, k, iters)
+    )
+    if sample_mod is None:
+        # one materialization feeds init + every iteration + the final
+        # stats (2*iters + 2 separate jobs otherwise re-scan the source
+        # and re-quantize each time — measured ~40% of wall at sf0.1)
+        q = quant.localCheckpoint(eager=True)
+        cents = lloyd_train(q, k, iters)
+        full = q
+    else:
+        train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
+        cents = lloyd_train(train, k, iters, init_smallest_k=True)
+        full = quant  # single streaming pass below, no checkpoint
     best = _best_expr("e", cents)
     final_stats = (
-        q.select(
+        full.select(
             best.getField("i").alias("cluster_id"), best.getField("d").alias("dist")
         )
         .groupBy("cluster_id")

@@ -16,8 +16,12 @@ is normally impossible for float k-means.
 Scale shape: one quantize+checkpoint pass, then per subspace
 ``iters`` rounds of (map-side assignment + k-row partial-agg shuffle)
 — driver traffic m*k*dsub ints total; encoding is a single map-side
-pass over the checkpointed vectors. At 100 TB the codebooks train on
-a sample and the encode pass streams — the same two-phase shape.
+pass over the checkpointed vectors. At 100 TB pass ``sample_mod=N``:
+codebooks train on the deterministic sha256 bucket-0 1/N-sample (only
+the sample is checkpointed) and the encode pass STREAMS over the full
+corpus exactly once, un-materialized — the two-phase shape the default
+full-table path (kept for the bit-exact DuckDB oracles) collapses at
+local scale.
 """
 
 from __future__ import annotations
@@ -44,22 +48,26 @@ def pq_codes(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """(vec_id, subspace, code, err_q): each vector's code id per
     subspace plus the exact squared quantization error to its chosen
     code — m rows per vector (the exploded layout keeps every cell a
-    scalar integer, hash-stable cross-engine)."""
+    scalar integer, hash-stable cross-engine).
+
+    ``sample_mod=N``: codebooks train on the sha256 bucket-0 1/N
+    sample (only the sample checkpointed); encoding streams over the
+    full corpus once, un-materialized. Default None = oracle-pinned
+    full-corpus training."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     d = int(first["d"])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
 
-    q = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
-    ).localCheckpoint(eager=True)
-
-    codebooks = _train_all(q, m, k, iters, dsub)
+    q, codebooks = _quantize_and_train(
+        embeddings, m, k, iters, dsub, vec_col, id_col, sample_mod
+    )
 
     per_sub = [
         F.struct(
@@ -80,8 +88,35 @@ def pq_codes(
     )
 
 
+def _quantize_and_train(
+    embeddings: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    dsub: int,
+    vec_col: str,
+    id_col: str,
+    sample_mod: int | None,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """(corpus, codebooks): the quantized corpus DataFrame to encode
+    plus the trained codebooks. sample_mod=None checkpoints the full
+    corpus (shared by training and encoding — the measured local-scale
+    win); sample_mod=N checkpoints ONLY the 1/N training sample and
+    returns the corpus as a lazy single-pass scan."""
+    from p6__mapreduce_spark.similarity.kmeans import sampled_train_set
+
+    quant = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
+    )
+    if sample_mod is None:
+        q = quant.localCheckpoint(eager=True)
+        return q, _train_all(q, m, k, iters, dsub)
+    train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
+    return quant, _train_all(train, m, k, iters, dsub, init_smallest_k=True)
+
+
 def _train_all(
-    q: DataFrame, m: int, k: int, iters: int, dsub: int
+    q: DataFrame, m: int, k: int, iters: int, dsub: int, *, init_smallest_k: bool = False
 ) -> list[list[list[int]]]:
     """All m subspace codebooks trained together: per Lloyd round ONE
     Spark job computes every subspace's per-code sums (explode the m
@@ -92,7 +127,12 @@ def _train_all(
     (same integer sums, same rounding), which the oracle relies on."""
     from p6__mapreduce_spark.similarity.kmeans import _round_half_away
 
-    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
+    if init_smallest_k:
+        init = q.orderBy("vec_id").limit(k).select("e").collect()
+        if len(init) < k:
+            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
+    else:
+        init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
     codebooks = [
         [list(r.e[s * dsub : (s + 1) * dsub]) for r in init] for s in range(m)
     ]
@@ -205,6 +245,7 @@ def knn_pq(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """ANN search over the PQ codes via Asymmetric Distance
     Computation (the FAISS search path): per query, ONE m*k
@@ -226,10 +267,9 @@ def knn_pq(
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     d = int(first["d"])
     dsub = d // m
-    q = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
-    ).localCheckpoint(eager=True)
-    codebooks = _train_all(q, m, k, iters, dsub)
+    q, codebooks = _quantize_and_train(
+        embeddings, m, k, iters, dsub, vec_col, id_col, sample_mod
+    )
 
     # corpus codes: (vec_id, subspace, code)
     per_sub = [

@@ -241,19 +241,26 @@ def run_stream_static_enrichment(
 
     from pyspark.sql import functions as F
 
+    import shutil
+
     src = tempfile.mkdtemp(prefix="p6_stream_static_")
-    events.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(events.schema).parquet(src)
-    enriched = stream.join(F.broadcast(dim), "user_id").select(
-        "event_id", "user_id", "event_type", "segment"
-    )
-    name = f"stream_static_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}")
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "event_type", "segment"
+        )
+        name = f"stream_static_{uuid.uuid4().hex[:8]}"
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory-sink rows live in the session, not the source dir, so
+        # the staging copy can be removed as soon as the query stops
+        return spark.sql(f"SELECT * FROM {name}")  # noqa: S608 - generated name
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

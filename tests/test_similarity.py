@@ -345,3 +345,80 @@ def test_hybrid_rrf_legs_plan_take_ordered(spark):
     )
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_sample_mod_one_equals_full_training(spark):
+    # sample_mod=1 keeps every row (x % 1 == 0) and the testdata ids
+    # are contiguous from 0, so the k-smallest-ids init coincides with
+    # the default vec_id < k init: the sampled path must reproduce the
+    # oracle-pinned full-training result bit-for-bit
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, SF, "embeddings")
+    full = kmeans_lloyd(emb, k=4, iters=2).collect()
+    sampled = kmeans_lloyd(emb, k=4, iters=2, sample_mod=1).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in sampled]
+
+
+def test_kmeans_sample_training_stays_close_to_full(spark):
+    # sample_mod=2 trains on ~half the corpus; the clustering is a
+    # different (still deterministic) model but must remain a sane
+    # quantizer: every point assigned, per-point quantization error of
+    # the same order as full training
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    full = {(r.cluster_id, r.dim): r for r in kmeans_lloyd(emb, k=4, iters=2).collect()}
+    samp = {
+        (r.cluster_id, r.dim): r
+        for r in kmeans_lloyd(emb, k=4, iters=2, sample_mod=2).collect()
+    }
+    assert set(samp) == set(full)  # same k x d exploded shape
+    assert sum(r.n_points for (c, d), r in samp.items() if d == 1) == n
+    inertia_full = sum(r.inertia_q for (c, d), r in full.items() if d == 1)
+    inertia_samp = sum(r.inertia_q for (c, d), r in samp.items() if d == 1)
+    assert 0 < inertia_samp < inertia_full * 2
+    # determinism of the sampled path itself (partitioning-invariant)
+    again = {
+        (r.cluster_id, r.dim): (r.coord_q, r.n_points, r.inertia_q)
+        for r in kmeans_lloyd(emb.repartition(7), k=4, iters=2, sample_mod=2).collect()
+    }
+    assert again == {k: (r.coord_q, r.n_points, r.inertia_q) for k, r in samp.items()}
+
+
+def test_pq_sample_mod_one_equals_full_training(spark):
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    emb = load_table(spark, SF, "embeddings")
+    full = pq_codes(emb, m=4, k=8, iters=2).collect()
+    sampled = pq_codes(emb, m=4, k=8, iters=2, sample_mod=1).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in sampled]
+
+
+def test_pq_sample_training_encodes_full_corpus(spark):
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    out = pq_codes(emb, m=4, k=8, iters=2, sample_mod=2).collect()
+    # every corpus vector gets a code in every subspace (encoding runs
+    # over the FULL table even though training saw only bucket 0)
+    assert len(out) == n * 4
+    assert all(0 <= r.code < 8 and r.err_q >= 0 for r in out)
+
+
+def test_knn_pq_sample_training_searches_full_corpus(spark):
+    from p6__mapreduce_spark.similarity.pq import knn_pq
+
+    emb = load_table(spark, SF, "embeddings")
+    out = knn_pq(emb, n_queries=4, topk=3, m=4, k=8, iters=2, sample_mod=2).collect()
+    assert len(out) == 4 * 3
+    # ranks are dense per query and distances non-decreasing in rank
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(a.adc_dist_q <= b.adc_dist_q for a, b in zip(rows, rows[1:]))

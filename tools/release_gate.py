@@ -48,6 +48,20 @@ def main() -> None:
         "print(f'contract OK: {len(q)} queries, {len(o)} oracles')"
     )
     stage("contract", [sys.executable, "-c", smoke])
+    # doc-drift check (r4 verdict #5): COVERAGE.md's "<N> registered
+    # queries" footer must equal len(QUERIES) so the coverage doc can't
+    # silently go stale again (it sat at 138 while the registry hit 173)
+    doccheck = (
+        "import re;"
+        "from p6__mapreduce_spark.queries import QUERIES;"
+        "txt=open('COVERAGE.md').read();"
+        "m=re.search(r'(\\d+) registered queries', txt);"
+        "assert m, 'COVERAGE.md lacks the registered-queries footer';"
+        "n=int(m.group(1));"
+        "assert n==len(QUERIES), f'COVERAGE.md says {n} queries, registry has {len(QUERIES)}';"
+        "print(f'doc-drift OK: COVERAGE.md == registry == {n}')"
+    )
+    stage("doc-drift", [sys.executable, "-c", doccheck])
     stage("plan-audit", [sys.executable, "tools/plan_audit.py"])
     stage("oracle", [sys.executable, "tools/oracle_check.py", sf_dir])
     if "--skip-pytest" not in sys.argv:
