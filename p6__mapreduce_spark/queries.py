@@ -5944,24 +5944,252 @@ def q_fk_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fk")
 
 
-# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, swap ~20 slots
-# whose occupants will then have driver-green history for the round-4
-# continuation queries, which ship this round on two-SF local evidence
-# only (ORACLE_LOCAL_r4_final*.txt): tpch_q2_min_cost_supplier,
-# tpch_q9_product_profit, tpch_q11_important_stock,
-# tpch_q20_promotion_suppliers, dsir_weights, dsir_resample_topk,
-# contrastive_mining, bpe_learn_merges, bpe_fertility,
-# hybrid_search_rrf, cms_heavy_hitters, event_transition_matrix,
-# user_value_trailing_1h, snapshot_diff, incremental_agg_merge,
-# value_drift_psi, weighted_sample_topk, user_cohort_retention,
-# top_event_paths, dedup_prefix_filter, lang_id_confusion — plus the
-# later continuation batch (cluster_medoids, source_centroid_similarity,
-# zipf_fit, quality_pct_by_source, arrival_burstiness,
-# retrieval_mrr_eval, multi_touch_attribution, position_attribution,
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH p AS ({JACCARD_ORACLE_SQL.format(k=3, threshold=0.8)})
+    SELECT least(d1.source, d2.source) AS source1,
+           greatest(d1.source, d2.source) AS source2,
+           COUNT(*) AS n_pairs
+    FROM p JOIN documents d1 ON d1.doc_id = p.id1
+           JOIN documents d2 ON d2.doc_id = p.id2
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES duplicate each other: the exact near-dup pair set
+    (Jaccard >= 0.8) rolled up to an unordered source-pair matrix —
+    the mixture-design signal that tells a corpus build which feeds
+    are mirrors of each other (diagonal = within-source duplication).
+    Composition: pair set (posting-list join, linear in dup volume) +
+    two doc_id-keyed joins to re-attach sources + a |sources|^2-bounded
+    aggregation."""
+    from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "id1").withColumnRenamed("source", "s1"), "id1")
+        .join(src.withColumnRenamed("doc_id", "id2").withColumnRenamed("source", "s2"), "id2")
+        .select(
+            F.least("s1", "s2").alias("source1"),
+            F.greatest("s1", "s2").alias("source2"),
+        )
+        .groupBy("source1", "source2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source1", "source2")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH p AS ({JACCARD_ORACLE_SQL.format(k=3, threshold=0.8)}),
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 AS doc_id FROM p
+      )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_dup_members,
+           CAST(COUNT(m.doc_id) AS BIGINT) * 1.0e0 / COUNT(*) AS dup_rate
+    FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate participation rate: the fraction of
+    each source's documents that sit in at least one exact-verified
+    near-dup pair — the first number a curation pass reads when
+    deciding which source to cap or drop. Exact integer counts until
+    one final division."""
+    from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    members = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("long"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0).cast("long"))).alias("n_dup_members"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_members",
+            (F.col("n_dup_members") * F.lit(1.0) / F.col("n_docs")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from p6__mapreduce_spark.similarity.ivfpq import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql()
+
+
+@register("knn_ivfpq", oracle=_ivfpq_oracle())
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN search (Jégou 2011 / the FAISS IndexIVFPQ
+    architecture): coarse inverted lists + residual product
+    quantization + per-probed-cell ADC tables — completing the ANN
+    family (brute force / LSH / IVF / PQ / IVF-PQ). Integer-exact end
+    to end, so the full index build AND search replay in the SQL
+    oracle with no plan literals."""
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+    return knn_ivfpq(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "gopher_quality_filters",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, {_TOKS} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_word_chars,
+           CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+             / len(w) AS mean_word_len,
+           CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+             AS n_alpha_words,
+           CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 1.0e0
+             / len(w) AS alpha_word_frac,
+           CAST(len(text) - len(replace(text, '#', ''))
+                + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+             AS symbol_hits,
+           CAST(len(text) - len(replace(text, '#', ''))
+                + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) * 1.0e0
+             / len(w) AS symbol_ratio,
+           CAST(len(list_intersect(list_distinct(w),
+                ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+             AS stopword_hits,
+           (len(w) BETWEEN 50 AND 100000
+            AND (CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+                 / len(w)) BETWEEN 3.0e0 AND 10.0e0
+            AND (CAST(len(text) - len(replace(text, '#', ''))
+                 + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) * 1.0e0
+                 / len(w)) <= 0.1e0
+            AND (CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                 * 1.0e0 / len(w)) >= 0.8e0
+            AND len(list_intersect(list_distinct(w),
+                ['the','be','to','of','and','that','have','with'])) >= 2)
+             AS pass_gopher
+    FROM q WHERE len(w) > 0 ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher quality rule set (Rae et al. 2021 A1.1) as one
+    map-side pass: rule inputs as exact integers, verdict boolean at
+    the paper's thresholds. The generic quality signals exist
+    elsewhere; this is the audit-against-the-published-recipe pass a
+    corpus build actually runs."""
+    from p6__mapreduce_spark.operators.quality_filters import gopher_quality_filters
+
+    return gopher_quality_filters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_top_ngram_frac",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), occ AS (
+      SELECT doc_id, 2 AS n, list_aggregate(w[i : i + 1], 'string_agg', ' ') AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2 + 2)) AS i FROM toks WHERE len(w) >= 2)
+      UNION ALL
+      SELECT doc_id, 3 AS n, list_aggregate(w[i : i + 2], 'string_agg', ' ') AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3 + 2)) AS i FROM toks WHERE len(w) >= 3)
+      UNION ALL
+      SELECT doc_id, 4 AS n, list_aggregate(w[i : i + 3], 'string_agg', ' ') AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 4 + 2)) AS i FROM toks WHERE len(w) >= 4)
+    ), cnts AS (
+      SELECT doc_id, n, shingle, COUNT(*) AS cnt FROM occ GROUP BY 1, 2, 3
+    ), top AS (
+      SELECT doc_id, n, shingle, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, shingle ASC) AS rn
+      FROM cnts
+    ), tot AS (
+      SELECT doc_id, CAST(len(list_aggregate(w, 'string_agg', ' ')) AS BIGINT) AS total_chars
+      FROM toks WHERE len(w) > 0
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n,
+           CAST(len(t.shingle) AS BIGINT) AS top_gram_chars,
+           t.cnt AS top_gram_count,
+           CAST(len(t.shingle) * t.cnt AS BIGINT) AS covered_chars,
+           tot.total_chars,
+           len(t.shingle) * t.cnt * 1.0e0 / tot.total_chars AS top_frac
+    FROM top t JOIN tot USING (doc_id)
+    WHERE t.rn = 1 ORDER BY t.doc_id, n
+    """,
+)
+def q_gopher_top_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram coverage inputs for n=2,3,4: the character
+    fraction of each doc covered by its single most frequent word
+    n-gram (the paper drops docs above 20/18/16%). Explode + one
+    doc-keyed agg per n — the repetition_stats shape, linear in
+    postings."""
+    from p6__mapreduce_spark.operators.quality_filters import gopher_top_ngram_frac
+
+    return gopher_top_ngram_frac(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c4_quality_filters",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           contains(text, '{{') AS has_brace,
+           (contains(lower(text), 'lorem ipsum')
+            OR contains(lower(text), 'terms of use')
+            OR contains(lower(text), 'privacy policy')
+            OR contains(lower(text), 'cookie policy')) AS has_policy_phrase,
+           (len({_TOKS}) >= 5
+            AND NOT contains(text, '{{')
+            AND NOT (contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), 'terms of use')
+                     OR contains(lower(text), 'privacy policy')
+                     OR contains(lower(text), 'cookie policy'))) AS keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document C4 structural rules (Raffel et al. 2020 §2.2):
+    curly-brace (code leak) and boilerplate-policy-phrase flags plus
+    the word floor, one map-side pass. Sentence-span dedup — the
+    corpus-global C4 rule — is `passage_dedup_rewrite`."""
+    from p6__mapreduce_spark.operators.quality_filters import c4_quality_filters
+
+    return c4_quality_filters(load_table(spark, sf_dir, "documents"))
+
+
+# ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
+# never-driver-verified queue is 21 oracle-backed queries — the 15 r4
+# leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
+# lexicon_hits, embedding_dim_stats, gap_fill_daily, skew_profile,
+# stable_dense_ids, snapshot_diff, top_event_paths,
 # time_decayed_user_value, running_value_since_purchase,
-# ewma_daily_revenue, bootstrap_mean_ci, kaplan_meier_conversion).
-# All carry committed three-SF local evidence; rotate oldest-evidence
-# first.
+# arrival_burstiness, zipf_fit, fk_integrity_profile) plus the six
+# round-5 additions (knn_ivfpq, gopher_quality_filters,
+# gopher_top_ngram_frac, c4_quality_filters, cross_source_dup_matrix,
+# dedup_rate_by_source) — plus the two inherently rows-only sketches
+# (approx_stats, sketch_weekly_users, which get the weaker rows-only
+# driver check). Swapping all 23 in still leaves ~21 slots for
+# re-verifying the oldest driver-green history (r1-verified veterans
+# first). That rotation closes 100% first-time external coverage of
+# the oracle-backed registry.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",

@@ -344,3 +344,41 @@ def test_prefix_filter_candidate_space_shrinks(spark):
     n_all = postings.count()
     n_prefix = ranked.filter(F.col("rk") <= F.col("plen")).count()
     assert n_prefix < 0.35 * n_all  # ~20% + 1-per-doc slack
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    from p6__mapreduce_spark.queries import QUERIES
+    import tempfile, os, shutil
+
+    # planted: doc0/doc1 near-identical across srcA/srcB; doc2/doc3
+    # identical within srcA; doc4 unique in srcB
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " one", "en", "srcA", 1),
+        (1, base + " two", "en", "srcB", 1),
+        (2, "red green blue cyan magenta yellow black white gray pink", "en", "srcA", 1),
+        (3, "red green blue cyan magenta yellow black white gray pink", "en", "srcA", 1),
+        (4, "totally different words entirely unrelated content here now then soon", "en", "srcB", 1),
+    ]
+    tmp = tempfile.mkdtemp(prefix="p6_xsrc_")
+    try:
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            (r.source1, r.source2): r.n_pairs
+            for r in QUERIES["cross_source_dup_matrix"](spark, tmp).collect()
+        }
+        assert out[("srcA", "srcB")] == 1  # the cross-source near-dup
+        assert out[("srcA", "srcA")] == 1  # the within-source exact dup
+        assert ("srcB", "srcB") not in out
+        rates = {
+            r.source: r for r in QUERIES["dedup_rate_by_source"](spark, tmp).collect()
+        }
+        assert rates["srcA"].n_docs == 3 and rates["srcA"].n_dup_members == 3
+        assert rates["srcA"].dup_rate == 1.0
+        assert rates["srcB"].n_docs == 2 and rates["srcB"].n_dup_members == 1
+        assert rates["srcB"].dup_rate == 0.5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

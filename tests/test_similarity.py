@@ -422,3 +422,76 @@ def test_knn_pq_sample_training_searches_full_corpus(spark):
         rows.sort(key=lambda r: r.rank)
         assert [r.rank for r in rows] == [1, 2, 3]
         assert all(a.adc_dist_q <= b.adc_dist_q for a, b in zip(rows, rows[1:]))
+
+
+def test_knn_ivfpq_shape_and_ordering(spark):
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    out = knn_ivfpq(emb, n_queries=4, topk=3, k_coarse=4, nprobe=2, m=4, k=8).collect()
+    assert len(out) == 4 * 3
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(a.adc_dist_q <= b.adc_dist_q for a, b in zip(rows, rows[1:]))
+    # a query probing its own cell must find itself at distance ~0
+    # (its residual IS a codebook training point family); at minimum
+    # the query id itself appears in its own top-3 with the smallest
+    # distance of its list
+    for qid, rows in by_q.items():
+        ids = [r.vec_id for r in rows]
+        if qid in ids:
+            assert rows[0].vec_id == qid or rows[0].adc_dist_q <= [
+                r for r in rows if r.vec_id == qid
+            ][0].adc_dist_q
+
+
+def test_knn_ivfpq_candidates_come_from_probed_cells_only(spark):
+    # IVF semantics: every returned candidate's cell must be one of
+    # the query's nprobe nearest coarse cells — the pruning that makes
+    # the index sublinear
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+    from p6__mapreduce_spark.similarity.kmeans import lloyd_train, quantized_expr
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.select(F.col("vec_id"), quantized_expr("embedding").alias("e"))
+    coarse = lloyd_train(q.localCheckpoint(eager=True), 4, 2)
+    out = knn_ivfpq(emb, n_queries=4, topk=3, k_coarse=4, nprobe=2, m=4, k=8).collect()
+    queries = {r.vec_id: list(r.e) for r in q.filter(F.col("vec_id") < 4).collect()}
+    for r in out:
+        qe = queries[r.query_id]
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qe, cent)), ci)
+            for ci, cent in enumerate(coarse)
+        )
+        probed = {ci for _, ci in dists[:2]}
+        assert r.cell in probed, (r, probed)
+
+
+def test_knn_ivfpq_partitioning_invariant(spark):
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    a = [tuple(r) for r in knn_ivfpq(emb, n_queries=3, topk=3, k_coarse=4, m=4, k=8).collect()]
+    b = [
+        tuple(r)
+        for r in knn_ivfpq(
+            emb.repartition(7), n_queries=3, topk=3, k_coarse=4, m=4, k=8
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_knn_ivfpq_sample_training_full_search(spark):
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    out = knn_ivfpq(
+        emb, n_queries=3, topk=3, k_coarse=4, nprobe=2, m=4, k=8, sample_mod=2
+    ).collect()
+    assert len(out) == 3 * 3
+    assert all(r.adc_dist_q >= 0 for r in out)

@@ -73,7 +73,22 @@ def main() -> None:
 
     fresh = time_family(QUERIES, spark, sf_dir)
 
-    others = [n for n in HEADLINE if n not in FAMILY][:pressure]
+    if "--iterative" in sys.argv:
+        # pressure = ONLY the localCheckpoint-heavy iterative trainers,
+        # repeated — isolates the storage-block-accumulation hypothesis
+        # (clearCache() drops cached relations but NOT checkpoint RDD
+        # blocks; they linger until the py4j reference is collected AND
+        # the JVM runs a GC)
+        heavy = [
+            "kmeans_lloyd",
+            "pq_codes",
+            "knn_pq",
+            "cluster_medoids",
+            "textrank_keywords",
+        ]
+        others = (heavy * 3)[: pressure or len(heavy) * 3]
+    else:
+        others = [n for n in HEADLINE if n not in FAMILY][:pressure]
     t0 = time.time()
     for name in others:
         QUERIES[name](spark, sf_dir).count()

@@ -244,6 +244,66 @@ def main() -> None:
             "event_transition_matrix": (lambda d: _transition(d), events, inflate_events),
         }
     )
+
+    # round-5 ops
+    from p6__mapreduce_spark.operators.quality_filters import (
+        c4_quality_filters as _c4,
+        gopher_quality_filters as _gopher,
+        gopher_top_ngram_frac as _topngram,
+    )
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq as _ivfpq
+
+    def _inflate_docs_src(d, kk):
+        # inflate keeping a synthetic source so the source-level dedup
+        # rollups see k x the docs per source (sources held constant)
+        base_src = d.withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+        )
+        return inflate_documents(base_src.select("doc_id", "text"), kk).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+        )
+
+    def _dup_rate(d):
+        from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(d, threshold=0.8)
+        members = (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+            .withColumn("is_dup", F.lit(1).cast("long"))
+        )
+        return (
+            d.select("doc_id", "source")
+            .join(members, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.coalesce("is_dup", F.lit(0).cast("long"))).alias("n_dup"),
+            )
+        )
+
+    docs_src = docs.withColumn(
+        "source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    )
+    ops.update(
+        {
+            # pure map-side passes: time must track the scan
+            "gopher_quality_filters": (lambda d: _gopher(d), docs, inflate_documents),
+            "c4_quality_filters": (lambda d: _c4(d), docs, inflate_documents),
+            # postings explode + doc-keyed agg: linear in postings
+            "gopher_top_ngram_frac": (lambda d: _topngram(d), docs, inflate_documents),
+            # identical-vector copies: coarse cells grow k x members,
+            # probed-list candidate volume grows exactly k x
+            "knn_ivfpq": (
+                lambda d: _ivfpq(d, n_queries=8, k_coarse=8, m=8, k=16),
+                emb,
+                inflate_embeddings,
+            ),
+            # pair set k x (disjoint vocab); rollup output |sources|^2
+            "dedup_rate_by_source": (lambda d: _dup_rate(d), docs_src, _inflate_docs_src),
+        }
+    )
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
         t0 = time.time()
