@@ -122,6 +122,17 @@ HEADLINE = [
     "zorder_codes",
     "skew_profile",
     "gap_fill_daily",
+    # round-5 additions: bloom prejoin, mergeable grid quantiles,
+    # pagerank, hashing-trick features, PMI collocations, and the
+    # sampled-training (100 TB two-phase) trainer variants
+    "bloom_prejoin_audit",
+    "value_quantile_sketch",
+    "nation_trade_pagerank",
+    "feature_hash_vectors",
+    "ngram_pmi",
+    "kmeans_lloyd_sampled",
+    "pq_codes_sampled",
+    "knn_ivfpq_sampled",
     # training-data pipeline passes
     "repetition_stats",
     "contamination_check",
@@ -244,8 +255,11 @@ STEADY_SET = frozenset(
     {
         "knn_pq",
         "knn_ivfpq",
+        "knn_ivfpq_sampled",
         "pq_codes",
+        "pq_codes_sampled",
         "kmeans_lloyd",
+        "kmeans_lloyd_sampled",
         "dedup_minhash_lsh",
         "knn_ivf",
         "cluster_medoids",

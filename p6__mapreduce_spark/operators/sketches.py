@@ -96,6 +96,102 @@ def cms_token_audit(
     )
 
 
+def grid_quantile_sketch(
+    events: DataFrame,
+    col: str = "value",
+    group: str = "event_type",
+    *,
+    bins: int = 4096,
+    inv_width: int = 8,
+    q_bps: tuple[int, ...] = (5000, 9000, 9900),
+) -> DataFrame:
+    """(group, q_bp, n, est_value): quantile estimates per group from a
+    FIXED-GRID mergeable histogram — the bounded-state alternative to a
+    full sort when "p50/p90/p99 per key over 100 TB" is the ask.
+
+    Each value maps to bin = clamp(floor(value * inv_width), 0,
+    bins-1) (the top bin absorbs overflow — estimates saturate at the
+    grid edge, the documented trade of a fixed grid); the per-(group,
+    bin) counts are the ENTIRE sketch state: <= groups x bins rows
+    regardless of input size, built map-side with partial aggregation
+    — per-partition histograms merge by cell-wise addition exactly
+    like the CMS above, so day->month->all-time rollups never rescan.
+    The q-th estimate is the lower edge of the first bin whose
+    cumulative count reaches ceil(n * q) — integer arithmetic
+    throughout (targets via integer ceil-division, edges via an exact
+    binary fraction), so estimates replay bit-for-bit cross-engine,
+    unlike t-digest/GK sketches whose merge order changes the answer.
+    The window runs over the bounded histogram (<= bins rows per
+    group-partition), never the raw events."""
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.greatest(F.floor(F.col(col) * F.lit(float(inv_width))).cast("long"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    hist = events.groupBy(F.col(group), b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.select(
+        group,
+        "bin",
+        F.sum("cnt")
+        .over(Window.partitionBy(group).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group)).alias("n"),
+    )
+    t = cum.select(
+        group,
+        "bin",
+        "cum",
+        "n",
+        F.explode(F.lit([int(q) for q in q_bps]).cast("array<long>")).alias("q_bp"),
+    ).withColumn(
+        "target_rank",
+        F.floor((F.col("n") * F.col("q_bp") + F.lit(9999)) / F.lit(10000)).cast("long"),
+    )
+    return (
+        t.filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy(group, "q_bp")
+        .agg(F.max("n").alias("n"), F.min("bin").alias("est_bin"))
+        .select(
+            group,
+            "q_bp",
+            "n",
+            (F.col("est_bin") * F.lit(1.0 / inv_width)).alias("est_value"),
+        )
+        .orderBy(group, "q_bp")
+    )
+
+
+def grid_quantile_oracle_sql(
+    *, bins: int = 4096, inv_width: int = 8, q_bps: tuple[int, ...] = (5000, 9000, 9900)
+) -> str:
+    """DuckDB replica of :func:`grid_quantile_sketch` over events
+    (identical binning, targets and edge arithmetic)."""
+    qlist = ", ".join(str(q) for q in q_bps)
+    return f"""
+    WITH hist AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor(value * {float(inv_width)}) AS BIGINT), 0),
+                   {bins - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ), t AS (
+      SELECT c.event_type, c.bin, c.cum, c.n, CAST(q.q_bp AS BIGINT) AS q_bp,
+             CAST(floor((c.n * q.q_bp + 9999) * 1.0e0 / 10000) AS BIGINT) AS target_rank
+      FROM cum c CROSS JOIN (SELECT unnest([{qlist}]) AS q_bp) q
+    )
+    SELECT event_type, q_bp, MAX(n) AS n,
+           MIN(bin) * {1.0 / inv_width!r} AS est_value
+    FROM t WHERE cum >= target_rank
+    GROUP BY 1, 2 ORDER BY event_type, q_bp
+    """
+
+
 def cms_audit_oracle_sql(*, depth: int = 4, width: int = 256, top: int = 20) -> str:
     """DuckDB replica of :func:`cms_token_audit` (same hashes, same
     matrix, same min-over-rows estimate)."""

@@ -6175,6 +6175,164 @@ def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_filters(load_table(spark, sf_dir, "documents"))
 
 
+def _bloom_oracle() -> str:
+    from p6__mapreduce_spark.operators.bloom import bloom_audit_oracle_sql
+
+    return bloom_audit_oracle_sql()
+
+
+@register("bloom_prejoin_audit", oracle=_bloom_oracle())
+def q_bloom_prejoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prejoin audit: build a 65536-bit / 3-hash filter
+    over the custkeys of >=480k-totalprice orders (bounded bit_or
+    shuffle, O(mbits) driver traffic), test every customer MAP-SIDE
+    against the broadcast word-array literal, and score admit/member/
+    false-positive counts per mktsegment beside the exact semi-join.
+    The engine-level, oracle-exact version of AQE's runtime bloom
+    pruning — the bit array itself replays in DuckDB."""
+    from p6__mapreduce_spark.operators.bloom import bloom_prejoin_audit
+
+    return bloom_prejoin_audit(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _grid_quantile_oracle() -> str:
+    from p6__mapreduce_spark.operators.sketches import grid_quantile_oracle_sql
+
+    return grid_quantile_oracle_sql()
+
+
+@register("value_quantile_sketch", oracle=_grid_quantile_oracle())
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch: p50/p90/p99 of event value
+    per event_type from a clamped 4096-bin histogram — bounded state
+    (<= groups x bins rows) instead of a full sort, per-partition
+    histograms merging by cell-wise addition, and — unlike t-digest/GK
+    — bit-exact cross-engine because targets and edges are integer
+    arithmetic."""
+    from p6__mapreduce_spark.operators.sketches import grid_quantile_sketch
+
+    return grid_quantile_sketch(load_table(spark, sf_dir, "events"))
+
+
+def _pagerank_oracle() -> str:
+    from p6__mapreduce_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql()
+
+
+@register("nation_trade_pagerank", oracle=_pagerank_oracle())
+def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank of the nation trade network: the corpus-scale
+    two-phase graph shape — ONE distributed edge aggregation
+    (lineitem⋈orders shuffle, customer/supplier broadcast) down to a
+    <=N² revenue matrix, then 3 damped power-iteration rounds as joins
+    over that bounded relation with int64 fixed-point ranks (float
+    reductions never cross a shuffle, so the result is partition-order
+    exact and replays in DuckDB)."""
+    from p6__mapreduce_spark.operators.graph import nation_trade_pagerank
+
+    return nation_trade_pagerank(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _kmeans_sampled_oracle() -> str:
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(8, 2, sample_mod=4)
+
+
+@register("kmeans_lloyd_sampled", oracle=_kmeans_sampled_oracle())
+def q_kmeans_lloyd_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB two-phase k-means shape, driver-checkable: centroids
+    train on the deterministic sha256 bucket-0 quarter-sample (only
+    the SAMPLE is checkpointed; init = the 8 smallest sampled ids),
+    then ONE streaming map-side assignment pass scans the full corpus
+    un-materialized. The DuckDB oracle replays sampling, init, both
+    Lloyd rounds and the final stats bit-for-bit."""
+    from p6__mapreduce_spark.similarity.kmeans import kmeans_lloyd
+
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2, sample_mod=4)
+
+
+def _pq_sampled_oracle() -> str:
+    from p6__mapreduce_spark.similarity.pq import pq_oracle_sql
+
+    return pq_oracle_sql(8, 16, 2, 8, sample_mod=4)
+
+
+@register("pq_codes_sampled", oracle=_pq_sampled_oracle())
+def q_pq_codes_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with sample-trained codebooks: all 8
+    subspace codebooks train on the sha256 bucket-0 quarter-sample
+    (one job per Lloyd round, sample-only checkpoint), the full corpus
+    is encoded in a single streaming pass — the shape that compresses
+    100 TB of vectors without ever materializing them twice. Exactly
+    oracle-replayed including the sampled inits."""
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    return pq_codes(load_table(spark, sf_dir, "embeddings"), m=8, k=16, iters=2, sample_mod=4)
+
+
+def _ivfpq_sampled_oracle() -> str:
+    from p6__mapreduce_spark.similarity.ivfpq import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(sample_mod=4)
+
+
+@register("knn_ivfpq_sampled", oracle=_ivfpq_sampled_oracle())
+def q_knn_ivfpq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with sample-trained coarse centroids AND residual
+    codebooks (sha256 bucket-0 quarter-sample; full corpus touched
+    only by the single assign+residual+encode pass and the probed-cell
+    ADC search) — the composite index built exactly the way a 1000-
+    executor cluster would build it, still bit-exactly oracle-checked."""
+    from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+    return knn_ivfpq(load_table(spark, sf_dir, "embeddings"), sample_mod=4)
+
+
+def _feature_hash_oracle() -> str:
+    from p6__mapreduce_spark.operators.features import feature_hash_oracle_sql
+
+    return feature_hash_oracle_sql()
+
+
+@register("feature_hash_vectors", oracle=_feature_hash_oracle())
+def q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): token →
+    (bucket, sign) via two poly hashes, NO vocabulary pass — sparse
+    signed-int TF vectors in one explode + one (doc, bucket)-keyed
+    partially-aggregated shuffle; zero-cancelled buckets dropped in
+    both engines."""
+    from p6__mapreduce_spark.operators.features import feature_hash_vectors
+
+    return feature_hash_vectors(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_pmi_oracle() -> str:
+    from p6__mapreduce_spark.operators.features import ngram_pmi_oracle_sql
+
+    return ngram_pmi_oracle_sql()
+
+
+@register("ngram_pmi", oracle=_ngram_pmi_oracle())
+def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by PMI, reported as the
+    log-free scaled lift c_xy·N/(c1·c2) (monotone in PMI, exact over
+    int64 counts): map-side pair construction, bigram+unigram aggs,
+    two posting joins, TakeOrdered top-k — no global sort, no libm."""
+    from p6__mapreduce_spark.operators.features import ngram_pmi
+
+    return ngram_pmi(load_table(spark, sf_dir, "documents"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
@@ -6184,7 +6342,10 @@ def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrival_burstiness, zipf_fit, fk_integrity_profile) plus the six
 # round-5 additions (knn_ivfpq, gopher_quality_filters,
 # gopher_top_ngram_frac, c4_quality_filters, cross_source_dup_matrix,
-# dedup_rate_by_source) — plus the two inherently rows-only sketches
+# dedup_rate_by_source, bloom_prejoin_audit, value_quantile_sketch,
+# nation_trade_pagerank, feature_hash_vectors, ngram_pmi, and the
+# sampled-training trio kmeans_lloyd_sampled / pq_codes_sampled /
+# knn_ivfpq_sampled) — plus the two inherently rows-only sketches
 # (approx_stats, sketch_weekly_users, which get the weaker rows-only
 # driver check). Swapping all 23 in still leaves ~21 slots for
 # re-verifying the oldest driver-green history (r1-verified veterans

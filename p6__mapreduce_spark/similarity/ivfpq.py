@@ -167,12 +167,19 @@ def ivfpq_oracle_sql(
     k: int = 16,
     iters: int = 2,
     dsub: int = 8,
+    sample_mod: int | None = None,
 ) -> str:
     """The ENTIRE IVF-PQ pipeline as one DuckDB query, no literals:
     coarse Lloyd chain, cell assignment, integer residuals, m residual
     PQ chains, probed cells, per-(query, cell) ADC tables, summed
     lookups, top-k. Every intermediate is exact integer arithmetic, so
-    this replays the Spark plan bit-for-bit."""
+    this replays the Spark plan bit-for-bit.
+
+    ``sample_mod=N`` replays the sampled-training path: coarse init
+    and rounds run over the sha256 bucket-0 1/N sample, the PQ chains
+    over the SAMPLE's residuals (inits = k smallest sampled ids,
+    row-numbered); assignment, residuals, encoding and search still
+    scan the full table."""
     from p6__mapreduce_spark.similarity.kmeans import QUANT, _iteration_sql
 
     l2 = (
@@ -184,13 +191,32 @@ def ivfpq_oracle_sql(
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * {QUANT}.0) AS BIGINT) for x in embedding] AS e
   FROM embeddings
-)""",
-        f"cc0 AS (SELECT vec_id AS cluster_id, e AS c FROM qq WHERE vec_id < {k_coarse})",
+)"""
     ]
+    if sample_mod is None:
+        coarse_src = "qq"
+        parts.append(
+            f"cc0 AS (SELECT vec_id AS cluster_id, e AS c FROM qq WHERE vec_id < {k_coarse})"
+        )
+    else:
+        coarse_src = "tr"
+        parts.append(
+            f"""tr AS (
+  SELECT vec_id, e FROM qq
+  WHERE CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {sample_mod} = 0
+)"""
+        )
+        parts.append(
+            f"""cc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id, e AS c
+  FROM (SELECT vec_id, e FROM tr ORDER BY vec_id LIMIT {k_coarse})
+)"""
+        )
     for i in range(iters):
         parts.append(
             _iteration_sql(
-                f"cc{i}", f"cc{i + 1}", i + 1, k_coarse, src="qq", pre="cc"
+                f"cc{i}", f"cc{i + 1}", i + 1, k_coarse, src=coarse_src, pre="cc"
             ).lstrip()
         )
     fin = f"cc{iters}"
@@ -210,17 +236,32 @@ def ivfpq_oracle_sql(
   WHERE a.rn = 1
 )"""
     )
+    if sample_mod is not None:
+        parts.append(
+            "rtr AS (SELECT r.vec_id, r.e FROM res r JOIN tr USING (vec_id))"
+        )
     code_selects, table_selects = [], []
     for s in range(m):
         pre, lo, hi = f"p{s}", s * dsub + 1, (s + 1) * dsub
         parts.append(f"{pre}q AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM res)")
-        parts.append(
-            f"{pre}c0 AS (SELECT vec_id AS cluster_id, e AS c FROM {pre}q WHERE vec_id < {k})"
-        )
+        if sample_mod is None:
+            train_src = f"{pre}q"
+            parts.append(
+                f"{pre}c0 AS (SELECT vec_id AS cluster_id, e AS c FROM {pre}q WHERE vec_id < {k})"
+            )
+        else:
+            train_src = f"{pre}t"
+            parts.append(f"{pre}t AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM rtr)")
+            parts.append(
+                f"""{pre}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id, e AS c
+  FROM (SELECT vec_id, e FROM {pre}t ORDER BY vec_id LIMIT {k})
+)"""
+            )
         for i in range(iters):
             parts.append(
                 _iteration_sql(
-                    f"{pre}c{i}", f"{pre}c{i + 1}", i + 1, k, src=f"{pre}q", pre=pre
+                    f"{pre}c{i}", f"{pre}c{i + 1}", i + 1, k, src=train_src, pre=pre
                 ).lstrip()
             )
         parts.append(

@@ -36,10 +36,11 @@ every sampler in this repo uses, see ``dedup/geometry.py``). Only the
 small TRAINING SAMPLE is materialized (localCheckpoint); the full
 corpus is touched exactly once, by the final un-checkpointed map-side
 assignment pass fused with quantization. Default ``None`` keeps the
-bit-exact full-corpus training the DuckDB oracles replay; sampling is
-equally deterministic (the bucket predicate is a plan literal both
-engines could run) but intentionally not wired into the registered
-oracles, which pin the default path.
+bit-exact full-corpus training the DuckDB oracles replay; the sampled
+path is equally deterministic (the bucket predicate is a pure function
+of vec_id) and since round 5 has its OWN registered oracle
+(``kmeans_lloyd_sampled`` via ``kmeans_oracle_sql(sample_mod=N)``), so
+the 100 TB two-phase shape is driver-checkable, not just argued.
 """
 
 from __future__ import annotations
@@ -243,12 +244,33 @@ def _iteration_sql(prev: str, nxt: str, step: int, k: int, *, src: str = "q", pr
 )"""
 
 
-def kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+def kmeans_oracle_sql(k: int = 8, iters: int = 2, sample_mod: int | None = None) -> str:
     """The identical computation as straight DuckDB SQL (no literals:
-    init, every iteration, and the final stats all run in-query)."""
+    init, every iteration, and the final stats all run in-query).
+
+    ``sample_mod=N`` replays the SAMPLED-training path: rounds and
+    init run over the sha256 bucket-0 1/N sample (init = the k
+    smallest ids PRESENT in the sample, numbered in id order — exactly
+    ``lloyd_train(init_smallest_k=True)``), while the final assignment
+    + stats still scan the full table. The sample predicate is a pure
+    function of vec_id, so even the 100 TB two-phase shape is
+    bit-exactly cross-engine checkable."""
+    src = "q" if sample_mod is None else "tr"
     rounds = ",".join(
-        _iteration_sql(f"c{i}", f"c{i + 1}", i + 1, k) for i in range(iters)
+        _iteration_sql(f"c{i}", f"c{i + 1}", i + 1, k, src=src) for i in range(iters)
     )
+    if sample_mod is None:
+        train_ctes = f"c0 AS (SELECT vec_id AS cluster_id, e AS c FROM q WHERE vec_id < {k})"
+    else:
+        train_ctes = f"""tr AS (
+  SELECT vec_id, e FROM q
+  WHERE CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {sample_mod} = 0
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id, e AS c
+  FROM (SELECT vec_id, e FROM tr ORDER BY vec_id LIMIT {k})
+)"""
     fin = iters
     return f"""
 WITH q AS (
@@ -256,7 +278,7 @@ WITH q AS (
          [CAST(round(CAST(x AS DOUBLE) * {QUANT}.0) AS BIGINT) for x in embedding] AS e
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cluster_id, e AS c FROM q WHERE vec_id < {k}),
+{train_ctes},
 {rounds},
 af AS (
   SELECT vec_id, cluster_id, dist,

@@ -188,11 +188,19 @@ def _pq_best(s: int, dsub: int, codebook: list[list[int]]) -> Column:
     return F.array_min(F.transform(matrix, dist))
 
 
-def pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8) -> str:
+def pq_oracle_sql(
+    m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8, sample_mod: int | None = None
+) -> str:
     """The full PQ pipeline — m independent unrolled Lloyd chains over
     sliced vectors plus the final per-subspace assignments — as ONE
     DuckDB query (the per-subspace CTE chains share the WITH via name
-    prefixes)."""
+    prefixes).
+
+    ``sample_mod=N`` replays the sampled-training path: every chain's
+    init and rounds run over the sha256 bucket-0 1/N sample (init =
+    the k smallest sampled ids' subvectors, numbered in id order —
+    ``_train_all(init_smallest_k=True)``); the per-subspace ENCODE
+    still scans the full table."""
     parts = [
         f"""qq AS (
   SELECT vec_id,
@@ -200,19 +208,40 @@ def pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2, dsub: int = 8) -> str
   FROM embeddings
 )"""
     ]
+    if sample_mod is not None:
+        parts.append(
+            f"""tr AS (
+  SELECT vec_id, e FROM qq
+  WHERE CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {sample_mod} = 0
+)"""
+        )
     selects = []
     for s in range(m):
         pre = f"p{s}"
         parts.append(
             f"{pre}q AS (SELECT vec_id, e[{s * dsub + 1}:{(s + 1) * dsub}] AS e FROM qq)"
         )
-        parts.append(
-            f"{pre}c0 AS (SELECT vec_id AS cluster_id, e AS c FROM {pre}q WHERE vec_id < {k})"
-        )
+        if sample_mod is None:
+            train_src = f"{pre}q"
+            parts.append(
+                f"{pre}c0 AS (SELECT vec_id AS cluster_id, e AS c FROM {pre}q WHERE vec_id < {k})"
+            )
+        else:
+            train_src = f"{pre}t"
+            parts.append(
+                f"{pre}t AS (SELECT vec_id, e[{s * dsub + 1}:{(s + 1) * dsub}] AS e FROM tr)"
+            )
+            parts.append(
+                f"""{pre}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id, e AS c
+  FROM (SELECT vec_id, e FROM {pre}t ORDER BY vec_id LIMIT {k})
+)"""
+            )
         for i in range(iters):
             parts.append(
                 _iteration_sql(
-                    f"{pre}c{i}", f"{pre}c{i + 1}", i + 1, k, src=f"{pre}q", pre=pre
+                    f"{pre}c{i}", f"{pre}c{i + 1}", i + 1, k, src=train_src, pre=pre
                 ).lstrip()
             )
         parts.append(

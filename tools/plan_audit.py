@@ -92,6 +92,13 @@ CARTESIAN_EXEMPT = {
     # day-level lookback self-join AFTER the corpus collapses to daily
     # rows — bounded |days| x 40 grid, same class as lang_source_chisq
     "ewma_daily_revenue",
+    # 1-row scalar broadcasts per power-iteration round (node count +
+    # dangling-mass aggregate) into the <=N-row rank relation — the
+    # Q22 scalar shape, three rounds deep
+    "nation_trade_pagerank",
+    # 1-row total-tokens broadcast into the surviving collocation rows
+    # — same scalar shape as unigram_surprise
+    "ngram_pmi",
 }
 
 
