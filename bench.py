@@ -133,6 +133,8 @@ HEADLINE = [
     "kmeans_lloyd_sampled",
     "pq_codes_sampled",
     "knn_ivfpq_sampled",
+    "hll_user_audit",
+    "matryoshka_recall_audit",
     # training-data pipeline passes
     "repetition_stats",
     "contamination_check",

@@ -129,7 +129,14 @@ def grid_quantile_sketch(
         F.greatest(F.floor(F.col(col) * F.lit(float(inv_width))).cast("long"), F.lit(0)),
         F.lit(bins - 1),
     )
-    hist = events.groupBy(F.col(group), b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL measurements are excluded in BOTH engines (a NULL bin would
+    # otherwise sort NULLS FIRST in Spark vs NULLS LAST in DuckDB
+    # inside the cumulative window — a cross-engine divergence trap)
+    hist = (
+        events.filter(F.col(col).isNotNull())
+        .groupBy(F.col(group), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     cum = hist.select(
         group,
         "bin",
@@ -174,7 +181,7 @@ def grid_quantile_oracle_sql(
              LEAST(GREATEST(CAST(floor(value * {float(inv_width)}) AS BIGINT), 0),
                    {bins - 1}) AS bin,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, bin,
              CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,

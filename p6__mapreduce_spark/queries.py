@@ -6333,6 +6333,46 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_pmi(load_table(spark, sf_dir, "documents"))
 
 
+def _hll_oracle() -> str:
+    from p6__mapreduce_spark.operators.hll import hll_audit_oracle_sql
+
+    return hll_audit_oracle_sql()
+
+
+@register("hll_user_audit", oracle=_hll_oracle())
+def q_hll_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog with an EXACT oracle: 256 registers from a
+    lowbias32 avalanche mixer, rho via a powers-of-two count (no
+    log2), harmonic denominator carried as an exact int64 numerator —
+    the register array AND the raw estimate replay bit-for-bit in
+    DuckDB (Spark's own HLL++ can only get a rows-only check). Exact
+    distinct count reported beside the estimate = the realized-error
+    audit; registers merge by MAX for day->all-time rollups."""
+    from p6__mapreduce_spark.operators.hll import hll_portable_audit
+
+    return hll_portable_audit(load_table(spark, sf_dir, "events"))
+
+
+def _matryoshka_oracle() -> str:
+    from p6__mapreduce_spark.similarity.matryoshka import matryoshka_oracle_sql
+
+    return matryoshka_oracle_sql()
+
+
+@register("matryoshka_recall_audit", oracle=_matryoshka_oracle())
+def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: exact full-dim top-5 vs
+    top-5 by the first 16/32 of 64 dims, overlap per query — measures
+    whether THESE embeddings earn the 2-4x prefix-index discount
+    before anyone builds one. One labeled brute-force pass computes
+    every prefix distance in the same projection (corpus scanned once
+    however many prefixes are audited); integer-quantized distances
+    make the whole audit cross-engine exact."""
+    from p6__mapreduce_spark.similarity.matryoshka import matryoshka_recall_audit
+
+    return matryoshka_recall_audit(load_table(spark, sf_dir, "embeddings"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
@@ -6343,9 +6383,10 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-5 additions (knn_ivfpq, gopher_quality_filters,
 # gopher_top_ngram_frac, c4_quality_filters, cross_source_dup_matrix,
 # dedup_rate_by_source, bloom_prejoin_audit, value_quantile_sketch,
-# nation_trade_pagerank, feature_hash_vectors, ngram_pmi, and the
-# sampled-training trio kmeans_lloyd_sampled / pq_codes_sampled /
-# knn_ivfpq_sampled) — plus the two inherently rows-only sketches
+# nation_trade_pagerank, feature_hash_vectors, ngram_pmi,
+# hll_user_audit, matryoshka_recall_audit, and the sampled-training
+# trio kmeans_lloyd_sampled / pq_codes_sampled / knn_ivfpq_sampled) —
+# plus the two inherently rows-only sketches
 # (approx_stats, sketch_weekly_users, which get the weaker rows-only
 # driver check). Swapping all 23 in still leaves ~21 slots for
 # re-verifying the oldest driver-green history (r1-verified veterans

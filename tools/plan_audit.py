@@ -99,6 +99,9 @@ CARTESIAN_EXEMPT = {
     # 1-row total-tokens broadcast into the surviving collocation rows
     # — same scalar shape as unigram_surprise
     "ngram_pmi",
+    # broadcast 16-query rows x corpus — the deliberate labeled exact
+    # baseline, same class as knn_bruteforce/ann_recall_audit
+    "matryoshka_recall_audit",
 }
 
 

@@ -304,6 +304,67 @@ def main() -> None:
             "dedup_rate_by_source": (lambda d: _dup_rate(d), docs_src, _inflate_docs_src),
         }
     )
+    # round-5 batch 2: bloom prejoin / grid quantiles / pagerank /
+    # hashing trick / PMI / portable HLL
+    from p6__mapreduce_spark.operators.bloom import bloom_prejoin_audit as _bloom
+    from p6__mapreduce_spark.operators.features import (
+        feature_hash_vectors as _fhash,
+        ngram_pmi as _pmi,
+    )
+    from p6__mapreduce_spark.operators.graph import nation_trade_pagerank as _pr
+    from p6__mapreduce_spark.operators.hll import hll_portable_audit as _hll
+    from p6__mapreduce_spark.operators.sketches import grid_quantile_sketch as _gq
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def _inflate_orders(o, kk):
+        # offset custkeys -> k x the qualifying key population; the
+        # bloom stays fixed-size, so build cost must track the scan
+        out = None
+        for i in range(kk):
+            copy = o.withColumn(
+                "o_custkey", F.col("o_custkey") + F.lit(i * 100_000_000)
+            ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
+            out = copy if out is None else out.unionAll(copy)
+        return out
+
+    def _inflate_li_repeat(l, kk):
+        # k IDENTICAL copies (keys preserved): the lineitem⋈orders edge
+        # aggregation — pagerank's only corpus-scale phase — sees k x
+        # rows into the same bounded N^2 matrix; iterations unchanged
+        out = None
+        for _ in range(kk):
+            out = l if out is None else out.unionAll(l)
+        return out
+
+    ops.update(
+        {
+            # filter stays O(mbits); build + test must track the scans
+            "bloom_prejoin_audit": (
+                lambda o: _bloom(customer, o),
+                orders,
+                _inflate_orders,
+            ),
+            # histogram state fixed at groups x 4096; one partial-agg
+            "value_quantile_sketch": (lambda d: _gq(d), events, inflate_events),
+            # edge agg k x input, same bounded matrix; rounds constant
+            "nation_trade_pagerank": (
+                lambda l: _pr(nation, customer, supplier, orders, l),
+                li,
+                _inflate_li_repeat,
+            ),
+            # no vocab pass: explode + bounded-key agg, linear in tokens
+            "feature_hash_vectors": (lambda d: _fhash(d), docs, inflate_documents),
+            # disjoint-vocab copies: bigram/unigram tables k x, joins
+            # posting-sized, top-k partial
+            "ngram_pmi": (lambda d: _pmi(d), docs, inflate_documents),
+            # registers fixed at groups x 256; map-side mixer + MAX agg
+            "hll_user_audit": (lambda d: _hll(d), events, inflate_events),
+        }
+    )
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
         t0 = time.time()
