@@ -1,0 +1,113 @@
+"""Kneser-Ney smoothed bigram language model — the n-gram smoothing
+that actually works (Kneser & Ney 1995; Chen & Goodman 1998 showed
+absolute discounting with continuation counts beats add-k/Good-Turing
+for every corpus size).
+
+The MLE table (`operators/ranking.py:bigram_lm`) assigns zero mass to
+unseen successors and over-trusts hapax bigrams; quality filters built
+on it mislabel rare-but-normal text. KN fixes both with one discount
+and one backoff distribution:
+
+    P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)  +  λ(w1) · P_cont(w2)
+        λ(w1)   = d · N1+(w1,·) / c(w1·)
+        P_cont(w2) = N1+(·,w2) / |distinct bigram types|
+
+with discount d = 0.75, the Chen-Goodman default. Everything on the
+right is an integer COUNT; with d = 3/4 the whole expression is the
+ratio of two exact int64 products:
+
+    P_KN = [ (4c−3)·T + 3·N1(w1)·Nc(w2) ] / [ 4·c(w1·)·T ]
+
+Both engines compute identical int64 numerators/denominators and one
+final correctly-rounded IEEE division, so the oracle matches
+bit-for-bit — the repo's "exact ints until one division" discipline.
+
+Scale shape: ONE corpus-sized explode produces bigram counts; the
+three auxiliary tables (context totals, left-context diversity,
+right continuation diversity, type count) are all derived from the
+bigram-count aggregate — bounded by |bigram vocab|, never re-touching
+the corpus. Hot contexts collapse to single group rows in the partial
+aggregation. The joins run on vocab-sized tables; AQE broadcasts them
+while small and sort-merges at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kneser_ney_bigram(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """(w1, w2, c_pair, c_ctx, n1_w1, ncont_w2, pkn): the KN-smoothed
+    probability table over bigrams with ``c_pair >= min_pair_count``
+    (counts/diversities are computed BEFORE the cut, so probabilities
+    stay normalized against the full corpus)."""
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+    arr = F.split("shingle", " ")
+    pairs = (
+        shingle_postings(docs, 2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .select(arr[0].alias("w1"), arr[1].alias("w2"), "c_pair")
+        .localCheckpoint(eager=True)  # 4 derived tables fan out of this aggregate
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("c_pair").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1_w1"),  # N1+(w1,·)
+    )
+    cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont_w2"))  # N1+(·,w2)
+    types = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_types"))  # |bigram types| — 1 row
+    num = (4 * F.col("c_pair") - 3) * F.col("n_types") + 3 * F.col("n1_w1") * F.col(
+        "ncont_w2"
+    )
+    den = 4 * F.col("c_ctx") * F.col("n_types")
+    return (
+        pairs.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))  # 1-row scalar broadcast (labeled)
+        .filter(F.col("c_pair") >= min_pair_count)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_ctx",
+            "n1_w1",
+            "ncont_w2",
+            (num * F.lit(1.0) / den).alias("pkn"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+KNESER_NEY_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+), pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c_pair) AS BIGINT) AS c_ctx,
+         CAST(COUNT(*) AS BIGINT) AS n1_w1
+  FROM pairs GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont_w2 FROM pairs GROUP BY 1
+), types AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM pairs
+)
+SELECT p.w1, p.w2, p.c_pair, c.c_ctx, c.n1_w1, k.ncont_w2,
+       ((4 * p.c_pair - 3) * t.n_types + 3 * c.n1_w1 * k.ncont_w2) * 1.0e0
+         / (4 * c.c_ctx * t.n_types) AS pkn
+FROM pairs p
+JOIN ctx c USING (w1) JOIN cont k USING (w2) CROSS JOIN types t
+WHERE p.c_pair >= {min_pair_count}
+ORDER BY p.w1, p.w2
+"""
+
+
+def kneser_ney_oracle_sql(min_pair_count: int = 2) -> str:
+    return KNESER_NEY_ORACLE_SQL.format(min_pair_count=min_pair_count)

@@ -1,0 +1,174 @@
+"""Robust trend & anomaly statistics over daily series — Theil-Sen
+median-slope regression and day-of-week median/MAD anomaly flags.
+
+OLS (zipf_fit's estimator) is the right tool for log-log rank fits but
+breaks on business series: one flash-sale day drags a least-squares
+trend arbitrarily far (0% breakdown point). The robust pair:
+
+- **Theil-Sen** (Theil 1950, Sen 1968): the median of all pairwise
+  slopes — 29.3% breakdown, no distributional assumptions, and for a
+  DAILY series the pair space is |days|², a corpus-size-INDEPENDENT
+  constant (~2.4k days → ~3M pairs at any scale factor, one bounded
+  task after the corpus collapses to one row per day).
+- **Seasonal median/MAD**: a day is anomalous relative to its
+  day-of-week cohort (Monday revenue is not Tuesday revenue), scored
+  by |x − median(dow)| > k·MAD(dow) — the robust z-score of Hampel
+  filters.
+
+Exactness discipline: revenue is exact integer cents; slopes quantize
+to floor((Δcents·10⁶)/Δdays) BEFORE the median so the median operates
+on integers; medians are LOWER medians (the value at sorted position
+⌊(n+1)/2⌋) — a deterministic selection both engines reproduce
+bit-for-bit, sidestepping the mean-of-middle-two float. Row-number
+assignment among tied values is arbitrary, but the VALUE at any rank
+is well-defined, so the selected median is deterministic. The corpus
+is touched by exactly one aggregation; everything downstream is
+bounded by |days| (or 7 cohorts), so the single-partition window
+sorts land on day-bounded inputs only — the registry's standing
+WindowExec policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _daily_revenue(orders: DataFrame) -> DataFrame:
+    """One corpus aggregation → (day_idx, cents): days since epoch and
+    exact integer-cent revenue."""
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .select(F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_idx"), "cents")
+    )
+
+
+def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
+    """One row: (n_days, n_pairs, slope_q6) — the Theil-Sen median
+    slope of daily revenue in micro-cents/day. The pairwise join runs
+    AFTER the corpus collapses to |days| rows, so it is a bounded grid
+    (ewma_daily_revenue's exemption class), not a data cross product;
+    the 1-row day-count build side is the Q22 scalar-broadcast shape.
+    Fully in-plan: no driver round-trips."""
+    daily = _daily_revenue(orders)
+    a = daily.select(F.col("day_idx").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("day_idx").alias("d2"), F.col("cents").alias("c2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.floor(
+            (F.col("c2") - F.col("c1")) * F.lit(1_000_000) / (F.col("d2") - F.col("d1"))
+        ).alias("slope_q6")
+    )
+    # n_pairs derives from the 1-row day count (n·(n−1)/2) instead of a
+    # COUNT() OVER () companion window — that second full-partition
+    # WindowExec pass over the ~3M pair rows measured 3x slower.
+    scalar = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
+        "n_days",
+        (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    ranked = slopes.select(
+        "slope_q6", F.row_number().over(Window.orderBy("slope_q6")).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(scalar))  # 1-row scalar broadcast (labeled)
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope_q6").cast("long").alias("slope_q6"),
+        )
+    )
+
+
+THEIL_SEN_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT CAST(floor((b.cents - a.cents) * 1000000.0 / (b.day_idx - a.day_idx)) AS BIGINT) AS slope_q6
+  FROM daily a JOIN daily b ON a.day_idx < b.day_idx
+), ranked AS (
+  SELECT slope_q6, row_number() OVER (ORDER BY slope_q6) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+  FROM slopes
+), stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT s.n_days, r.n_pairs, r.slope_q6
+FROM ranked r CROSS JOIN stats s
+WHERE r.rn = (r.n_pairs + 1) // 2
+"""
+
+
+def seasonal_anomaly_daily(orders: DataFrame, k_mad: int = 3) -> DataFrame:
+    """(day_idx, dow, cents, med_cents, mad_cents, is_anomaly): each
+    day scored against its day-of-week cohort's lower-median and MAD.
+    ``is_anomaly`` = |cents − med| > k·MAD (strict, so a zero-MAD
+    cohort only flags genuinely deviating days). All integers; no
+    division anywhere."""
+    daily = _daily_revenue(orders).withColumn(
+        # day_idx 0 = Thursday 1970-01-01; (idx+4) % 7 → 0=Sunday..6=Saturday
+        "dow",
+        (F.col("day_idx") + 4) % 7,
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.select(
+            "dow",
+            col,
+            F.row_number().over(Window.partitionBy("dow").orderBy(col)).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+        )
+        return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+            "dow", F.col(col).alias(out)
+        )
+
+    med = lower_median(daily, "cents", "med_cents")
+    dev = daily.join(med, "dow").withColumn(
+        "abs_dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = lower_median(dev, "abs_dev", "mad_cents")
+    return (
+        dev.join(mad, "dow")
+        .select(
+            "day_idx",
+            "dow",
+            "cents",
+            "med_cents",
+            "mad_cents",
+            (F.col("abs_dev") > F.lit(k_mad) * F.col("mad_cents")).alias("is_anomaly"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+SEASONAL_ANOMALY_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), d2 AS (SELECT *, (day_idx + 4) % 7 AS dow FROM daily
+), med AS (
+  SELECT dow, cents AS med_cents FROM (
+    SELECT dow, cents, row_number() OVER (PARTITION BY dow ORDER BY cents) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n
+    FROM d2
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT d2.*, med.med_cents, abs(d2.cents - med.med_cents) AS abs_dev
+  FROM d2 JOIN med USING (dow)
+), mad AS (
+  SELECT dow, abs_dev AS mad_cents FROM (
+    SELECT dow, abs_dev, row_number() OVER (PARTITION BY dow ORDER BY abs_dev) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT dev.day_idx, dev.dow, dev.cents, dev.med_cents, mad.mad_cents,
+       dev.abs_dev > {k_mad} * mad.mad_cents AS is_anomaly
+FROM dev JOIN mad USING (dow)
+ORDER BY day_idx
+"""
+
+
+def seasonal_anomaly_oracle_sql(k_mad: int = 3) -> str:
+    return SEASONAL_ANOMALY_ORACLE_SQL.format(k_mad=k_mad)

@@ -6373,6 +6373,96 @@ def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall_audit(load_table(spark, sf_dir, "embeddings"))
 
 
+def _promo_window_oracle() -> str:
+    from p6__mapreduce_spark.operators.rangejoin import PROMO_WINDOW_ORACLE_SQL
+
+    return PROMO_WINDOW_ORACLE_SQL
+
+
+@register("promo_window_event_stats", oracle=_promo_window_oracle())
+def q_promo_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval join: per URGENT order, the lineitems (of
+    any order) shipped inside its 3-day window — a pure range join
+    with NO equi-key, turned into one shuffled equi-join by
+    quantizing time into 3-day bins (interval explodes to <=2 bins,
+    point lands in exactly 1, residual exact filter). The shape
+    Spark's optimizer would otherwise execute as a nested-loop/
+    cartesian — the 100 TB killer this operator exists to avoid."""
+    from p6__mapreduce_spark.operators.rangejoin import promo_window_event_stats
+
+    return promo_window_event_stats(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _triangle_oracle() -> str:
+    from p6__mapreduce_spark.dedup.triangles import triangle_oracle_sql
+
+    return triangle_oracle_sql(k=3, threshold=0.8)
+
+
+@register("dedup_triangle_stats", oracle=_triangle_oracle())
+def q_dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle density of the near-dup graph (degree-oriented wedge
+    join over the shared memoized LSH edges): separates clique-like
+    true-copy clusters (lcc ~ 1, safe to collapse) from chain-like
+    transitive over-merges (lcc ~ 0, needs review) — the signal
+    component SIZE alone cannot provide."""
+    from p6__mapreduce_spark.dedup.triangles import triangle_stats
+
+    return triangle_stats(_lsh_pairs(spark, sf_dir, threshold=0.8))
+
+
+def _kneser_ney_oracle() -> str:
+    from p6__mapreduce_spark.operators.lm import kneser_ney_oracle_sql
+
+    return kneser_ney_oracle_sql(min_pair_count=2)
+
+
+@register("kneser_ney_bigram", oracle=_kneser_ney_oracle())
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (d=0.75): absolute discounting +
+    continuation-count backoff — the smoothing the MLE table
+    (bigram_lm) lacks; exact int64 numerator/denominator and ONE
+    final IEEE division, so the oracle matches bit-for-bit."""
+    from p6__mapreduce_spark.operators.lm import kneser_ney_bigram
+
+    return kneser_ney_bigram(load_table(spark, sf_dir, "documents"))
+
+
+def _theil_sen_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import THEIL_SEN_ORACLE_SQL
+
+    return THEIL_SEN_ORACLE_SQL
+
+
+@register("theil_sen_daily_revenue", oracle=_theil_sen_oracle())
+def q_theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median-slope trend of daily revenue (29.3% breakdown
+    point vs OLS's 0%): pair space is |days|^2 — corpus-size
+    independent — after one corpus aggregation; quantized integer
+    slopes make the median cross-engine exact."""
+    from p6__mapreduce_spark.operators.robust import theil_sen_daily_revenue
+
+    return theil_sen_daily_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import seasonal_anomaly_oracle_sql
+
+    return seasonal_anomaly_oracle_sql(k_mad=3)
+
+
+@register("seasonal_anomaly_daily", oracle=_seasonal_anomaly_oracle())
+def q_seasonal_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style seasonal anomaly flags: each day vs its
+    day-of-week cohort's lower-median and MAD, |x-med| > 3*MAD —
+    integer-exact end-to-end (no division in the pipeline)."""
+    from p6__mapreduce_spark.operators.robust import seasonal_anomaly_daily
+
+    return seasonal_anomaly_daily(load_table(spark, sf_dir, "orders"), k_mad=3)
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

@@ -1,0 +1,138 @@
+"""Bin-bucketed interval join unit tests: exact match semantics at
+bin boundaries, no duplicate pairs, multi-bin intervals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _join(spark, points, intervals, bin_seconds):
+    from p6__mapreduce_spark.operators.rangejoin import interval_bin_join
+
+    pts = spark.createDataFrame(points, "pid long, ts timestamp")
+    ivs = spark.createDataFrame(intervals, "iid long, start timestamp, end timestamp")
+    return {
+        (r.pid, r.iid)
+        for r in interval_bin_join(pts, ivs, bin_seconds=bin_seconds).collect()
+    }
+
+
+def test_half_open_boundaries(spark):
+    # interval [10:00, 11:00): point at 10:00 IN, point at 11:00 OUT
+    got = _join(
+        spark,
+        [(1, _ts("2024-01-01T10:00:00")), (2, _ts("2024-01-01T11:00:00"))],
+        [(7, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        bin_seconds=600,
+    )
+    assert got == {(1, 7)}
+
+
+def test_multi_bin_interval_produces_each_match_once(spark):
+    # 30-min interval spans 4 x 10-min bins; the contained point must
+    # appear exactly once even though the interval occupies 4 bins
+    from p6__mapreduce_spark.operators.rangejoin import interval_bin_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:15:00"))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(7, _ts("2024-01-01T09:55:00"), _ts("2024-01-01T10:25:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    rows = interval_bin_join(pts, ivs, bin_seconds=600).collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 7)]
+
+
+def test_interval_ending_on_bin_boundary_skips_next_bin(spark):
+    # end exactly on a bin edge: the point in the next bin must not match,
+    # and the interval must not even explode into that bin
+    got = _join(
+        spark,
+        [(1, _ts("2024-01-01T00:10:05"))],
+        [(7, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:10:00"))],
+        bin_seconds=600,
+    )
+    assert got == set()
+
+
+def test_overlapping_intervals_all_match(spark):
+    got = _join(
+        spark,
+        [(1, _ts("2024-01-01T00:05:00"))],
+        [
+            (7, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:10:00")),
+            (8, _ts("2024-01-01T00:04:00"), _ts("2024-01-01T00:06:00")),
+            (9, _ts("2024-01-01T00:06:00"), _ts("2024-01-01T00:07:00")),
+        ],
+        bin_seconds=600,
+    )
+    assert got == {(1, 7), (1, 8)}
+
+
+def test_promo_window_counts_match_nested_loop(spark):
+    """The bin join must equal the naive nested-loop range join."""
+    from p6__mapreduce_spark.operators.rangejoin import promo_window_event_stats
+
+    base = _ts("1995-01-01T00:00:00")
+    orders = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(days=3 * i), "1-URGENT" if i % 2 == 0 else "3-MEDIUM")
+            for i in range(10)
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=13 * i), float(i % 5 + 1))
+            for i in range(60)
+        ],
+        "l_orderkey long, l_shipdate timestamp, l_quantity double",
+    )
+    got = {
+        r.o_orderkey: (r.n_shipments, r.sum_qty_cents)
+        for r in promo_window_event_stats(orders, lineitem).collect()
+    }
+    urgent = [r for r in orders.collect() if r.o_orderpriority == "1-URGENT"]
+    li = lineitem.collect()
+    for o in urgent:
+        hits = [
+            l
+            for l in li
+            if o.o_orderdate <= l.l_shipdate < o.o_orderdate + dt.timedelta(days=3)
+        ]
+        want = (len(hits), int(sum(round(l.l_quantity * 100) for l in hits)))
+        assert got[o.o_orderkey] == want, o.o_orderkey
+    assert set(got) == {o.o_orderkey for o in urgent}
+
+
+def test_bin_join_plan_has_no_nested_loop(spark):
+    """The whole point: the physical plan must be an equi-join
+    (SortMerge or ShuffledHash on the bin), never BroadcastNestedLoop
+    or Cartesian."""
+    from p6__mapreduce_spark.operators.rangejoin import interval_bin_join
+
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"), F.timestamp_seconds(F.col("id") * 100).alias("ts")
+    )
+    ivs = spark.range(50).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(F.col("id") * 200).alias("start"),
+        F.timestamp_seconds(F.col("id") * 200 + 500).alias("end"),
+    )
+    df = interval_bin_join(pts, ivs, bin_seconds=600)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "NestedLoop" not in text and "Cartesian" not in text
+    assert "Join" in text

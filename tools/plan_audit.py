@@ -102,6 +102,12 @@ CARTESIAN_EXEMPT = {
     # broadcast 16-query rows x corpus — the deliberate labeled exact
     # baseline, same class as knn_bruteforce/ann_recall_audit
     "matryoshka_recall_audit",
+    # 1-row |bigram types| scalar broadcast into the KN probability
+    # table — same scalar shape as unigram_surprise
+    "kneser_ney_bigram",
+    # |days| x |days| inequality self-join AFTER the corpus collapses
+    # to daily rows (ewma class) + a 1-row day-count scalar broadcast
+    "theil_sen_daily_revenue",
 }
 
 
