@@ -249,3 +249,87 @@ def prefix_filter_pairs(
     return ngram_jaccard_pairs(
         docs, threshold, k, candidates=candidates, postings=postings
     )
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 3) -> DataFrame:
+    """Directed CONTAINMENT pairs: (src, dst, containment) where
+    |S(src) ∩ S(dst)| / |S(src)| >= threshold — "src's shingles are
+    mostly inside dst". The asymmetric complement of Jaccard dedup: a
+    200-token quote embedded in a 5k-token article has Jaccard ~0.04
+    (invisible to every symmetric near-dup pass) but containment ~1.0.
+    This is the primitive behind quote/boilerplate extraction and
+    train-set decontamination against short eval items.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — one
+    posting self-join bounded by shingle co-occurrence, never O(n²);
+    both directions of each co-occurring pair are scored from the SAME
+    undirected intersection count, so the directed output costs no
+    second join. Exact integer counts; one final division per row.
+    """
+    postings = shingle_postings(docs, k).cache()
+    postings.count()
+    hashed = postings.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    scored = inter.join(s1, "id1").join(s2, "id2")
+    fwd = scored.select(
+        F.col("id1").alias("src"),
+        F.col("id2").alias("dst"),
+        (F.col("n_inter") * F.lit(1.0) / F.col("n1")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id2").alias("src"),
+        F.col("id1").alias("dst"),
+        (F.col("n_inter") * F.lit(1.0) / F.col("n2")).alias("containment"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("containment") >= F.lit(threshold))
+        .orderBy("src", "dst")
+    )
+
+
+CONTAINMENT_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS i FROM toks WHERE len(w) >= {k}
+), sh AS (
+  SELECT DISTINCT doc_id, list_aggregate(w[i : i + {k} - 1], 'string_agg', ' ') AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2, n_inter, s1.n AS n1, s2.n AS n2
+  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+)
+SELECT src, dst, containment FROM (
+  SELECT id1 AS src, id2 AS dst, n_inter * 1.0e0 / n1 AS containment FROM scored
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst, n_inter * 1.0e0 / n2 AS containment FROM scored
+)
+WHERE containment >= {threshold}
+ORDER BY src, dst
+"""
+
+
+def containment_oracle_sql(k: int = 3, threshold: float = 0.8) -> str:
+    return CONTAINMENT_ORACLE_SQL.format(k=k, threshold=threshold)

@@ -488,3 +488,102 @@ SELECT dev.g AS {group}, COUNT(*) AS n, MAX(med.med) AS med, MAX(mad.mad) AS mad
 FROM dev JOIN mad USING (g) JOIN med USING (g)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def customer_revenue(orders: DataFrame) -> DataFrame:
+    """One corpus aggregation → (o_custkey, cents): per-customer
+    lifetime revenue in exact integer cents."""
+    return orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents")
+    )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """One row: (n_customers, total_cents, gini) — the Gini
+    coefficient of per-customer revenue via the rank formulation
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks.
+
+    Exactness: Σi·xᵢ is rank-assignment-invariant under ties (equal x
+    contribute equally whichever order they take), so the integer
+    numerator/denominator are deterministic and the single final IEEE
+    division matches DuckDB bit-for-bit. The global rank window runs
+    AFTER the corpus collapses to |customers| rows — the same
+    bounded-aggregate-then-window shape as order_price_percentiles;
+    at larger |customers| the two-phase partition-offset ranking
+    replaces the single-partition window, leaving results unchanged.
+    """
+    ranked = customer_revenue(orders).select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        (
+            (2 * F.sum(F.col("i") * F.col("cents")) - (F.count(F.lit(1)) + 1) * F.sum("cents"))
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.sum("cents"))
+        ).alias("gini"),
+    )
+
+
+def revenue_lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """(decile, n_customers, decile_cents, cum_cents, cum_share): the
+    Lorenz curve of customer revenue at decile resolution — 'the top
+    10% of customers hold X% of revenue'. Deciles assign by
+    ntile(10) over (cents, custkey) — the custkey tie-break pins the
+    assignment so both engines split ties identically. The cumulative
+    window runs over 10 aggregated rows; cum_share is the single
+    final division."""
+    ranked = customer_revenue(orders).select(
+        "cents", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile")
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.sum("decile_cents").over(w).alias("cum_cents"),
+        (F.sum("decile_cents").over(w) * F.lit(1.0) / F.sum("decile_cents").over(total)).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
+
+
+REVENUE_GINI_ORACLE_SQL = """
+WITH cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       (2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1.0e0
+         / (COUNT(*) * SUM(cents)) AS gini
+FROM ranked
+"""
+
+REVENUE_LORENZ_ORACLE_SQL = """
+WITH cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile FROM cust
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_customers, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       SUM(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) * 1.0e0
+         / SUM(decile_cents) OVER () AS cum_share
+FROM per ORDER BY decile
+"""

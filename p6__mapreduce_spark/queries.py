@@ -6463,6 +6463,111 @@ def q_seasonal_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomaly_daily(load_table(spark, sf_dir, "orders"), k_mad=3)
 
 
+@register(
+    "session_windows_streaming",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), i AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(us) // 1000000 AS session_start,
+           MAX(us) // 1000000 + 1800 AS session_end,
+           COUNT(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization: session_window + watermark in append
+    mode across forced micro-batches (sessions straddling the batch
+    split merge in the state store); a far-future heartbeat row
+    flushes the final sessions. Shares session_windows_native's
+    oracle verbatim — streaming state converges to the batch answer."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.windows import run_streaming_session_windows
+
+    return run_streaming_session_windows(
+        spark, _os.path.join(sf_dir, "events.parquet"), gap_minutes=30
+    )
+
+
+def _basket_oracle() -> str:
+    from p6__mapreduce_spark.operators.basket import basket_oracle_sql
+
+    return basket_oracle_sql(min_pair_support=3)
+
+
+@register("basket_part_pairs", oracle=_basket_oracle())
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair rules (support/confidence/lift): equi
+    self-join WITHIN the order key, so fan-out is per-basket-bounded
+    (Σ k², never corpus²); exact integer supports, one IEEE division
+    each for confidence and lift."""
+    from p6__mapreduce_spark.operators.basket import basket_part_pairs
+
+    return basket_part_pairs(load_table(spark, sf_dir, "lineitem"), min_pair_support=3)
+
+
+def _gini_oracle() -> str:
+    from p6__mapreduce_spark.operators.analytics import REVENUE_GINI_ORACLE_SQL
+
+    return REVENUE_GINI_ORACLE_SQL
+
+
+@register("revenue_gini", oracle=_gini_oracle())
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank formulation — tie-invariant integer sums, one final
+    division; global rank runs on the |customers| aggregate."""
+    from p6__mapreduce_spark.operators.analytics import revenue_gini
+
+    return revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
+def _lorenz_oracle() -> str:
+    from p6__mapreduce_spark.operators.analytics import REVENUE_LORENZ_ORACLE_SQL
+
+    return REVENUE_LORENZ_ORACLE_SQL
+
+
+@register("revenue_lorenz_deciles", oracle=_lorenz_oracle())
+def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution ('top 10% hold X%'):
+    ntile(10) with custkey tie-break pins decile assignment in both
+    engines; cumulative window runs over 10 aggregated rows."""
+    from p6__mapreduce_spark.operators.analytics import revenue_lorenz_deciles
+
+    return revenue_lorenz_deciles(load_table(spark, sf_dir, "orders"))
+
+
+def _containment_oracle() -> str:
+    from p6__mapreduce_spark.dedup.jaccard import containment_oracle_sql
+
+    return containment_oracle_sql(k=3, threshold=0.8)
+
+
+@register("dedup_containment", oracle=_containment_oracle())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (|A∩B|/|A| >= 0.8): the asymmetric
+    quote/subset detector symmetric Jaccard misses — a short quote in
+    a long article is invisible to near-dup passes but ~1.0 here.
+    Both directions scored from ONE undirected intersection join."""
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

@@ -219,3 +219,91 @@ def run_streaming_late_drop(
         return spark.table(name).orderBy("window_start")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def run_streaming_session_windows(
+    spark: SparkSession,
+    events_parquet: str,
+    gap_minutes: int = 30,
+    cutoff: str = "2024-01-16",
+) -> DataFrame:
+    """Stateful streaming SESSIONIZATION (F.session_window + watermark,
+    append mode) driven across two forced micro-batches split at
+    ``cutoff`` — sessions straddling the split must MERGE in the state
+    store, exercising the session-merge path tumbling windows never hit.
+
+    Append mode only emits a session once the watermark passes its end,
+    so a finite source would strand every user's last session in state.
+    The fix is the standard heartbeat trick: a third micro-batch with
+    one far-future sentinel row (user_id = -1) advances the watermark
+    past every real session's end, flushing them; the sentinel user is
+    filtered from the output. Result == the batch session_window twin
+    (session_windows_native), so this query REUSES its SQL oracle
+    verbatim — the strongest statement that streaming state converges
+    to the batch answer.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="p6_stream_sess_")
+    try:
+        base = spark.read.parquet(events_parquet).select("event_id", "user_id", "ts")
+        cut = F.lit(cutoff).cast("timestamp")
+        sentinel = spark.createDataFrame(
+            [(-1, -1)], "event_id long, user_id long"
+        ).select(
+            "event_id", "user_id", F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts")
+        )
+        parts = (
+            base.filter(F.col("ts") < cut),
+            base.filter(F.col("ts") >= cut),
+            sentinel,  # watermark heartbeat: flushes every real session
+        )
+        now = _time.time()
+        for i, part_df in enumerate(parts):
+            part = os.path.join(src, f"_stage_{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(part)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            os.rename(os.path.join(part, data), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))  # deterministic trigger order
+            shutil.rmtree(part)
+
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", f"{gap_minutes} minutes")
+        )
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").cast("long").alias("session_start"),
+                F.col("sw.end").cast("long").alias("session_end"),
+                "n_events",
+            )
+        )
+        query = (
+            agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("user_id") != -1)
+            .orderBy("user_id", "session_start")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -382,3 +382,41 @@ def test_cross_source_dup_matrix_planted(spark):
         assert rates["srcB"].dup_rate == 0.5
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_containment_detects_embedded_quote(spark):
+    """A short passage embedded verbatim in a long doc: symmetric
+    Jaccard stays tiny, directed containment hits 1.0 one way only."""
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i} stuff{i} thing{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = {(r.src, r.dst): r.containment for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}  # quote fully inside; reverse direction absent
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0  # invisible to Jaccard
+
+
+def test_containment_identical_docs_both_directions(spark):
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {(r.src, r.dst): r.containment for r in containment_pairs(docs).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_threshold_is_inclusive(spark):
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs
+
+    # doc1 has 5 shingles, 4 shared with doc2 -> containment exactly 0.8
+    d1 = "a b c d e f g"          # shingles: abc bcd cde def efg (5)
+    d2 = "a b c d e f zz yy xx"   # shares abc bcd cde def (4)
+    docs = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    got = {(r.src, r.dst): r.containment for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert got[(1, 2)] == 0.8

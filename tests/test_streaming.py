@@ -440,3 +440,44 @@ def test_stream_static_enrichment_matches_batch_join(spark):
     }
     # inner semantics: user 9 (no dim row) drops out; no state, no watermark
     assert got == want == {(1, "gold"), (3, "gold"), (2, "free")}
+
+
+def test_streaming_session_merges_across_microbatches(spark, tmp_path):
+    """A session straddling the forced batch split (events on both
+    sides of the cutoff within one gap) must merge into ONE session in
+    the state store, and the heartbeat must flush trailing sessions."""
+    import datetime as dt
+
+    from p6__mapreduce_spark.streaming.windows import run_streaming_session_windows
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # user 1: 3 events bridging the 2024-01-16 cutoff, gaps < 30min
+        (1, 1, t("2024-01-15T23:50:00")),
+        (2, 1, t("2024-01-16T00:05:00")),
+        (3, 1, t("2024-01-16T00:20:00")),
+        # user 1 later, separate session (gap > 30min)
+        (4, 1, t("2024-01-16T02:00:00")),
+        # user 2: single-event trailing session (flushed only by the
+        # heartbeat — nothing else advances the watermark past it)
+        (5, 2, t("2024-01-20T12:00:00")),
+    ]
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    # the file-source runner expects a single parquet FILE path
+    import os
+
+    data = next(
+        f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    out = run_streaming_session_windows(spark, os.path.join(src, data)).collect()
+    got = {(r.user_id, r.session_start): (r.session_end, r.n_events) for r in out}
+    s = int(t("2024-01-15T23:50:00").timestamp())
+    assert got[(1, s)] == (int(t("2024-01-16T00:20:00").timestamp()) + 1800, 3)
+    s2 = int(t("2024-01-16T02:00:00").timestamp())
+    assert got[(1, s2)] == (s2 + 1800, 1)
+    s3 = int(t("2024-01-20T12:00:00").timestamp())
+    assert got[(2, s3)] == (s3 + 1800, 1)
+    assert len(got) == 3  # sentinel filtered out

@@ -108,6 +108,9 @@ CARTESIAN_EXEMPT = {
     # |days| x |days| inequality self-join AFTER the corpus collapses
     # to daily rows (ewma class) + a 1-row day-count scalar broadcast
     "theil_sen_daily_revenue",
+    # 1-row order-count scalar broadcast feeding the lift ratio —
+    # same scalar shape as Q22
+    "basket_part_pairs",
 }
 
 
