@@ -241,6 +241,20 @@ HEADLINE = [
     "multimodal_video_decode",
     "multimodal_audio_downsample",
     "multimodal_resize",
+    # round-5 continuation batch 2
+    "promo_window_event_stats",
+    "dedup_triangle_stats",
+    "kneser_ney_bigram",
+    "theil_sen_daily_revenue",
+    "seasonal_anomaly_daily",
+    "basket_part_pairs",
+    "revenue_gini",
+    "revenue_lorenz_deciles",
+    "dedup_containment",
+    "jl_projection_audit",
+    "pareto_frontier_parts",
+    "ks_purchase_vs_click",
+    "doc_length_lang_auc",
 ]
 
 
@@ -271,6 +285,10 @@ STEADY_SET = frozenset(
         "semantic_dedup",
         "dedup_simhash",
         "minhash_estimate_error",
+        # pair-generation ops over the posting index — same cold-run
+        # codegen noise profile as dedup_minhash_lsh
+        "dedup_containment",
+        "dedup_triangle_stats",
     }
 )
 

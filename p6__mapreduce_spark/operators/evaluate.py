@@ -1,0 +1,158 @@
+"""Exact distributed two-sample / ranking evaluation statistics —
+Kolmogorov-Smirnov distance and Mann-Whitney AUC.
+
+Both answer curation questions the binned drift family (PSI, chi-sq)
+cannot: KS compares two CONTINUOUS distributions with no binning
+choice at all, and AUC scores how well a feature RANKS a binary label
+(the evaluation behind every quality-classifier threshold).
+
+Both are functions of order statistics, which usually pushes engines
+toward approximation. The exact distributed shape used here:
+
+- collapse to per-DISTINCT-value group counts (one shuffle — the only
+  corpus-sized operation);
+- one ordered window pass over the distinct-value table for the
+  cumulative counts (bounded by |distinct values|, not rows);
+- express the statistic in cross-multiplied INTEGER form so no
+  division happens until the final row: KS compares
+  |c1·n2 − c2·n1| (denominator n1·n2 applied once at the end), AUC
+  doubles rank sums so midrank ties stay integral.
+
+Ties are handled exactly: KS evaluates the ECDF difference at each
+distinct value (where the sup is attained); AUC uses midranks, the
+Mann-Whitney tie convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_statistic(
+    df: DataFrame, value: Column, in_group1: Column, in_group2: Column
+) -> DataFrame:
+    """One row: (n1, n2, d_num, at_value, ks) — the exact two-sample
+    KS distance sup|F1 − F2| between ``value``'s distributions in two
+    row populations. ``d_num`` = max|c1·n2 − c2·n1| (exact int64);
+    ``ks`` = d_num/(n1·n2), the single final division; ``at_value`` is
+    the smallest value attaining the sup (deterministic tie-break)."""
+    tagged = df.select(
+        value.alias("v"),
+        in_group1.cast("int").alias("g1"),
+        in_group2.cast("int").alias("g2"),
+    ).filter((F.col("g1") == 1) | (F.col("g2") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"), F.sum("g2").cast("long").alias("c2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    ).crossJoin(F.broadcast(totals))  # 1-row scalar broadcast (labeled)
+    diff = cum.select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("d"),
+    )
+    best = diff.orderBy(F.desc("d"), F.asc("v")).limit(1)
+    return best.select(
+        "n1",
+        "n2",
+        F.col("d").alias("d_num"),
+        F.col("v").alias("at_value"),
+        (F.col("d") * F.lit(1.0) / (F.col("n1") * F.col("n2"))).alias("ks"),
+    )
+
+
+def mann_whitney_auc(
+    df: DataFrame, score: Column, label: Column
+) -> DataFrame:
+    """One row: (n_pos, n_neg, u2, auc) — the exact Mann-Whitney AUC
+    of ``score`` ranking ``label`` (boolean), midrank tie convention.
+    u2 = 2·U (doubled so midranks stay integral); auc = u2/(2·n_pos·
+    n_neg), the single final division. AUC 0.5 = uninformative score,
+    1.0 = perfect separation."""
+    tagged = df.select(score.alias("s"), label.cast("int").alias("y"))
+    per_s = tagged.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t"), F.sum("y").cast("long").alias("p")
+    )
+    w_prev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    # midrank of the tie group at s = start + (t-1)/2 where start =
+    # 1 + (count of strictly smaller scores). Doubled: 2·midrank =
+    # 2·start + t − 1; positive contribution = p · (2·start + t − 1).
+    ranked = per_s.select(
+        "p",
+        "t",
+        (F.coalesce(F.sum("t").over(w_prev), F.lit(0)) + 1).alias("start"),
+    )
+    agg = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("t") - F.sum("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("start") + F.col("t") - 1)).alias("ranksum2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        (
+            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            * F.lit(1.0)
+            / (2 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+KS_EVENTS_ORACLE_SQL = """
+WITH tagged AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('purchase', 'click')
+), per_v AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+  FROM tagged GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+  FROM per_v
+), diff AS (
+  SELECT v, n1, n2, abs(f1 * n2 - f2 * n1) AS d FROM cum CROSS JOIN totals
+)
+SELECT n1, n2, CAST(d AS BIGINT) AS d_num, v AS at_value,
+       d * 1.0e0 / (n1 * n2) AS ks
+FROM diff ORDER BY d DESC, v ASC LIMIT 1
+"""
+
+AUC_DOCS_ORACLE_SQL = """
+WITH tagged AS (
+  SELECT CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), per_s AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(y) AS BIGINT) AS p
+  FROM tagged GROUP BY 1
+), ranked AS (
+  SELECT p, t,
+         coalesce(SUM(t) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + 1 AS start
+  FROM per_s
+), agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(t) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * start + t - 1)) AS BIGINT) AS ranksum2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(ranksum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       (ranksum2 - n_pos * (n_pos + 1)) * 1.0e0 / (2 * n_pos * n_neg) AS auc
+FROM agg
+"""

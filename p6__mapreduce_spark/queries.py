@@ -6568,6 +6568,127 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _jl_oracle() -> str:
+    from p6__mapreduce_spark.similarity.jl import jl_oracle_sql
+
+    return jl_oracle_sql()
+
+
+@register("jl_projection_audit", oracle=_jl_oracle())
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection recall audit: exact
+    full-dim top-5 vs top-5 under 8/16-dim ±1 projections (Knuth-hash
+    sign matrix as a plan literal in BOTH engines) — the
+    training-free counterpart of the Matryoshka audit for deciding a
+    4-8x vector-index shrink. One projection pass serves every width
+    (narrow projections are matrix-row prefixes)."""
+    from p6__mapreduce_spark.similarity.jl import jl_projection_audit
+
+    return jl_projection_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), s AS (
+      SELECT *,
+             MAX(p_size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             MAX(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+      FROM p
+    )
+    SELECT p_partkey, price_cents, p_size FROM s
+    WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+      AND p_size = best_same_price
+    ORDER BY price_cents, p_partkey
+    """,
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2D skyline): parts where no other part is both
+    cheaper-or-equal AND bigger-or-equal with one strict — 'best value
+    at every size'. The O(n²) domination test collapses to ONE sorted
+    window pass for 2D: a part survives iff its size beats the running
+    max over all STRICTLY cheaper parts (RANGE frame to 1 PRECEDING on
+    integer cents) and ties the max within its own price point.
+    Equal (price, size) duplicates all survive — neither strictly
+    dominates. At cluster scale: local per-partition skylines first
+    (each is tiny), then this pass over their union — same operator,
+    two levels."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    s = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_lt).alias("best_cheaper"),
+        F.max("p_size").over(w_eq).alias("best_same_price"),
+    )
+    return (
+        s.filter(
+            (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+            & (F.col("p_size") == F.col("best_same_price"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+def _ks_oracle() -> str:
+    from p6__mapreduce_spark.operators.evaluate import KS_EVENTS_ORACLE_SQL
+
+    return KS_EVENTS_ORACLE_SQL
+
+
+@register("ks_purchase_vs_click", oracle=_ks_oracle())
+def q_ks_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between purchase
+    and click value distributions — no binning choice (the weakness
+    of PSI/chi-sq); cross-multiplied integer ECDF comparison, one
+    final division; window runs over |distinct values| group rows."""
+    from p6__mapreduce_spark.operators.evaluate import ks_statistic
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        events.filter(F.col("event_type").isin("purchase", "click")),
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
+def _auc_oracle() -> str:
+    from p6__mapreduce_spark.operators.evaluate import AUC_DOCS_ORACLE_SQL
+
+    return AUC_DOCS_ORACLE_SQL
+
+
+@register("doc_length_lang_auc", oracle=_auc_oracle())
+def q_doc_length_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of document length ranking the lang='en'
+    label — the evaluation primitive behind every quality-classifier
+    threshold; midrank tie convention, doubled rank sums keep every
+    intermediate integral."""
+    from p6__mapreduce_spark.operators.evaluate import mann_whitney_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mann_whitney_auc(docs, F.col("n_chars").cast("long"), F.col("lang") == "en")
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

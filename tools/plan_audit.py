@@ -111,6 +111,12 @@ CARTESIAN_EXEMPT = {
     # 1-row order-count scalar broadcast feeding the lift ratio —
     # same scalar shape as Q22
     "basket_part_pairs",
+    # broadcast 16-query rows x corpus — the deliberate labeled exact
+    # baseline, same class as matryoshka_recall_audit
+    "jl_projection_audit",
+    # 1-row (n1, n2) totals broadcast into the ECDF difference —
+    # same scalar shape as value_drift_psi
+    "ks_purchase_vs_click",
 }
 
 
