@@ -6704,9 +6704,16 @@ def q_doc_length_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trio kmeans_lloyd_sampled / pq_codes_sampled / knn_ivfpq_sampled) —
 # plus the two inherently rows-only sketches
 # (approx_stats, sketch_weekly_users, which get the weaker rows-only
-# driver check). Swapping all 23 in still leaves ~21 slots for
-# re-verifying the oldest driver-green history (r1-verified veterans
-# first). That rotation closes 100% first-time external coverage of
+# driver check), plus the FOURTEEN round-5-continuation additions
+# (promo_window_event_stats, dedup_triangle_stats, kneser_ney_bigram,
+# theil_sen_daily_revenue, seasonal_anomaly_daily,
+# session_windows_streaming, basket_part_pairs, revenue_gini,
+# revenue_lorenz_deciles, dedup_containment, jl_projection_audit,
+# pareto_frontier_parts, ks_purchase_vs_click, doc_length_lang_auc —
+# every one oracle-backed with committed sf0.01 checks). Swapping the
+# full never-verified queue in fills ~44 of the 50 slots; the
+# remainder re-verifies the oldest driver-green history (r1 veterans
+# first). That rotation closes ~100% first-time external coverage of
 # the oracle-backed registry.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
