@@ -255,6 +255,10 @@ HEADLINE = [
     "pareto_frontier_parts",
     "ks_purchase_vs_click",
     "doc_length_lang_auc",
+    "rfm_segments",
+    "orders_merkle_checksum",
+    "benford_price_digits",
+    "cohort_ltv_curve",
 ]
 
 

@@ -6689,6 +6689,276 @@ def q_doc_length_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_auc(docs, F.col("n_chars").cast("long"), F.col("lang") == "en")
 
 
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT o_custkey, last_day, n_orders, cents, r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM scored ORDER BY o_custkey
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles, 5 =
+    best): the classic customer-base partitioning behind retention
+    campaigns. Quintiles assign by ntile(5) with a custkey tie-break
+    so both engines split ties identically; all three windows run on
+    the |customers| aggregate (two-phase ranking replaces them at
+    billion-customer scale, output unchanged)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    scored = cust.select(
+        "*",
+        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm"),
+    ).orderBy("o_custkey")
+
+
+def _merkle_oracle() -> str:
+    from p6__mapreduce_spark.functions.hashing import POLY_MOD
+
+    return f"""
+    WITH rows_r AS (
+      SELECT o_orderkey % 64 AS bucket,
+             list_reduce([CAST(0 AS BIGINT)] || [CAST(ascii(ch) AS BIGINT)
+                           for ch in string_split(concat_ws('|',
+                             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                             o_orderstatus,
+                             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                             CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR),
+                             o_orderpriority), '')],
+                         (acc, c) -> (acc * 31 + c) % {POLY_MOD}) AS h
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+           CAST(SUM(h) % {POLY_MOD} AS BIGINT) AS sum_hash
+    FROM rows_r GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("orders_merkle_checksum", oracle=_merkle_oracle())
+def q_orders_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table checksum for cross-system data reconciliation
+    (the Merkle-tree leaf level): 64 buckets by primary key, each
+    summarized by row count + order-independent XOR and modular-sum
+    folds of a PORTABLE per-row hash (poly_hash over a pinned string
+    rendering — integer casts only, so both engines render bytes
+    identically). Two replicas compare 64 rows instead of the table;
+    a mismatched bucket pinpoints where to diff. Both folds commute
+    with any partitioning; XOR is overflow-free at any scale, the
+    modular sum is exact to ~4e9 rows per bucket (raise the bucket
+    count past that — the xor leg carries the comparison alone
+    regardless)."""
+    from p6__mapreduce_spark.functions.hashing import POLY_MOD, poly_hash_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    rendered = orders.select(
+        (F.col("o_orderkey") % 64).alias("bucket"),
+        poly_hash_expr(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                F.unix_timestamp("o_orderdate").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("h"),
+    )
+    return (
+        rendered.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            (F.sum("h") % F.lit(POLY_MOD)).cast("long").alias("sum_hash"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _benford_probs() -> list[float]:
+    import math
+
+    return [math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def _benford_oracle() -> str:
+    # exponent notation forces DOUBLE literals in DuckDB (a bare
+    # decimal literal parses as DECIMAL and overflows in the squared
+    # term); 17 significant digits round-trip the exact float64
+    probs = ", ".join(f"{p:.17e}" for p in _benford_probs())
+    return f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE round(o_totalprice * 100) >= 1
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+    ), grid AS (
+      SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit
+    ), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT g.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           ([{probs}])[g.digit] AS expected_p,
+           (coalesce(o.n_obs, 0) - t.n * ([{probs}])[g.digit])
+             * (coalesce(o.n_obs, 0) - t.n * ([{probs}])[g.digit])
+             / (t.n * ([{probs}])[g.digit]) AS chisq_term
+    FROM grid g LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+    ORDER BY g.digit
+    """
+
+
+@register("benford_price_digits", oracle=_benford_oracle())
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices — the classic
+    fabricated-data / unit-mixing detector: observed leading-digit
+    counts vs log10(1+1/d) expectation with per-digit chi-square
+    terms. The 9 expected probabilities are IDENTICAL float literals
+    in both plans and each term is a short scalar IEEE chain on exact
+    integer counts, so the comparison is bit-stable. 1-row total
+    broadcast = the Q22 scalar shape; the digit grid is a 9-row
+    literal so digits with zero observations still appear."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = _benford_probs()
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    ).filter(F.col("c") >= 1)
+    obs = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    p_arr = F.lit(probs)
+    p_d = F.element_at(p_arr, F.col("digit").cast("int"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar broadcast (labeled)
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            p_d.alias("expected_p"),
+            (
+                (n_obs - F.col("n") * p_d)
+                * (n_obs - F.col("n") * p_d)
+                / (F.col("n") * p_d)
+            ).alias("chisq_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', MIN(CAST(ts AS DATE))) AS BIGINT) AS cohort_day
+      FROM events GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM firstday GROUP BY 1
+    ), purch AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) AS BIGINT)
+               - f.cohort_day AS age_day,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firstday f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), rev AS (
+      SELECT cohort_day, age_day, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM purch GROUP BY 1, 2
+    )
+    SELECT r.cohort_day, r.age_day, s.cohort_users, r.rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age_day
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+           SUM(r.rev_cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age_day
+                                  ROWS UNBOUNDED PRECEDING) * 1.0e0 / s.cohort_users
+             AS ltv_cents_per_user
+    FROM rev r JOIN sizes s USING (cohort_day)
+    ORDER BY cohort_day, age_day
+    """,
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen day, purchase
+    revenue accumulated by cohort age — the revenue complement of the
+    activity-based retention matrix. Corpus collapses to per-(cohort,
+    age) rows before the cumulative window (partitioned by cohort, so
+    state is bounded by the 30-day age span); exact cents, one final
+    per-user division."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")  # noqa: E731
+    firstday = events.groupBy("user_id").agg(F.min(day(F.col("ts"))).alias("cohort_day"))
+    sizes = firstday.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firstday, "user_id")
+        .select(
+            "cohort_day",
+            (day(F.col("ts")) - F.col("cohort_day")).alias("age_day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    rev = purch.groupBy("cohort_day", "age_day").agg(F.sum("cents").alias("rev_cents"))
+    w = Window.partitionBy("cohort_day").orderBy("age_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "age_day",
+            "cohort_users",
+            "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+            (F.sum("rev_cents").over(w) * F.lit(1.0) / F.col("cohort_users")).alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort_day", "age_day")
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

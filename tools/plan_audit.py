@@ -117,6 +117,8 @@ CARTESIAN_EXEMPT = {
     # 1-row (n1, n2) totals broadcast into the ECDF difference —
     # same scalar shape as value_drift_psi
     "ks_purchase_vs_click",
+    # 1-row digit-total scalar broadcast into the 9-row literal grid
+    "benford_price_digits",
 }
 
 
