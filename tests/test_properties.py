@@ -232,3 +232,64 @@ def test_prefix_filter_equals_full_join_on_random_corpora(spark, word_lists):
     full = {(r.id1, r.id2) for r in ngram_jaccard_pairs(docs, 0.6).collect()}
     pref = {(r.id1, r.id2) for r in prefix_filter_pairs(docs, 0.6).collect()}
     assert pref == full
+
+
+def test_round5_continuation_ops_partition_invariant(spark):
+    # round-5 continuation ops: 1 partition vs a skewed 13 must agree
+    # bit-for-bit (integer quantization before any aggregation)
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs
+    from p6__mapreduce_spark.dedup.triangles import triangle_stats
+    from p6__mapreduce_spark.operators.lm import kneser_ney_bigram
+    from p6__mapreduce_spark.operators.robust import (
+        seasonal_anomaly_daily,
+        theil_sen_daily_revenue,
+    )
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5)], "id1 long, id2 long"
+    )
+    cases = [
+        (docs, kneser_ney_bigram),
+        (docs, lambda d: containment_pairs(d, threshold=0.5)),
+        (orders, theil_sen_daily_revenue),
+        (orders, seasonal_anomaly_daily),
+        (edges, triangle_stats),
+    ]
+    for df, op in cases:
+        a = sorted(map(tuple, op(df.repartition(1)).collect()))
+        b = sorted(map(tuple, op(df.repartition(13)).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_interval_bin_join_equals_nested_loop_on_random_data(spark):
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from p6__mapreduce_spark.operators.rangejoin import interval_bin_join
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    pts = [(i, base + dt.timedelta(seconds=rng.randrange(0, 86400))) for i in range(80)]
+    ivs = [
+        (j, base + dt.timedelta(seconds=(s := rng.randrange(0, 86400))),
+         base + dt.timedelta(seconds=s + rng.randrange(1, 7200)))
+        for j in range(40)
+    ]
+    pdf = spark.createDataFrame(pts, "pid long, ts timestamp")
+    idf = spark.createDataFrame(ivs, "iid long, start timestamp, end timestamp")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_bin_join(pdf, idf, bin_seconds=600).collect()
+    }
+    want = {
+        (p, j)
+        for p, t in pts
+        for j, s, e in ivs
+        if s <= t < e
+    }
+    assert got == want
