@@ -36,7 +36,12 @@ def ks_statistic(
     KS distance sup|F1 − F2| between ``value``'s distributions in two
     row populations. ``d_num`` = max|c1·n2 − c2·n1| (exact int64);
     ``ks`` = d_num/(n1·n2), the single final division; ``at_value`` is
-    the smallest value attaining the sup (deterministic tie-break)."""
+    the smallest value attaining the sup (deterministic tie-break).
+
+    Caller contract: both populations must be non-empty — an empty
+    group makes the final ratio 0/0, where Spark yields NULL but
+    DuckDB yields NaN (the cross-engine divergence class documented
+    at quality_pct_by_source)."""
     tagged = df.select(
         value.alias("v"),
         in_group1.cast("int").alias("g1"),
@@ -77,7 +82,9 @@ def mann_whitney_auc(
     of ``score`` ranking ``label`` (boolean), midrank tie convention.
     u2 = 2·U (doubled so midranks stay integral); auc = u2/(2·n_pos·
     n_neg), the single final division. AUC 0.5 = uninformative score,
-    1.0 = perfect separation."""
+    1.0 = perfect separation. Caller contract: both classes must be
+    non-empty (0/0 diverges NULL-vs-NaN across engines — see
+    ks_statistic)."""
     tagged = df.select(score.alias("s"), label.cast("int").alias("y"))
     per_s = tagged.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("t"), F.sum("y").cast("long").alias("p")

@@ -63,7 +63,13 @@ def interval_bin_join(
     e_bin = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / F.lit(bin_seconds))
 
     pts = points.withColumn("_bin", p_bin)
-    ivs = intervals.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
+    # drop degenerate intervals (end <= start) BEFORE the explode: the
+    # half-open predicate can never match them anyway, but Spark's
+    # sequence() DESCENDS when stop < start, so a corrupt far-past end
+    # timestamp would otherwise fan out into thousands of waste bins
+    ivs = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "_bin", F.explode(F.sequence(s_bin, e_bin))
+    )
     return (
         pts.join(ivs, on="_bin")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

@@ -136,3 +136,25 @@ def test_bin_join_plan_has_no_nested_loop(spark):
     text = buf.getvalue()
     assert "NestedLoop" not in text and "Cartesian" not in text
     assert "Join" in text
+
+
+def test_degenerate_interval_dropped_before_explode(spark):
+    """An interval with end <= start (corrupt data) must produce no
+    matches and no bin fan-out (sequence() would DESCEND otherwise)."""
+    import datetime as dt
+
+    from p6__mapreduce_spark.operators.rangejoin import interval_bin_join
+
+    t = dt.datetime.fromisoformat
+    pts = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00:00"))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (7, t("2024-01-01T10:00:00"), t("2023-01-01T00:00:00")),  # end far past
+            (8, t("2024-01-01T10:00:00"), t("2024-01-01T10:00:00")),  # empty
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = interval_bin_join(pts, ivs, bin_seconds=600)
+    assert out.count() == 0
