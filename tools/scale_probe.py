@@ -365,6 +365,80 @@ def main() -> None:
             "hll_user_audit": (lambda d: _hll(d), events, inflate_events),
         }
     )
+    # round-5 continuation ops (range join / graph / LM / robust / evals)
+    from p6__mapreduce_spark.dedup.jaccard import containment_pairs as _contain
+    from p6__mapreduce_spark.dedup.triangles import triangle_stats as _tri
+    from p6__mapreduce_spark.operators.basket import basket_part_pairs as _basket
+    from p6__mapreduce_spark.operators.evaluate import ks_statistic as _ks
+    from p6__mapreduce_spark.operators.lm import kneser_ney_bigram as _kn
+    from p6__mapreduce_spark.operators.rangejoin import promo_window_event_stats as _promo
+    from p6__mapreduce_spark.operators.robust import theil_sen_daily_revenue as _theil
+    from p6__mapreduce_spark.similarity.jl import jl_projection_audit as _jl
+
+    def _inflate_li_keys(l, kk):
+        # offset order AND part keys per copy: k x disjoint baskets of
+        # the base size — pair volume must grow k x, never k^2
+        out = None
+        for i in range(kk):
+            copy = l.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+            ).withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 100_000_000))
+            out = copy if out is None else out.unionAll(copy)
+        return out
+
+    ops.update(
+        {
+            # bigram vocab k x (disjoint suffixes); aux tables derive
+            # from the aggregate — joins posting-sized
+            "kneser_ney_bigram": (lambda d: _kn(d), docs, inflate_documents),
+            # directed pair set k x the base's (disjoint vocab copies)
+            "dedup_containment": (
+                lambda d: _contain(d, threshold=0.8),
+                docs,
+                inflate_documents,
+            ),
+            # near-dup graph k x disjoint components: wedges/triangles
+            # grow k x, orientation bounds unchanged
+            "dedup_triangle_stats": (
+                lambda d: _tri(minhash_lsh_pairs(d)),
+                docs,
+                inflate_documents,
+            ),
+            # k x disjoint baskets of constant size: pair fan-out k x
+            "basket_part_pairs": (lambda l: _basket(l), li, _inflate_li_keys),
+            # FIXED interval set, k x identical point copies: bin-join
+            # fan-out and per-order counts grow exactly k x
+            "promo_window_event_stats": (
+                lambda l: _promo(orders, l),
+                li,
+                _inflate_li_repeat,
+            ),
+            # collapses to |days| rows FIRST: the |days|^2 pair grid is
+            # corpus-size independent, so time must track the scan only
+            "theil_sen_daily_revenue": (lambda o: _theil(o), orders, _inflate_orders),
+            # per-distinct-value counts: distinct values ~constant under
+            # identical-copy inflation, cumulative window constant
+            "ks_purchase_vs_click": (
+                lambda e: _ks(
+                    e.filter(F.col("event_type").isin("purchase", "click")),
+                    F.round(F.col("value") * 100).cast("long"),
+                    F.col("event_type") == "purchase",
+                    F.col("event_type") == "click",
+                ),
+                events,
+                inflate_events,
+            ),
+            # fixed 16-query set, projection map-side: linear scan
+            "jl_projection_audit": (
+                lambda d: _jl(d, n_queries=8),
+                emb,
+                inflate_embeddings,
+            ),
+        }
+    )
+    only = set(sys.argv[3:])
+    if only:
+        ops = {n: v for n, v in ops.items() if n in only}
     report: dict[str, dict] = {}
     for name, (fn, base, inflate) in ops.items():
         t0 = time.time()
