@@ -259,6 +259,10 @@ HEADLINE = [
     "orders_merkle_checksum",
     "benford_price_digits",
     "cohort_ltv_curve",
+    "orders_unpivot_quarters",
+    "cusum_changepoint_daily",
+    "mann_kendall_trend",
+    "readability_scores",
 ]
 
 

@@ -172,3 +172,178 @@ ORDER BY day_idx
 
 def seasonal_anomaly_oracle_sql(k_mad: int = 3) -> str:
     return SEASONAL_ANOMALY_ORACLE_SQL.format(k_mad=k_mad)
+
+
+def cusum_changepoint_daily(orders: DataFrame) -> DataFrame:
+    """Single most-likely level-shift day in daily revenue via the
+    CUSUM statistic (Page 1954): with prefix sums P_i and total T over
+    n days, the deviation at position i is D_i = n·P_i − i·T — the
+    (scaled by n) gap between the observed prefix and the no-change
+    expectation i·T/n. The changepoint estimate is argmax |D_i|
+    (earliest day on ties).
+
+    Exactness: P_i, T, i, n are exact integers from one corpus
+    aggregation; D_i is formed as double(P_i)·n − double(i)·double(T)
+    so it cannot overflow at any scale, and because every conversion /
+    multiply / subtract is a single correctly-rounded IEEE-754 op on
+    integer-valued inputs, DuckDB reproduces it bit-for-bit.
+
+    Scale: the corpus collapses to |days| rows before the (bounded,
+    registry-policy) single-partition prefix window; the 1-row
+    (n, total) side is the Q22 scalar-broadcast shape. Returns ONE row:
+    (n_days, cp_day_idx, cp_pos, max_abs_dev, before_days,
+    before_cents, after_days, after_cents) — exact integer segment
+    totals so the caller derives means at any precision it wants."""
+    daily = _daily_revenue(orders)
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "day_idx",
+        F.sum("cents").over(w).alias("prefix_cents"),
+        F.row_number().over(Window.orderBy("day_idx")).alias("i"),
+    )
+    scalar = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    dev = pref.crossJoin(F.broadcast(scalar)).select(  # 1-row scalar broadcast (labeled)
+        "n_days",
+        F.col("day_idx").alias("cp_day_idx"),
+        F.col("i").cast("long").alias("cp_pos"),
+        F.abs(
+            F.col("prefix_cents").cast("double") * F.col("n_days")
+            - F.col("i").cast("double") * F.col("total_cents").cast("double")
+        ).alias("max_abs_dev"),
+        F.col("i").cast("long").alias("before_days"),
+        F.col("prefix_cents").cast("long").alias("before_cents"),
+        (F.col("n_days") - F.col("i")).cast("long").alias("after_days"),
+        (F.col("total_cents") - F.col("prefix_cents")).cast("long").alias("after_cents"),
+    )
+    return dev.orderBy(F.desc("max_abs_dev"), F.asc("cp_day_idx")).limit(1)
+
+
+CUSUM_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), pref AS (
+  SELECT day_idx,
+         CAST(SUM(cents) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_cents,
+         CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS i
+  FROM daily
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(cents) AS BIGINT) AS total_cents FROM daily
+)
+SELECT s.n_days,
+       p.day_idx AS cp_day_idx,
+       p.i AS cp_pos,
+       abs(CAST(p.prefix_cents AS DOUBLE) * s.n_days
+           - CAST(p.i AS DOUBLE) * CAST(s.total_cents AS DOUBLE)) AS max_abs_dev,
+       p.i AS before_days,
+       p.prefix_cents AS before_cents,
+       s.n_days - p.i AS after_days,
+       s.total_cents - p.prefix_cents AS after_cents
+FROM pref p CROSS JOIN stats s
+ORDER BY max_abs_dev DESC, cp_day_idx ASC
+LIMIT 1
+"""
+
+
+def mann_kendall_trend(orders: DataFrame, z_crit: float = 1.96) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue — the
+    significance companion to ``theil_sen_daily_revenue`` (which gives
+    the magnitude): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    variance Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18,
+    and the continuity-corrected z = (S∓1)/√Var(S).
+
+    Exactness: S and the variance NUMERATOR are exact int64 (n ≈
+    |days| so n³ ≈ 1.4e10 — nowhere near overflow at any corpus
+    size); z divides by a correctly-rounded IEEE sqrt of an
+    integer-valued double, bit-reproducible across engines. The pair
+    space is |days|² after the corpus collapses to one row per day —
+    the theil_sen bounded-grid exemption class."""
+    daily = _daily_revenue(orders)
+    a = daily.select(F.col("day_idx").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("day_idx").alias("d2"), F.col("cents").alias("c2"))
+    s_stat = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(F.sum(F.signum(F.col("c2") - F.col("c1")).cast("long")).alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    joined = (
+        s_stat.crossJoin(F.broadcast(ties))  # 1-row scalar broadcast (labeled)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_num"),
+        )
+    )
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double")
+        / F.sqrt(F.col("var_num").cast("double") / 18.0),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double")
+        / F.sqrt(F.col("var_num").cast("double") / 18.0),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "n_days",
+        "s_stat",
+        "var_num",
+        z.alias("z_stat"),
+        F.when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+MANN_KENDALL_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day_idx < b.day_idx
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+j AS (
+  SELECT n.n_days, s.s_stat,
+         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term AS BIGINT) AS var_num
+  FROM s CROSS JOIN ties CROSS JOIN n
+)
+SELECT n_days, s_stat, var_num,
+       CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat,
+       CASE WHEN (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                       ELSE 0.0 END) > 1.96 THEN 'increasing'
+            WHEN (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                       ELSE 0.0 END) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM j
+"""

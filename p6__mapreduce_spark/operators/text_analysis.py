@@ -300,3 +300,54 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 ORDER BY d.doc_id
 """
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Per-document Flesch reading-ease and Flesch-Kincaid grade with
+    the standard heuristic inputs: words = the shared token split,
+    sentences = runs of terminal punctuation ([.!?]+, floored at 1 so
+    punctuation-free text counts as one sentence), syllables = vowel
+    GROUPS ([aeiouy]+) in the lowercased text — the classic
+    one-regex-per-document syllable approximation. One map-side
+    projection, no shuffle; at 100 TB this runs at scan speed with
+    only (doc_id, text) read.
+
+    Exactness: the three counts are exact integers; the two scores are
+    a fixed dag of correctly-rounded IEEE-754 double ops on
+    integer-valued inputs with literal coefficients, so DuckDB
+    reproduces them bit-for-bit."""
+    toks = tokens_expr("text")
+    n_words = F.size(toks)
+    n_sentences = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    n_syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = n_syllables.cast("double") / n_words.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sentences.cast("long").alias("n_sentences"),
+            n_syllables.cast("long").alias("n_syllables"),
+            (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
+            (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
+READABILITY_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({tokens}) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch_ease,
+       0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade
+FROM base WHERE n_words > 0 ORDER BY doc_id
+"""

@@ -6959,6 +6959,108 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_unpivot_quarters",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN quarter(o_orderdate) = 1
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1_cents,
+             CAST(SUM(CASE WHEN quarter(o_orderdate) = 2
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2_cents,
+             CAST(SUM(CASE WHEN quarter(o_orderdate) = 3
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q3_cents,
+             CAST(SUM(CASE WHEN quarter(o_orderdate) = 4
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q4_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, quarter, cents
+    FROM wide
+    UNPIVOT (cents FOR quarter IN (q1_cents, q2_cents, q3_cents, q4_cents))
+    ORDER BY o_orderpriority, quarter
+    """,
+)
+def q_orders_unpivot_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (UNPIVOT/melt, the inverse of
+    orders_status_pivot): quarterly revenue columns melted back to
+    (priority, quarter, cents) rows with Spark's native unpivot —
+    map-side expression expansion, no shuffle beyond the pivot
+    aggregation itself. Exact integer cents; the quarter label
+    column matches the oracle's UNPIVOT naming."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    q = F.quarter("o_orderdate")
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(q == i, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"q{i}_cents")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            [f"q{i}_cents" for i in (1, 2, 3, 4)],
+            "quarter",
+            "cents",
+        )
+        .orderBy("o_orderpriority", "quarter")
+    )
+
+
+def _cusum_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import CUSUM_ORACLE_SQL
+
+    return CUSUM_ORACLE_SQL
+
+
+@register("cusum_changepoint_daily", oracle=_cusum_oracle())
+def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift day in daily revenue via the CUSUM
+    statistic (argmax |n·P_i − i·T| over exact integer prefix sums);
+    one corpus aggregation, then |days|-bounded windows and a 1-row
+    scalar broadcast — the theil_sen family shape."""
+    from p6__mapreduce_spark.operators.robust import cusum_changepoint_daily
+
+    return cusum_changepoint_daily(load_table(spark, sf_dir, "orders"))
+
+
+def _mann_kendall_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import MANN_KENDALL_ORACLE_SQL
+
+    return MANN_KENDALL_ORACLE_SQL
+
+
+@register("mann_kendall_trend", oracle=_mann_kendall_oracle())
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue — exact
+    integer S and tie-corrected variance numerator over the
+    |days|²-bounded pair grid, continuity-corrected z against the
+    5%% two-sided critical value; the significance companion to
+    theil_sen_daily_revenue's magnitude."""
+    from p6__mapreduce_spark.operators.robust import mann_kendall_trend
+
+    return mann_kendall_trend(load_table(spark, sf_dir, "orders"), z_crit=1.96)
+
+
+def _readability_oracle() -> str:
+    from p6__mapreduce_spark.operators.text_analysis import READABILITY_ORACLE_SQL
+
+    return READABILITY_ORACLE_SQL.format(tokens=_TOKS)
+
+
+@register("readability_scores", oracle=_readability_oracle())
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    the classic regex heuristics (vowel-group syllables, terminal
+    punctuation sentences floored at 1, shared token split) — a pure
+    map-side projection that runs at scan speed."""
+    from p6__mapreduce_spark.operators.text_analysis import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
@@ -6979,8 +7081,12 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # theil_sen_daily_revenue, seasonal_anomaly_daily,
 # session_windows_streaming, basket_part_pairs, revenue_gini,
 # revenue_lorenz_deciles, dedup_containment, jl_projection_audit,
-# pareto_frontier_parts, ks_purchase_vs_click, doc_length_lang_auc —
-# every one oracle-backed with committed sf0.01 checks). Swapping the
+# pareto_frontier_parts, ks_purchase_vs_click, doc_length_lang_auc,
+# plus rfm_segments, orders_merkle_checksum, benford_price_digits,
+# cohort_ltv_curve, orders_unpivot_quarters, cusum_changepoint_daily,
+# mann_kendall_trend, readability_scores —
+# every one oracle-backed with committed sf0.01/sf0.001 checks).
+# Swapping the
 # full never-verified queue in fills ~44 of the 50 slots; the
 # remainder re-verifies the oldest driver-green history (r1 veterans
 # first). That rotation closes ~100% first-time external coverage of

@@ -184,7 +184,9 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         capture_output=True,
         text=True,
         cwd="/root/repo",
-        timeout=240,
+        # ~200s on an idle machine; headroom so a concurrently-loaded
+        # box (the release gate runs the whole suite) doesn't flake it
+        timeout=480,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     payload = json.loads(res.stdout.strip().splitlines()[-1])

@@ -137,3 +137,33 @@ def test_lexicon_hits_counts_and_clean_flag(spark):
     assert not rows[0].clean
     assert rows[1].n_hits == 0 and rows[1].terms == "" and rows[1].clean
     assert rows[2].n_hits == 3 and rows[2].n_terms == 2
+
+
+def test_readability_hand_computed(spark):
+    from p6__mapreduce_spark.operators.text_analysis import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentences, syllable groups: "the"1 "cat sat"2 "on"1... count
+            (0, "The cat sat. On a mat!"),
+            (1, "no punctuation here"),  # sentences floored at 1
+            (2, "..."),  # zero words -> filtered out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert r0.n_words == 6
+    assert r0.n_sentences == 2
+    # vowel groups in "the cat sat. on a mat!": e,a,a,o,a,a -> 6
+    assert r0.n_syllables == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert abs(r0.flesch_ease - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-12
+    assert abs(r0.fk_grade - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-12
+    r1 = out[1]
+    assert r1.n_sentences == 1
+    # "no punctuation here": o | u,ua,io | e,e  -> groups: o(1) u(1) ua(1) io(1) e(1) e(1)?
+    # count directly: n-o / p-u-n-c-t-u-a-t-i-o-n / h-e-r-e ->
+    # 'o','u','ua','io','e','e' = 6 groups
+    assert r1.n_syllables == 6

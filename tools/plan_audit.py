@@ -119,6 +119,13 @@ CARTESIAN_EXEMPT = {
     "ks_purchase_vs_click",
     # 1-row digit-total scalar broadcast into the 9-row literal grid
     "benford_price_digits",
+    # 1-row (n_days, total_cents) scalar broadcast into the |days|
+    # prefix table — the Q22 scalar shape
+    "cusum_changepoint_daily",
+    # |days| x |days| sign grid AFTER the corpus collapses to daily
+    # rows (theil_sen class) + two 1-row scalar broadcasts (tie term,
+    # day count)
+    "mann_kendall_trend",
 }
 
 
