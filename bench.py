@@ -263,6 +263,8 @@ HEADLINE = [
     "cusum_changepoint_daily",
     "mann_kendall_trend",
     "readability_scores",
+    "dedup_label_propagation",
+    "nbayes_source_confusion",
 ]
 
 

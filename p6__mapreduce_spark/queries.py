@@ -7061,6 +7061,41 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _lpa_oracle() -> str:
+    from p6__mapreduce_spark.dedup.communities import label_propagation_oracle_sql
+
+    return label_propagation_oracle_sql(rounds=3, k=3, threshold=0.8)
+
+
+@register("dedup_label_propagation", oracle=_lpa_oracle())
+def q_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the shared
+    near-dup edge set (3 majority rounds, smallest-label tie-break):
+    the refinement of connected components that doesn't let one
+    bridge edge weld two dup-cliques together. Per-round cost is
+    O(|edges|), corpus never re-enters the loop."""
+    from p6__mapreduce_spark.dedup.communities import label_propagation
+
+    return label_propagation(_lsh_pairs(spark, sf_dir, threshold=0.8), rounds=3)
+
+
+def _nbayes_oracle() -> str:
+    from p6__mapreduce_spark.operators.nbayes import NBAYES_ORACLE_SQL
+
+    return NBAYES_ORACLE_SQL
+
+
+@register("nbayes_source_confusion", oracle=_nbayes_oracle())
+def q_nbayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier trained in-engine
+    (sufficient statistics = one groupBy) and applied to the corpus;
+    output is the source confusion matrix. Sparse unseen-token
+    decomposition, integer micro-unit log-probs before every sum."""
+    from p6__mapreduce_spark.operators.nbayes import nbayes_source_confusion
+
+    return nbayes_source_confusion(load_table(spark, sf_dir, "documents"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

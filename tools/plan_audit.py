@@ -126,6 +126,10 @@ CARTESIAN_EXEMPT = {
     # rows (theil_sen class) + two 1-row scalar broadcasts (tie term,
     # day count)
     "mann_kendall_trend",
+    # docs x |sources| grid with a tiny broadcast source table
+    # (lang_source_chisq class) + 1-row vocab/doc-count scalar
+    # broadcasts into the model tables
+    "nbayes_source_confusion",
 }
 
 
