@@ -265,6 +265,8 @@ HEADLINE = [
     "readability_scores",
     "dedup_label_propagation",
     "nbayes_source_confusion",
+    "dedup_kcore",
+    "cascade_delete_audit",
 ]
 
 

@@ -7096,6 +7096,99 @@ def q_nbayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nbayes_source_confusion(load_table(spark, sf_dir, "documents"))
 
 
+def _kcore_oracle() -> str:
+    from p6__mapreduce_spark.dedup.kcore import kcore_oracle_sql
+
+    return kcore_oracle_sql(k=2, rounds=6, shingle_k=3, threshold=0.8)
+
+
+@register("dedup_kcore", oracle=_kcore_oracle())
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph (degree >= 2 inside the subgraph):
+    the dense center that is safe to collapse, with the degree-1
+    borderline fringe peeled off. Fixed-round synchronous peel with a
+    runtime convergence assertion, so the fixed-round oracle replay is
+    exact for every value returned."""
+    from p6__mapreduce_spark.dedup.kcore import kcore
+
+    return kcore(_lsh_pairs(spark, sf_dir, threshold=0.8), k=2, rounds=6)
+
+
+@register(
+    "cascade_delete_audit",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), fo AS (
+      SELECT o_orderkey FROM orders JOIN forget ON o_custkey = c_custkey
+    ), rows AS (
+      SELECT 'customer' AS entity,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM forget) AS n_affected,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total
+      UNION ALL
+      SELECT 'orders',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fo),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM fo)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      UNION ALL
+      SELECT 'events',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE user_id IN (SELECT c_custkey FROM forget)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+    )
+    SELECT entity, n_affected, n_total,
+           CAST(floor(n_affected * 1000000 / n_total) AS BIGINT) AS affected_ppm
+    FROM rows ORDER BY entity
+    """,
+)
+def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure blast radius: given a deterministic forget set
+    (c_custkey % 97 == 0), count the rows each table loses when the
+    deletion cascades across the FK graph customer -> orders ->
+    lineitem, plus the events keyed by those users. Pure semi-join
+    counts — the dry-run every deletion pipeline wants before it
+    mutates anything. The forget-key and order-key join sides carry no
+    broadcast hint (their size is data-dependent); AQE picks the
+    strategy at runtime."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    fo = o.join(forget, o["o_custkey"] == forget["c_custkey"]).select("o_orderkey")
+
+    def row(entity: str, affected: DataFrame, total: DataFrame) -> DataFrame:
+        a = affected.agg(F.count(F.lit(1)).cast("long").alias("n_affected"))
+        t = total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        return (
+            a.crossJoin(t)  # 1-row x 1-row scalar combine (labeled)
+            .select(
+                F.lit(entity).alias("entity"),
+                "n_affected",
+                "n_total",
+                F.floor(F.col("n_affected") * 1_000_000 / F.col("n_total"))
+                .cast("long")
+                .alias("affected_ppm"),
+            )
+        )
+
+    out = (
+        row("customer", forget, c)
+        .unionAll(row("orders", fo, o))
+        .unionAll(
+            row("lineitem", li.join(fo, li["l_orderkey"] == fo["o_orderkey"], "leftsemi"), li)
+        )
+        .unionAll(
+            row("events", ev.join(forget, ev["user_id"] == forget["c_custkey"], "leftsemi"), ev)
+        )
+    )
+    return out.orderBy("entity")
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

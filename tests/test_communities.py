@@ -79,3 +79,50 @@ def test_nbayes_empty_doc_gets_prior_argmax(spark):
     out = {(r.actual, r.predicted): r.n_docs for r in nbayes_source_confusion(docs).collect()}
     assert out[("B", "A")] == 1  # the empty doc
     assert out[("A", "A")] == 3
+
+
+def test_kcore_peels_the_tail(spark):
+    from p6__mapreduce_spark.dedup.kcore import kcore
+
+    # triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle,
+    # every core degree 2; nodes 4, 5 peel off
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "id1 long, id2 long"
+    )
+    out = {r.doc_id: r.core_degree for r in kcore(pairs, k=2, rounds=6).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_path_graph_empties(spark):
+    from p6__mapreduce_spark.dedup.kcore import kcore
+
+    # a pure path has no 2-core: synchronous peel eats one node from
+    # each end per round until nothing remains
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id1 long, id2 long"
+    )
+    assert kcore(pairs, k=2, rounds=6).count() == 0
+
+
+def test_kcore_raises_when_rounds_too_small(spark):
+    import pytest
+
+    from p6__mapreduce_spark.dedup.kcore import kcore
+
+    # a 16-node path needs ~8 synchronous peel rounds; rounds=2 must
+    # refuse rather than return a non-core set
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "id1 long, id2 long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore(pairs, k=2, rounds=2)
+
+
+def test_kcore_clique_keeps_everything(spark):
+    from p6__mapreduce_spark.dedup.kcore import kcore
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)], "id1 long, id2 long"
+    )
+    out = {r.doc_id: r.core_degree for r in kcore(pairs, k=2, rounds=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

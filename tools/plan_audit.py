@@ -130,6 +130,9 @@ CARTESIAN_EXEMPT = {
     # (lang_source_chisq class) + 1-row vocab/doc-count scalar
     # broadcasts into the model tables
     "nbayes_source_confusion",
+    # four 1-row x 1-row (affected, total) scalar combines — the Q22
+    # scalar-broadcast shape, one per audited table
+    "cascade_delete_audit",
 }
 
 
