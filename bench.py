@@ -267,6 +267,15 @@ HEADLINE = [
     "nbayes_source_confusion",
     "dedup_kcore",
     "cascade_delete_audit",
+    "ols_daily_trend",
+    "acf_daily_revenue",
+    "target_encode_loo",
+    "nation_trade_hits",
+    "quantile_normalize_tokens",
+    "mmr_diversified_topk",
+    "kcenter_coreset",
+    "silhouette_by_cluster",
+    "retrieval_ndcg_eval",
 ]
 
 

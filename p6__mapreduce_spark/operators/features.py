@@ -156,3 +156,78 @@ def ngram_pmi_oracle_sql(*, min_count: int = 5, top_k: int = 50) -> str:
     ORDER BY lift_q6 DESC, w1, w2
     LIMIT {top_k}
     """
+
+
+def target_encode_loo(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against the order-price target: each order's feature value is the
+    mean target of all OTHER orders in its segment —
+    (Σ_segment − own) / (n_segment − 1).
+
+    The standard high-cardinality-categorical encoder for tree/linear
+    models, in its leakage-safe form: plain mean encoding leaks each
+    row's own label into its feature (a regression target memorized
+    through the encoder); LOO removes the row's own contribution. A
+    single-member segment has no "others", so it falls back to the
+    leave-one-out GLOBAL mean (same formula over the whole table) —
+    both branches exact-integer sums with ONE final division.
+
+    Plan shape: the encoder table is a groupBy over the categorical
+    (|segments| rows — tiny) broadcast-joined back; the global
+    fallback is a 1-row scalar broadcast (Q22 shape). No window over
+    the raw table, no shuffle of the fact table beyond the dimension
+    join. At 100 TB the encoder table is still |distinct categories|
+    rows: this is the canonical map-side-join feature transform.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                       orders["o_custkey"] == F.col("c_custkey")).select(
+        "o_orderkey", "c_mktsegment", cents.alias("cents")
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("seg_sum"), F.count(F.lit(1)).cast("long").alias("seg_n")
+    )
+    glob = base.agg(
+        F.sum("cents").alias("g_sum"), F.count(F.lit(1)).cast("long").alias("g_n")
+    )
+    return (
+        base.join(F.broadcast(seg), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))  # 1-row scalar broadcast (labeled)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.when(
+                F.col("seg_n") > 1,
+                (F.col("seg_sum") - F.col("cents")).cast("double")
+                / (F.col("seg_n") - 1).cast("double"),
+            )
+            .otherwise(
+                (F.col("g_sum") - F.col("cents")).cast("double")
+                / (F.col("g_n") - 1).cast("double")
+            )
+            .alias("loo_mean_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TARGET_ENCODE_ORACLE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, c_mktsegment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS seg_sum,
+         CAST(COUNT(*) AS BIGINT) AS seg_n
+  FROM base GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS g_sum, CAST(COUNT(*) AS BIGINT) AS g_n FROM base
+)
+SELECT b.o_orderkey, b.c_mktsegment,
+       CASE WHEN s.seg_n > 1
+            THEN CAST(s.seg_sum - b.cents AS DOUBLE) / CAST(s.seg_n - 1 AS DOUBLE)
+            ELSE CAST(g.g_sum - b.cents AS DOUBLE) / CAST(g.g_n - 1 AS DOUBLE)
+       END AS loo_mean_cents
+FROM base b JOIN seg s USING (c_mktsegment) CROSS JOIN gtot g
+ORDER BY b.o_orderkey
+"""

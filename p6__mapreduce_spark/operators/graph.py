@@ -187,3 +187,191 @@ JOIN nation n ON n.n_nationkey = r.node
 LEFT JOIN outw o ON o.src = r.node
 ORDER BY pr_q DESC, nation_key"""
     )
+
+
+HITS_SCALE = 1_000_000  # hub/authority fixed-point scale (1e6)
+
+
+def nation_trade_hits(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    iters: int = 2,
+) -> DataFrame:
+    """(nation_key, n_name, hub_q6, auth_q6): HITS hubs-and-authorities
+    (Kleinberg 1999) over the same supplier-nation → customer-nation
+    trade matrix as ``nation_trade_pagerank``. Hubs are nations whose
+    EXPORTS flow to strong importers; authorities are nations whose
+    IMPORTS come from strong exporters — the two-sided centrality
+    PageRank's single score conflates.
+
+    Exactness discipline: edge weights quantize ONCE to parts-per-
+    million of total trade (int64), and each half-iteration renorms
+    its scores to the 1e6 fixed-point by the round's max — so every
+    Σ w_q·score term is ≤ |nations|·1e12, orders of magnitude inside
+    int64 at ANY scale factor (the normalizers are 1-row scalar
+    broadcasts, the Q22 shape). Per-round cost is joins over the
+    bounded (≤ N², N = |nations|) edge matrix — corpus-size
+    independent after the one big lineitem→orders shuffle."""
+    rev_q = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    raw = (
+        lineitem.select("l_orderkey", "l_suppkey", rev_q.alias("rev_q"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.sum("rev_q").alias("w"))
+    )
+    wtot = raw.agg(F.sum("w").alias("w_tot"))
+    edges = (
+        raw.crossJoin(F.broadcast(wtot))  # 1-row scalar broadcast (labeled)
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w").cast("double") * F.lit(float(HITS_SCALE)) / F.col("w_tot"))
+            .cast("long")
+            .alias("wq"),
+        )
+        .localCheckpoint(eager=True)  # <= N^2 rows; reused every half-round
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+    auths = hubs.select("node", F.col("h").alias("a"))  # overwritten in round 1
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("wq") * F.col("h")).alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
+        auths = (
+            nodes.select("node")
+            .join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(a_max))  # 1-row scalar broadcast (labeled)
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(
+                        F.col("a_raw").cast("double")
+                        * F.lit(float(HITS_SCALE))
+                        / F.col("a_max")
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("wq") * F.col("a")).alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
+        hubs = (
+            nodes.select("node")
+            .join(h_raw.withColumnRenamed("src", "node"), "node", "left")
+            .crossJoin(F.broadcast(h_max))  # 1-row scalar broadcast (labeled)
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(
+                        F.col("h_raw").cast("double")
+                        * F.lit(float(HITS_SCALE))
+                        / F.col("h_max")
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("h"),
+            )
+        )
+    return (
+        nodes.join(hubs, "node")
+        .join(auths, "node")
+        .select(
+            F.col("node").alias("nation_key"),
+            "n_name",
+            F.col("h").alias("hub_q6"),
+            F.col("a").alias("auth_q6"),
+        )
+        .orderBy(F.col("hub_q6").desc(), "nation_key")
+    )
+
+
+def hits_oracle_sql(*, iters: int = 2) -> str:
+    """DuckDB replica: edge ppm quantization + each half-iteration
+    unrolled as CTEs with identical fixed-shape double expressions."""
+    s = float(HITS_SCALE)
+    parts = [
+        """raw AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1.0e0 - l.l_discount) * 100.0e0)
+                  AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""",
+        "wtot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM raw)",
+        f"""edges AS (
+  SELECT src, dst,
+         CAST(round(CAST(w AS DOUBLE) * {s!r} / w_tot) AS BIGINT) AS wq
+  FROM raw CROSS JOIN wtot
+)""",
+        f"h0 AS (SELECT n_nationkey AS node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nation)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""araw{i} AS (
+  SELECT e.dst, CAST(SUM(e.wq * h.h) AS BIGINT) AS a_raw
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1
+)"""
+        )
+        parts.append(f"amax{i} AS (SELECT CAST(MAX(a_raw) AS BIGINT) AS a_max FROM araw{i})")
+        parts.append(
+            f"""a{i} AS (
+  SELECT n.node,
+         COALESCE(CAST(round(CAST(ar.a_raw AS DOUBLE) * {s!r} / am.a_max) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS a
+  FROM (SELECT n_nationkey AS node FROM nation) n
+  LEFT JOIN araw{i} ar ON ar.dst = n.node
+  CROSS JOIN amax{i} am
+)"""
+        )
+        parts.append(
+            f"""hraw{i} AS (
+  SELECT e.src, CAST(SUM(e.wq * a.a) AS BIGINT) AS h_raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+)"""
+        )
+        parts.append(f"hmax{i} AS (SELECT CAST(MAX(h_raw) AS BIGINT) AS h_max FROM hraw{i})")
+        parts.append(
+            f"""h{i} AS (
+  SELECT n.node,
+         COALESCE(CAST(round(CAST(hr.h_raw AS DOUBLE) * {s!r} / hm.h_max) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS h
+  FROM (SELECT n_nationkey AS node FROM nation) n
+  LEFT JOIN hraw{i} hr ON hr.src = n.node
+  CROSS JOIN hmax{i} hm
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.n_nationkey AS nation_key, n.n_name,
+       h.h AS hub_q6, a.a AS auth_q6
+FROM nation n
+JOIN h{iters} h ON h.node = n.n_nationkey
+JOIN a{iters} a ON a.node = n.n_nationkey
+ORDER BY hub_q6 DESC, nation_key"""
+    )

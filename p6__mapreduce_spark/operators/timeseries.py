@@ -87,3 +87,183 @@ SELECT g.k AS {key}, g.day,
 FROM grid g LEFT JOIN daily d ON g.k = d.k AND g.day = d.day
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS trend + autocorrelation over the daily revenue series
+# ---------------------------------------------------------------------------
+#
+# Complements operators/robust.py: Theil-Sen is the robust slope, OLS is
+# the classical one users still expect (with R² as fit quality), and the
+# lag-k autocorrelation function is the standard "is there weekly
+# structure / momentum" diagnostic before fitting anything seasonal.
+#
+# Exactness discipline (same as robust.py): the corpus collapses to one
+# integer row per day in ONE aggregation; the quadratic sums operate on
+# a KILODOLLAR-quantized series (floor(cents / 100000)) so Σy² stays
+# within int64 through ~sf1000 (sf0.1 measures max daily ≈ 2.3e4 k$ →
+# Σy² ≈ 1.3e12; quadratic in scale factor). All sums are exact BIGINTs
+# (order-independent), and ONLY the final slope/intercept/R²/ACF ratios
+# are computed in float64 with expression trees mirrored token-for-token
+# in the DuckDB oracle — identical IEEE ops on identical ints are
+# bit-reproducible.
+
+
+def _daily_kilodollars(orders: DataFrame) -> DataFrame:
+    """(day_idx, y): days since epoch, revenue in exact kilodollars —
+    floor(exact-cent sum / 100000). One corpus aggregation."""
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_idx"),
+            F.floor(F.col("cents") / 100000).cast("long").alias("y"),
+        )
+    )
+
+
+def ols_daily_trend(orders: DataFrame) -> DataFrame:
+    """One row: (n_days, slope_kd_per_day, intercept_kd, r2) — the
+    least-squares line through (day index, daily revenue k$) with its
+    coefficient of determination.
+
+    Plan: one corpus aggregation to |days| integer rows, then ONE
+    5-term partial aggregate (n, Σx, Σy, Σxx, Σyy, Σxy — map-side
+    combined, 1 row shuffled), then pure scalar math. x is centered on
+    min(day_idx) via a 1-row scalar broadcast (Q22 shape) so Σxy stays
+    ≈ |days|²·y — no int64 risk. On a 1000-executor cluster this is
+    scan-bound: everything after the first agg is constant work.
+    """
+    daily = _daily_kilodollars(orders)
+    x0 = daily.agg(F.min("day_idx").alias("x0"))
+    sums = (
+        daily.crossJoin(F.broadcast(x0))  # 1-row scalar broadcast (labeled)
+        .select((F.col("day_idx") - F.col("x0")).alias("x"), "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope = F.when(denx != 0.0, num / denx)
+    return sums.select(
+        F.col("n").alias("n_days"),
+        slope.alias("slope_kd_per_day"),
+        F.when(
+            denx != 0.0,
+            (F.col("sy").cast("double") - (num / denx) * F.col("sx").cast("double")) / nd,
+        ).alias("intercept_kd"),
+        F.when((denx != 0.0) & (deny != 0.0), (num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+OLS_DAILY_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(floor(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100000) AS BIGINT) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), centered AS (
+  SELECT day_idx - (SELECT MIN(day_idx) FROM daily) AS x, y FROM daily
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM centered
+)
+SELECT n AS n_days,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0e0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope_kd_per_day,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0e0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+       END AS intercept_kd,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0e0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0.0e0
+            THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS r2
+FROM sums
+"""
+
+
+def acf_daily_revenue(orders: DataFrame, *, max_lag: int = 7) -> DataFrame:
+    """(lag, n_pairs, acf) for lag 1..max_lag: the Pearson correlation
+    between the daily k$ series and itself shifted by ``lag`` days
+    (pair-based ACF — each lag's correlation uses exactly the day pairs
+    where BOTH endpoints exist, so calendar gaps shrink n_pairs instead
+    of injecting imputed zeros).
+
+    Plan: corpus → |days| rows once; the lag table is a |days|×max_lag
+    explode (bounded, corpus-size independent); a self-equi-join on
+    shifted day index (no inequality join); one 6-term agg per lag.
+    Lag-partition cardinality = max_lag rows total.
+    """
+    daily = _daily_kilodollars(orders)
+    lagged = daily.select(
+        "day_idx",
+        F.col("y").alias("y1"),
+        F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag"),
+    ).select((F.col("day_idx") + F.col("lag")).alias("jday"), "lag", "y1")
+    pairs = lagged.join(
+        daily.select(F.col("day_idx").alias("jday"), F.col("y").alias("y2")), "jday"
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y1").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("y1") * F.col("y2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when((denx > 0.0) & (deny > 0.0), num / F.sqrt(denx * deny)).alias("acf"),
+    ).orderBy("lag")
+
+
+ACF_DAILY_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(floor(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100000) AS BIGINT) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), pairs AS (
+  SELECT l.lag, a.y AS y1, b.y AS y2
+  FROM daily a
+  CROSS JOIN (SELECT unnest(generate_series(1, {max_lag})) AS lag) l
+  JOIN daily b ON b.day_idx = a.day_idx + l.lag
+), sums AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y1) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+         CAST(SUM(y1 * y1) AS BIGINT) AS sxx, CAST(SUM(y2 * y2) AS BIGINT) AS syy,
+         CAST(SUM(y1 * y2) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0e0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0e0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS acf
+FROM sums ORDER BY lag
+"""

@@ -3354,6 +3354,14 @@ def get_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         out["cluster_medoids"] = cluster_medoids_oracle_sql(f"{sf_dir}/embeddings.parquet")
     except Exception:  # parquet absent -> cluster_medoids stays rows-only
         pass
+    try:
+        from p6__mapreduce_spark.similarity.silhouette import silhouette_oracle_sql
+
+        out["silhouette_by_cluster"] = silhouette_oracle_sql(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # parquet absent -> silhouette stays rows-only
+        pass
     if "knn_ivf" in out:
         ivf_sql = out["knn_ivf"].replace("ORDER BY query_id, rank", "")
         bf_sql = _KNN_BF_ORACLE.replace("ORDER BY query_id, rank", "")
@@ -7187,6 +7195,352 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("entity")
+
+
+def _ols_daily_oracle() -> str:
+    from p6__mapreduce_spark.operators.timeseries import OLS_DAILY_ORACLE_SQL
+
+    return OLS_DAILY_ORACLE_SQL
+
+
+@register("ols_daily_trend", oracle=_ols_daily_oracle())
+def q_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS line through daily revenue (k$) with R² —
+    the classical counterpart to theil_sen_daily_revenue. The corpus
+    collapses to |days| integer rows in one agg; the normal equations
+    are one 6-term partial aggregate; only the final three ratios are
+    float64, with mirrored expression trees in both engines."""
+    from p6__mapreduce_spark.operators.timeseries import ols_daily_trend
+
+    return ols_daily_trend(load_table(spark, sf_dir, "orders"))
+
+
+def _acf_daily_oracle() -> str:
+    from p6__mapreduce_spark.operators.timeseries import ACF_DAILY_ORACLE_SQL
+
+    return ACF_DAILY_ORACLE_SQL.format(max_lag=7)
+
+
+@register("acf_daily_revenue", oracle=_acf_daily_oracle())
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily revenue: the weekly-structure
+    diagnostic. Pair space = |days|·7 after the corpus collapses to one
+    row per day — corpus-size independent; equi-join on shifted day
+    index (no inequality join); exact integer sums, one final float64
+    ratio per lag."""
+    from p6__mapreduce_spark.operators.timeseries import acf_daily_revenue
+
+    return acf_daily_revenue(load_table(spark, sf_dir, "orders"), max_lag=7)
+
+
+def _target_encode_oracle() -> str:
+    from p6__mapreduce_spark.operators.features import TARGET_ENCODE_ORACLE_SQL
+
+    return TARGET_ENCODE_ORACLE_SQL
+
+
+@register("target_encode_loo", oracle=_target_encode_oracle())
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of c_mktsegment
+    against order price: encoder table = |segments| rows broadcast
+    back; single-member segments fall back to the global LOO mean
+    (1-row scalar broadcast). Exact integer sums, one final division."""
+    from p6__mapreduce_spark.operators.features import target_encode_loo
+
+    return target_encode_loo(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def _hits_oracle() -> str:
+    from p6__mapreduce_spark.operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(iters=2)
+
+
+@register("nation_trade_hits", oracle=_hits_oracle())
+def q_nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the supplier-nation → customer-nation
+    trade matrix — the two-sided centrality PageRank conflates. Edge
+    weights quantize once to ppm-of-total-trade; each half-iteration
+    renorms to the 1e6 fixed point by the round max (1-row scalar
+    broadcasts), so all sums stay deep inside int64 at any scale."""
+    from p6__mapreduce_spark.operators.graph import nation_trade_hits
+
+    return nation_trade_hits(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        iters=2,
+    )
+
+
+@register(
+    "quantile_normalize_tokens",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), nz AS (
+      SELECT * FROM base WHERE n_tokens > 0
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM nz
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM nz
+    ), targets AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN n_src > 1
+                  THEN 1 + (rn - 1) * (t.n_all - 1) // (n_src - 1)
+                  ELSE (t.n_all + 1) // 2
+             END AS g_rank
+      FROM ranked CROSS JOIN tot t
+    ), gdist AS (
+      SELECT n_tokens AS v,
+             CAST(SUM(cnt) OVER (ORDER BY n_tokens) AS BIGINT) AS hi,
+             CAST(SUM(cnt) OVER (ORDER BY n_tokens) - cnt + 1 AS BIGINT) AS lo
+      FROM (SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt FROM nz GROUP BY 1)
+    )
+    SELECT tg.doc_id, tg.source, tg.n_tokens, g.v AS norm_tokens
+    FROM targets tg JOIN gdist g ON tg.g_rank BETWEEN g.lo AND g.hi
+    ORDER BY tg.doc_id
+    """,
+)
+def q_quantile_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile NORMALIZATION of document length: each
+    doc's token count is replaced by the pooled corpus distribution's
+    value at the doc's within-source positional quantile — after this,
+    every source has (up to integer rank rounding) the SAME length
+    distribution, the microarray-style correction for sources whose
+    crawlers truncate differently. All-integer rank arithmetic: the
+    within-source rank maps to a global rank 1+⌊(rn−1)(N−1)/(n_src−1)⌋
+    (single-member sources pin to the global median position), then a
+    range join into the CUMULATIVE count table over DISTINCT values —
+    bounded by the value domain, not the corpus — recovers the pooled
+    value. The only full-corpus shuffles are the source window and the
+    distinct-value groupBy; the cumulative window runs on the bounded
+    distinct-value table (the registry's standing WindowExec policy)."""
+    from pyspark.sql import Window
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    ranked = nz.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("n_src"),
+    )
+    tot = nz.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # `div` is Spark's INTEGER division — exact int64, no double
+    # round-trip (F.floor(a/b) goes through float64 and can misround
+    # once products pass 2^53); DuckDB's // is the same semantics on
+    # non-negative BIGINTs
+    targets = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("n_src") > 1,
+            1 + F.expr("((rn - 1) * (n_all - 1)) div (n_src - 1)"),
+        )
+        .otherwise(F.expr("(n_all + 1) div 2"))
+        .cast("long")
+        .alias("g_rank"),
+    )
+    counts = nz.groupBy("n_tokens").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    gdist = counts.select(
+        F.col("n_tokens").alias("v"),
+        F.sum("cnt").over(wcum).cast("long").alias("hi"),
+        (F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long").alias("lo"),
+    )
+    return (
+        targets.join(
+            F.broadcast(gdist),
+            (F.col("g_rank") >= F.col("lo")) & (F.col("g_rank") <= F.col("hi")),
+        )
+        .select("doc_id", "source", "n_tokens", F.col("v").alias("norm_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def _mmr_oracle() -> str:
+    from p6__mapreduce_spark.similarity.selection import mmr_oracle_sql
+
+    return mmr_oracle_sql(query_vec_id=0, k=8, pool_size=30, lam_num=7)
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein 1998) of the top-30
+    relevance pool for query vector 0, λ=0.7: the RAG-context
+    re-ranker. Greedy verified as a SEQUENCE by a recursive-CTE oracle;
+    integer-quantized cosines make every argmax tie-stable."""
+    from p6__mapreduce_spark.similarity.selection import mmr_diversified_topk
+
+    return mmr_diversified_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=8, pool_size=30, lam_num=7
+    )
+
+
+def _kcenter_oracle() -> str:
+    from p6__mapreduce_spark.similarity.selection import kcenter_oracle_sql
+
+    return kcenter_oracle_sql(k=8)
+
+
+@register("kcenter_coreset", oracle=_kcenter_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point k-center coreset (k=8) over the
+    embedding table — the geometry-coverage sampler for representative
+    training subsets. k embarrassingly-parallel scans, driver traffic
+    k·d floats; the recursive-CTE oracle replays the traversal."""
+    from p6__mapreduce_spark.similarity.selection import kcenter_coreset
+
+    return kcenter_coreset(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@register("silhouette_by_cluster")  # oracle generated per sf-dir in get_oracle_sql()
+def q_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the
+    shared IVF/SemDeDup coarse centroids — the O(n·k) clustering-quality
+    gate that answers "are these clusters real?" before the quantizer
+    ships. Same trained-literal discipline as knn_ivf, so even this
+    model-quality metric is exactly oracle-checked."""
+    from p6__mapreduce_spark.similarity.silhouette import silhouette_by_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_by_cluster(emb, _trained_centroids(spark, sf_dir, 16))
+
+
+# nDCG@10 discount literals: round(1e9 / log2(i+1)) for rank i = 1..10,
+# computed ONCE here and embedded identically in BOTH plans — log2 never
+# runs inside either engine, so libm differences can't touch the result.
+_NDCG_DISC_Q9: list[int] = [round(1e9 / __import__("math").log2(i + 1)) for i in range(1, 11)]
+_NDCG_CUM_Q9: list[int] = [sum(_NDCG_DISC_Q9[: m + 1]) for m in range(10)]
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS c_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                         sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 16
+    ), dcg AS (
+      SELECT query_id,
+             CAST(COALESCE(SUM(CASE WHEN q_label = c_label
+                  THEN {_NDCG_DISC_Q9}[rank] ELSE 0 END), 0) AS BIGINT) AS dcg_q9
+      FROM ranked WHERE rank <= 10 GROUP BY 1
+    ), lc AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1
+    ), ideal AS (
+      SELECT q.vec_id AS query_id,
+             CASE WHEN lc.n_label - 1 >= 1
+                  THEN CAST({_NDCG_CUM_Q9}[CAST(least(lc.n_label - 1, 10) AS INT)] AS BIGINT)
+             END AS idcg_q9
+      FROM embeddings q JOIN lc ON lc.label = q.label
+      WHERE q.vec_id < 16
+    )
+    SELECT i.query_id, d.dcg_q9, i.idcg_q9,
+           CASE WHEN i.idcg_q9 IS NOT NULL
+                THEN CAST(d.dcg_q9 AS DOUBLE) / CAST(i.idcg_q9 AS DOUBLE) END AS ndcg
+    FROM ideal i JOIN dcg d USING (query_id)
+    ORDER BY i.query_id
+    """,
+)
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact cosine ranker against same-label binary
+    relevance — the graded companion to retrieval_mrr_eval. The log2
+    discounts are integer 1e-9 literals computed once in Python and
+    embedded in BOTH plans (libm never runs in-engine); the ideal DCG
+    caps at min(#same-label − 1, 10). Queries whose label is a
+    singleton report idcg/ndcg NULL — visible, not dropped."""
+    from p6__mapreduce_spark.similarity.bruteforce import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    top = knn_bruteforce(emb, queries=queries, k=10)
+    labels = emb.select("vec_id", "label")
+    disc = F.expr(f"array({', '.join(str(v) + 'L' for v in _NDCG_DISC_Q9)})")
+    cum = F.expr(f"array({', '.join(str(v) + 'L' for v in _NDCG_CUM_Q9)})")
+    dcg = (
+        top.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "q_label"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                    "label", "c_label"
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("q_label") == F.col("c_label"),
+                        F.element_at(disc, F.col("rank").cast("int")),
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dcg_q9")
+        )
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_label"))
+    ideal = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "label")
+        .join(F.broadcast(lc), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.when(
+                F.col("n_label") - 1 >= 1,
+                F.element_at(cum, F.least(F.col("n_label") - 1, F.lit(10)).cast("int")),
+            ).alias("idcg_q9"),
+        )
+    )
+    return (
+        ideal.join(dcg, "query_id")
+        .select(
+            "query_id",
+            "dcg_q9",
+            "idcg_q9",
+            F.when(
+                F.col("idcg_q9").isNotNull(),
+                F.col("dcg_q9").cast("double") / F.col("idcg_q9").cast("double"),
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining

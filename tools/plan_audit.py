@@ -133,6 +133,30 @@ CARTESIAN_EXEMPT = {
     # four 1-row x 1-row (affected, total) scalar combines — the Q22
     # scalar-broadcast shape, one per audited table
     "cascade_delete_audit",
+    # 1-row min-day scalar broadcast centering x before the normal
+    # equations — the Q22 scalar shape
+    "ols_daily_trend",
+    # 1-row global-fallback (sum, n) scalar broadcast beside the
+    # |segments|-row encoder table — the Q22 scalar shape
+    "target_encode_loo",
+    # five 1-row scalar broadcasts (total trade + per-half-round max
+    # normalizers) into the <=N-row score relations — the Q22 scalar
+    # shape, the nation_trade_pagerank class
+    "nation_trade_hits",
+    # 1-row corpus-count scalar broadcast + a range join into the
+    # bounded DISTINCT-value cumulative table (value-domain sized,
+    # broadcast) — the ewma/lang_source_chisq bounded-grid class
+    "quantile_normalize_tokens",
+    # 1-row query-vector broadcast into the relevance scan (cut to the
+    # 30-row pool by TakeOrdered) + the pool's own <=30x30 sim grid —
+    # hybrid_search_rrf / bounded-grid classes
+    "mmr_diversified_topk",
+    # k-row centroid-LITERAL grid broadcast against the corpus (the
+    # knn_ivf assignment shape made explicit as a bounded explode)
+    "silhouette_by_cluster",
+    # embeds knn_bruteforce (the deliberate exact baseline) as its
+    # ranker — same exemption as retrieval_mrr_eval
+    "retrieval_ndcg_eval",
 }
 
 
