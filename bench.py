@@ -276,6 +276,8 @@ HEADLINE = [
     "kcenter_coreset",
     "silhouette_by_cluster",
     "retrieval_ndcg_eval",
+    "woe_iv_segments",
+    "wilson_lcb_return_rates",
 ]
 
 

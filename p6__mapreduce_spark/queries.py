@@ -7543,6 +7543,143 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "woe_iv_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+      SELECT seg, CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n_neg) AS BIGINT) AS tn FROM seg
+    )
+    SELECT s.seg AS c_mktsegment, s.n_pos, s.n_neg,
+           CASE WHEN s.n_pos > 0 AND s.n_neg > 0
+                THEN CAST(floor(ln((s.n_pos * t.tn) * 1.0e0 / (s.n_neg * t.tp)) * 1000000
+                          + 5.0e-1) AS BIGINT)
+           END AS woe_q6,
+           CASE WHEN s.n_pos > 0 AND s.n_neg > 0
+                THEN (CAST(s.n_pos * t.tn - s.n_neg * t.tp AS DOUBLE)
+                      / CAST(t.tp * t.tn AS DOUBLE))
+                   * (CAST(CAST(floor(ln((s.n_pos * t.tn) * 1.0e0 / (s.n_neg * t.tp)) * 1000000
+                              + 5.0e-1) AS BIGINT) AS DOUBLE) / 1000000.0e0)
+           END AS iv_term
+    FROM seg s CROSS JOIN tot t
+    ORDER BY 1
+    """,
+)
+def q_woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value diagnostic of the
+    customer market segment against the finished-order label — the
+    credit-scoring-style feature-strength audit (IV < 0.02 → useless,
+    > 0.3 → strong) run before a categorical enters a model. WOE
+    quantizes ln((pos·TN)/(neg·TP)) to int64 micro-units (the nbayes
+    discipline); each segment's IV term is one fixed-shape double
+    expression over exact integer counts — no cross-row float sum.
+    Plan: one fact-table agg over a broadcast dimension join, then a
+    |segments|-row grid with a 1-row totals broadcast."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+        )
+    )
+    seg = base.groupBy("seg").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    tot = seg.agg(
+        F.sum("n_pos").cast("long").alias("tp"), F.sum("n_neg").cast("long").alias("tn")
+    )
+    woe_q = F.floor(
+        F.log((F.col("n_pos") * F.col("tn")) * F.lit(1.0) / (F.col("n_neg") * F.col("tp")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return (
+        seg.crossJoin(F.broadcast(tot))  # 1-row totals broadcast (labeled)
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_pos",
+            "n_neg",
+            F.when(ok, woe_q).alias("woe_q6"),
+            F.when(
+                ok,
+                (
+                    (F.col("n_pos") * F.col("tn") - F.col("n_neg") * F.col("tp")).cast("double")
+                    / (F.col("tp") * F.col("tn")).cast("double")
+                )
+                * (woe_q.cast("double") / F.lit(1e6)),
+            ).alias("iv_term"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "wilson_lcb_return_rates",
+    oracle="""
+    WITH rates AS (
+      SELECT p.p_brand,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, r, n,
+           ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+            + 1.9208e0 / CAST(n AS DOUBLE)
+            - 1.96e0 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (1.0e0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                             + 0.9604e0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+           / (1.0e0 + 3.8416e0 / CAST(n AS DOUBLE)) AS wilson_lcb
+    FROM rates ORDER BY wilson_lcb DESC, p_brand
+    """,
+)
+def q_wilson_lcb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate ranked by the Wilson score LOWER bound
+    (z = 1.96) — the small-sample-honest ranking that stops a brand
+    with 1 return out of 1 item from topping the board (the standard
+    fix for naive-rate sorting; Agresti-Coull class interval). One
+    fact-table agg over a broadcast part join; the bound is one
+    fixed-shape double expression over exact (r, n) ints with z²
+    constants as parsed literals (1.9208 = z²/2, 0.9604 = z²/4,
+    3.8416 = z²) identical in both engines."""
+    rates = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("int")).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    rd = F.col("r").cast("double")
+    nd = F.col("n").cast("double")
+    phat = rd / nd
+    lcb = (
+        phat
+        + F.lit(1.9208) / nd
+        - F.lit(1.96) * F.sqrt((phat * (F.lit(1.0) - phat) + F.lit(0.9604) / nd) / nd)
+    ) / (F.lit(1.0) + F.lit(3.8416) / nd)
+    return rates.select("p_brand", "r", "n", lcb.alias("wilson_lcb")).orderBy(
+        F.desc("wilson_lcb"), "p_brand"
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

@@ -157,6 +157,9 @@ CARTESIAN_EXEMPT = {
     # embeds knn_bruteforce (the deliberate exact baseline) as its
     # ranker — same exemption as retrieval_mrr_eval
     "retrieval_ndcg_eval",
+    # 1-row (total-pos, total-neg) scalar broadcast into the
+    # |segments|-row WOE grid — the Q22 scalar shape
+    "woe_iv_segments",
 }
 
 
