@@ -278,6 +278,8 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "woe_iv_segments",
     "wilson_lcb_return_rates",
+    "k_anonymity_audit",
+    "conformal_interval_daily",
 ]
 
 

@@ -7680,6 +7680,200 @@ def q_wilson_lcb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_name) AS BIGINT) AS l_names
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(l_names) AS BIGINT) AS min_l_diversity
+    FROM classes GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier (nation, segment, $1000-account-balance-bucket):
+    for each equivalence-class SIZE, how many classes and rows sit at
+    that size, and the worst l-diversity (distinct sensitive values —
+    here names) among them. Rows in size-1 classes are singled out —
+    the re-identification risk this audit exists to surface before a
+    dataset ships (Sweeney 2002; the governance sibling of pii_redact
+    and cascade_delete_audit). ONE groupBy over the table, then a
+    bounded size-histogram agg — scan-bound at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct("c_name").cast("long").alias("l_names"),
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.min("l_names").cast("long").alias("min_l_diversity"),
+        )
+        .orderBy("class_size")
+    )
+
+
+@register(
+    "conformal_interval_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+             CAST(floor(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100000) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), train AS (
+      SELECT day_idx - (SELECT MIN(day_idx) FROM daily WHERE day_idx % 2 = 0) AS x, y
+      FROM daily WHERE day_idx % 2 = 0
+    ), params AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+             (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS slope,
+             (CAST(SUM(y) AS DOUBLE)
+              - ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+                * CAST(SUM(x) AS DOUBLE))
+             / CAST(COUNT(*) AS DOUBLE) AS intercept,
+             (SELECT MIN(day_idx) FROM daily WHERE day_idx % 2 = 0) AS x0
+      FROM train
+    ), resids AS (
+      SELECT CAST(round(abs(CAST(d.y AS DOUBLE)
+                            - (p.slope * CAST(d.day_idx - p.x0 AS DOUBLE) + p.intercept))
+                        * 1000000.0e0) AS BIGINT) AS resid_q
+      FROM daily d CROSS JOIN params p
+      WHERE d.day_idx % 2 = 1
+    ), ranked AS (
+      SELECT resid_q, row_number() OVER (ORDER BY resid_q) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+      FROM resids
+    ), qrow AS (
+      SELECT resid_q AS qhat_q6, n_cal FROM ranked
+      WHERE rn = (9 * (n_cal + 1) + 9) // 10
+    )
+    SELECT p.n_train, q.n_cal, p.slope AS slope_kd, p.intercept AS intercept_kd,
+           q.qhat_q6,
+           CAST((SELECT COUNT(*) FROM resids r WHERE r.resid_q <= q.qhat_q6) AS DOUBLE)
+             / CAST(q.n_cal AS DOUBLE) AS coverage
+    FROM params p CROSS JOIN qrow q
+    """,
+)
+def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the daily-revenue OLS
+    forecaster (Vovk 2005; Lei 2018): fit on even day indices,
+    calibrate on odd; q̂ = the ⌈0.9(n+1)⌉-th smallest absolute residual
+    gives a finite-sample ≥90% coverage guarantee with NO
+    distributional assumptions — the honest uncertainty band an
+    in-engine forecaster should ship with. Residuals quantize to 1e-6
+    ints before the positional quantile (the lower-median discipline);
+    the rank index uses exact ceil-division. Corpus → |days| rows in
+    one agg; every window is day-bounded; coverage is reported on the
+    calibration fold (expect ≈0.9, ≥0.9 in expectation)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_idx"),
+            F.floor(F.col("cents") / 100000).cast("long").alias("y"),
+        )
+    )
+    train0 = daily.filter(F.col("day_idx") % 2 == 0)
+    x0 = train0.agg(F.min("day_idx").alias("x0"))
+    sums = (
+        train0.crossJoin(F.broadcast(x0))  # 1-row scalar broadcast (labeled)
+        .select((F.col("day_idx") - F.col("x0")).alias("x"), "y", "x0")
+        .groupBy("x0")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n_train").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    params = sums.select(
+        "n_train",
+        (num / den).alias("slope"),
+        ((F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double")) / nd).alias(
+            "intercept"
+        ),
+        "x0",
+    )
+    resids = (
+        daily.filter(F.col("day_idx") % 2 == 1)
+        .crossJoin(F.broadcast(params))  # 1-row params broadcast (labeled)
+        .select(
+            F.round(
+                F.abs(
+                    F.col("y").cast("double")
+                    - (
+                        F.col("slope") * (F.col("day_idx") - F.col("x0")).cast("double")
+                        + F.col("intercept")
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("resid_q"),
+            "n_train",
+            "slope",
+            "intercept",
+        )
+    )
+    ranked = resids.select(
+        "resid_q",
+        "n_train",
+        "slope",
+        "intercept",
+        F.row_number().over(Window.orderBy("resid_q")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_cal"),
+    )
+    qrow = ranked.filter(
+        F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10")
+    ).select(
+        "n_train",
+        "n_cal",
+        F.col("slope").alias("slope_kd"),
+        F.col("intercept").alias("intercept_kd"),
+        F.col("resid_q").alias("qhat_q6"),
+    )
+    cov = (
+        resids.select("resid_q")
+        .crossJoin(F.broadcast(qrow))  # 1-row q-hat broadcast (labeled)
+        .groupBy("n_train", "n_cal", "slope_kd", "intercept_kd", "qhat_q6")
+        .agg(
+            (
+                F.sum((F.col("resid_q") <= F.col("qhat_q6")).cast("long")).cast("double")
+                / F.col("n_cal").cast("double")
+            ).alias("coverage")
+        )
+    )
+    return cov.select(
+        "n_train", "n_cal", "slope_kd", "intercept_kd", "qhat_q6", "coverage"
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

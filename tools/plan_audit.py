@@ -160,6 +160,10 @@ CARTESIAN_EXEMPT = {
     # 1-row (total-pos, total-neg) scalar broadcast into the
     # |segments|-row WOE grid — the Q22 scalar shape
     "woe_iv_segments",
+    # three chained 1-row scalar broadcasts (train min-day, fitted
+    # params, q-hat) into day-bounded relations — the Q22 scalar
+    # shape; windows land on the |days| calibration fold only
+    "conformal_interval_daily",
 }
 
 
