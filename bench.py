@@ -280,6 +280,7 @@ HEADLINE = [
     "wilson_lcb_return_rates",
     "k_anonymity_audit",
     "conformal_interval_daily",
+    "filter_funnel_report",
 ]
 
 

@@ -7874,6 +7874,101 @@ def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filter_funnel_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, {{_TOKS}} AS w FROM documents
+    ), flags AS (
+      SELECT CAST(CASE WHEN len(w) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS c1,
+             CAST(CASE WHEN len(w) BETWEEN 50 AND 100000
+                        AND (CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+                             / len(w)) BETWEEN 3.0e0 AND 10.0e0 THEN 1 ELSE 0 END AS BIGINT) AS c2,
+             CAST(CASE WHEN len(w) BETWEEN 50 AND 100000
+                        AND (CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+                             / len(w)) BETWEEN 3.0e0 AND 10.0e0
+                        AND (CAST(len(text) - len(replace(text, '#', ''))
+                             + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) * 1.0e0
+                             / len(w)) <= 0.1e0 THEN 1 ELSE 0 END AS BIGINT) AS c3,
+             CAST(CASE WHEN len(w) BETWEEN 50 AND 100000
+                        AND (CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+                             / len(w)) BETWEEN 3.0e0 AND 10.0e0
+                        AND (CAST(len(text) - len(replace(text, '#', ''))
+                             + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) * 1.0e0
+                             / len(w)) <= 0.1e0
+                        AND (CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                             * 1.0e0 / len(w)) >= 0.8e0 THEN 1 ELSE 0 END AS BIGINT) AS c4,
+             CAST(CASE WHEN len(w) BETWEEN 50 AND 100000
+                        AND (CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 1.0e0
+                             / len(w)) BETWEEN 3.0e0 AND 10.0e0
+                        AND (CAST(len(text) - len(replace(text, '#', ''))
+                             + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) * 1.0e0
+                             / len(w)) <= 0.1e0
+                        AND (CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                             * 1.0e0 / len(w)) >= 0.8e0
+                        AND len(list_intersect(list_distinct(w),
+                            ['the','be','to','of','and','that','have','with'])) >= 2
+                   THEN 1 ELSE 0 END AS BIGINT) AS c5
+      FROM q WHERE len(w) > 0
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(c1) AS BIGINT) AS s1, CAST(SUM(c2) AS BIGINT) AS s2,
+             CAST(SUM(c3) AS BIGINT) AS s3, CAST(SUM(c4) AS BIGINT) AS s4,
+             CAST(SUM(c5) AS BIGINT) AS s5
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'tokenizable' AS rule, s0 AS survivors,
+             CAST(0 AS BIGINT) AS dropped_here FROM sums
+      UNION ALL SELECT 1, 'word_count_50_100k', s1, s0 - s1 FROM sums
+      UNION ALL SELECT 2, 'mean_word_len_3_10', s2, s1 - s2 FROM sums
+      UNION ALL SELECT 3, 'symbol_ratio_le_0.1', s3, s2 - s3 FROM sums
+      UNION ALL SELECT 4, 'alpha_word_frac_ge_0.8', s4, s3 - s4 FROM sums
+      UNION ALL SELECT 5, 'stopword_hits_ge_2', s5, s4 - s5 FROM sums
+    ) ORDER BY stage
+    """.replace("{_TOKS}", _TOKS),
+)
+def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition report for the Gopher suite: survivors
+    and per-stage drops as the five rules apply IN SEQUENCE — the
+    observability table every corpus build prints before committing to
+    a filter config (a rule that silently drops 40% shows up HERE, not
+    after the training run). ONE pass: cumulative rule booleans are
+    summed in a single aggregation — no per-stage scans, no joins; the
+    6-row funnel is an unpivot of that 1-row aggregate."""
+    from p6__mapreduce_spark.operators.quality_filters import gopher_quality_filters
+
+    g = gopher_quality_filters(load_table(spark, sf_dir, "documents"))
+    c1 = F.col("n_words").between(50, 100_000)
+    c2 = c1 & F.col("mean_word_len").between(3.0, 10.0)
+    c3 = c2 & (F.col("symbol_ratio") <= 0.1)
+    c4 = c3 & (F.col("alpha_word_frac") >= 0.8)
+    c5 = c4 & (F.col("stopword_hits") >= 2)
+    sums = g.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.sum(c1.cast("long")).cast("long").alias("s1"),
+        F.sum(c2.cast("long")).cast("long").alias("s2"),
+        F.sum(c3.cast("long")).cast("long").alias("s3"),
+        F.sum(c4.cast("long")).cast("long").alias("s4"),
+        F.sum(c5.cast("long")).cast("long").alias("s5"),
+    )
+    return (
+        sums.select(
+            F.expr(
+                "stack(6, "
+                "0L, 'tokenizable', s0, 0L, "
+                "1L, 'word_count_50_100k', s1, s0 - s1, "
+                "2L, 'mean_word_len_3_10', s2, s1 - s2, "
+                "3L, 'symbol_ratio_le_0.1', s3, s2 - s3, "
+                "4L, 'alpha_word_frac_ge_0.8', s4, s3 - s4, "
+                "5L, 'stopword_hits_ge_2', s5, s4 - s5"
+                ") AS (stage, rule, survivors, dropped_here)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
