@@ -7993,12 +7993,22 @@ def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus rfm_segments, orders_merkle_checksum, benford_price_digits,
 # cohort_ltv_curve, orders_unpivot_quarters, cusum_changepoint_daily,
 # mann_kendall_trend, readability_scores —
-# every one oracle-backed with committed sf0.01/sf0.001 checks).
-# Swapping the
-# full never-verified queue in fills ~44 of the 50 slots; the
-# remainder re-verifies the oldest driver-green history (r1 veterans
-# first). That rotation closes ~100% first-time external coverage of
-# the oracle-backed registry.
+# every one oracle-backed with committed sf0.01/sf0.001 checks),
+# plus the graph/community batch (dedup_label_propagation,
+# nbayes_source_confusion, dedup_kcore, cascade_delete_audit — none
+# in the r5 window), plus the FOURTEEN round-5 second-continuation
+# additions (ols_daily_trend, acf_daily_revenue, target_encode_loo,
+# nation_trade_hits, quantile_normalize_tokens, mmr_diversified_topk,
+# kcenter_coreset, silhouette_by_cluster, retrieval_ndcg_eval,
+# woe_iv_segments, wilson_lcb_return_rates, k_anonymity_audit,
+# conformal_interval_daily, filter_funnel_report — all oracle-backed
+# with committed sf0.01 checks in ORACLE_LOCAL_r5_final.txt; mmr and
+# kcenter carry recursive-CTE oracles that verify the greedy
+# SELECTION SEQUENCE itself). The queue now exceeds one 44-slot
+# rotation: prioritize (1) the r4 leftovers that have waited longest,
+# (2) the recursive-CTE/trained-literal shapes (mmr, kcenter,
+# silhouette) whose oracle machinery has never been driver-exercised,
+# (3) the TPC-H stragglers; the remainder rolls to r7.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",

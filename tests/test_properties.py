@@ -293,3 +293,29 @@ def test_interval_bin_join_equals_nested_loop_on_random_data(spark):
         if s <= t < e
     }
     assert got == want
+
+
+def test_round5_closing_ops_partition_invariant(spark):
+    # round-5 closing batch: 1 partition vs a skewed 13 must agree
+    # bit-for-bit (integer sums / quantization before any reduction)
+    from p6__mapreduce_spark.operators.features import target_encode_loo
+    from p6__mapreduce_spark.operators.timeseries import acf_daily_revenue, ols_daily_trend
+    from p6__mapreduce_spark.similarity.selection import kcenter_coreset
+    from p6__mapreduce_spark.similarity.silhouette import silhouette_by_cluster
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [[0.0] * 64, [1.0] * 64]
+    cases = [
+        (orders, ols_daily_trend),
+        (orders, lambda o: acf_daily_revenue(o, max_lag=3)),
+        (orders, lambda o: target_encode_loo(o, cust)),
+        (emb, lambda e: silhouette_by_cluster(e, cents)),
+        (emb, lambda e: kcenter_coreset(e, k=4)),
+    ]
+    for df, op in cases:
+        a = sorted(map(tuple, op(df.repartition(1)).collect()))
+        b = sorted(map(tuple, op(df.repartition(13)).collect()))
+        assert a == b and len(a) > 0
