@@ -1,0 +1,233 @@
+"""Interval analytics: SCD Type-2 history, sweep-line concurrency,
+weighted median.
+
+Three operators every warehouse team rebuilds by hand:
+
+* ``scd2_user_state`` — collapse an event log into Slowly-Changing-
+  Dimension Type-2 validity intervals: one row per (user, state run)
+  with ``valid_from`` / ``valid_to`` / ``is_current``. The standard
+  dimension-history builder behind every `dim_*_history` table.
+* ``peak_concurrency_daily`` — classic sweep-line: max number of
+  simultaneously-open intervals per day (capacity planning, license
+  audits, "how many concurrent sessions did we peak at").
+* ``weighted_median_price`` — weighted median via the cumulative-
+  weight window; the robust price summary when rows carry volume.
+
+Scale shape (100 TB notes in SCALE.md):
+
+* SCD2 is two window passes over the SAME ``(user_id) ORDER BY ts``
+  partitioning — Catalyst reuses one sort+shuffle for both ``lag``
+  (change detection) and ``lead`` (interval close). No joins, no
+  state bigger than a row.
+* The sweep-line unions +1/-1 boundary rows (map-side, no shuffle),
+  then runs ONE running-sum window per day partition. Day-partitioned,
+  so no global single-partition window; the running sum is an exact
+  integer. Peak extraction is an ordinary groupBy.
+* Weighted median shuffles once on the group key; the cumulative
+  weight is an exact BIGINT (quantities are integral), and the median
+  pick is the first row where 2·cum ≥ total — the lower weighted
+  median, deterministic under ties via the (price, orderkey) sort.
+
+Exactness: timestamps, counts, and quantized cents are the only
+values that cross engines; no float arithmetic anywhere, so DuckDB
+equality is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_user_state(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """SCD Type-2 compaction of an event log.
+
+    Consecutive events with the same ``state_col`` per key collapse
+    into one validity interval; an interval runs from its first
+    event's timestamp until the next *different* state's first
+    timestamp (half-open, NULL ``valid_to`` for the current state,
+    ``is_current`` flag). Simultaneous events are ordered by
+    ``tiebreak_col`` so run boundaries are deterministic.
+    """
+    w = Window.partitionBy("k").orderBy("ts", "tb")
+    runs = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(state_col).alias("state"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        # change detection: a run starts where the state differs from
+        # the previous event's state (or at the key's first event)
+        .withColumn("prev_state", F.lag("state").over(w))
+        .withColumn(
+            "is_start",
+            F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")),
+        )
+        .filter(F.col("is_start"))
+    )
+    # interval close: next run's start on the same key partitioning
+    w_runs = Window.partitionBy("k").orderBy("ts", "tb")
+    return (
+        runs.withColumn("valid_to", F.lead("ts").over(w_runs))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("state").alias(state_col),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy(key_col, "valid_from")
+    )
+
+
+SCD2_ORACLE_SQL = """
+WITH runs AS (
+  SELECT k, ts, state, tb,
+         LAG(state) OVER (PARTITION BY k ORDER BY ts, tb) AS prev_state
+  FROM (SELECT {key} AS k, {ts} AS ts, {state} AS state, {tiebreak} AS tb
+        FROM {table})
+), starts AS (
+  SELECT k, ts, state, tb FROM runs
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT k AS {key}, state AS {state},
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY k ORDER BY ts, tb) IS NULL AS is_current
+FROM starts
+ORDER BY 1, 3
+"""
+
+
+def peak_concurrency_daily(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration_minutes: int = 30,
+) -> DataFrame:
+    """Max concurrent open intervals per day, sweep-line style.
+
+    Each event opens an interval ``[ts, ts + duration)``. Boundary
+    rows (+1 at open, −1 at close) are unioned map-side; a running
+    sum ordered by ``(boundary ts, delta)`` inside each day partition
+    gives the live count (closes sort before opens at the same
+    instant — the standard half-open convention, so an interval
+    ending exactly when another starts does not double-count).
+    Intervals are attributed to their OPEN day; closes landing past
+    midnight still discharge within that day's sweep so the daily
+    peak is the peak among intervals opened that day.
+    """
+    opens = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(ts_col).alias("bts"),
+        F.lit(1).alias("delta"),
+    )
+    closes = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        (F.col(ts_col) + F.expr(f"INTERVAL {int(duration_minutes)} MINUTES")).alias("bts"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("bts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = opens.unionAll(closes).withColumn("live", F.sum("delta").over(w))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("live").alias("peak_concurrent"),
+            F.min(F.when(F.col("delta") == 1, F.col("bts"))).alias("first_open"),
+        )
+        .orderBy("day")
+    )
+
+
+PEAK_CONCURRENCY_ORACLE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', {ts}) AS day, {ts} AS bts, 1 AS delta FROM {table}
+  UNION ALL
+  SELECT date_trunc('day', {ts}) AS day,
+         {ts} + INTERVAL {minutes} MINUTES AS bts, -1 AS delta FROM {table}
+), swept AS (
+  SELECT day, bts, delta,
+         CAST(SUM(delta) OVER (PARTITION BY day ORDER BY bts, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+  FROM bounds
+)
+SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+       MIN(CASE WHEN delta = 1 THEN bts END) AS first_open
+FROM swept GROUP BY day ORDER BY day
+"""
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted (lower) median of ``l_extendedprice`` per
+    ``l_returnflag``: the first price, scanning ascending, whose
+    cumulative quantity reaches half the group total. Prices quantize
+    to exact cents; quantities are integral; ties order by
+    ``(price_cents, l_orderkey, l_linenumber)``. One shuffle on the
+    group key; the median pick is a row filter on two exact BIGINTs.
+    """
+    q = lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    ranked = q.withColumn("cum_w", F.sum("w").over(w_cum)).withColumn(
+        "tot_w", F.sum("w").over(w_tot)
+    )
+    hits = ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+    w_first = Window.partitionBy("flag").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber"
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("price_cents").alias("wmedian_price_cents"),
+            F.col("tot_w").alias("total_quantity"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE_SQL = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+  FROM lineitem
+), ranked AS (
+  SELECT flag, price_cents, w, l_orderkey, l_linenumber,
+         CAST(SUM(w) OVER (PARTITION BY flag
+                      ORDER BY price_cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+         CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot_w
+  FROM q
+), hits AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY flag
+              ORDER BY price_cents, l_orderkey, l_linenumber) AS rn
+  FROM ranked WHERE cum_w * 2 >= tot_w
+)
+SELECT flag AS l_returnflag, price_cents AS wmedian_price_cents,
+       tot_w AS total_quantity
+FROM hits WHERE rn = 1 ORDER BY 1
+"""

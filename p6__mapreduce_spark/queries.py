@@ -7969,6 +7969,63 @@ def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_oracle() -> str:
+    from p6__mapreduce_spark.operators.intervals import SCD2_ORACLE_SQL
+
+    return SCD2_ORACLE_SQL.format(
+        key="user_id", ts="ts", state="event_type", tiebreak="event_id", table="events"
+    )
+
+
+@register("scd2_user_state", oracle=_scd2_oracle())
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from the event log: consecutive
+    same-state events per user collapse to one (state, valid_from,
+    valid_to, is_current) row — the dimension-history builder behind
+    every `dim_*_history` table. Two window functions over ONE
+    (user_id ORDER BY ts) sort; Catalyst reuses the shuffle; no
+    floats, so the oracle is bit-exact."""
+    from p6__mapreduce_spark.operators.intervals import scd2_user_state
+
+    return scd2_user_state(load_table(spark, sf_dir, "events"))
+
+
+def _peak_concurrency_oracle() -> str:
+    from p6__mapreduce_spark.operators.intervals import PEAK_CONCURRENCY_ORACLE_SQL
+
+    return PEAK_CONCURRENCY_ORACLE_SQL.format(ts="ts", table="events", minutes=30)
+
+
+@register("peak_concurrency_daily", oracle=_peak_concurrency_oracle())
+def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency: each event opens a 30-minute
+    interval; +1/−1 boundary rows (map-side union, no join) feed one
+    day-partitioned running sum, and the daily max is the peak
+    concurrent count — capacity planning / license-audit shape.
+    Day-bounded windows (no global sort); exact integers only."""
+    from p6__mapreduce_spark.operators.intervals import peak_concurrency_daily
+
+    return peak_concurrency_daily(load_table(spark, sf_dir, "events"))
+
+
+def _wmedian_oracle() -> str:
+    from p6__mapreduce_spark.operators.intervals import WEIGHTED_MEDIAN_ORACLE_SQL
+
+    return WEIGHTED_MEDIAN_ORACLE_SQL
+
+
+@register("weighted_median_price", oracle=_wmedian_oracle())
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower median of extended price per return
+    flag via the cumulative-weight window: first price whose running
+    quantity reaches half the group total. One shuffle on the group
+    key; cents/quantities are exact BIGINTs; deterministic tie order
+    (price, orderkey, linenumber)."""
+    from p6__mapreduce_spark.operators.intervals import weighted_median_price
+
+    return weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
