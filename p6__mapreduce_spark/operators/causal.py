@@ -1,0 +1,248 @@
+"""Experimentation / causal-inference primitives: stratified IPW
+uplift, CUPED variance reduction, score-calibration bins.
+
+The three queries every A/B-test platform materializes nightly:
+
+* ``ipw_uplift_by_segment`` — stratified inverse-propensity-weighted
+  treatment-effect table. With the propensity estimated per stratum
+  (e_s = n_treated/n), the IPW estimator is algebraically the
+  stratified difference-in-means, so the whole thing is ONE
+  aggregation over exact integer sums — no per-row weights ever
+  materialize, which is exactly how you'd want it at 100 TB.
+* ``cuped_adjusted_lift`` — CUPED (Deng et al., WSDM 2013, public):
+  regress the experiment metric on a pre-period covariate, subtract
+  theta·(X − X̄) per arm, report raw vs adjusted lift. The corpus
+  collapses to one (Σx, Σy, Σxy, Σx², per-arm sums) row — five exact
+  BIGINT moments; only the final theta/lift ratios are float64 with
+  expression trees mirrored token-for-token in the oracle.
+* ``calibration_bins`` — reliability diagram: fixed-width score bins
+  (NOT ntile — a global ntile is a single-partition sort at corpus
+  scale; fixed bins are map-side) vs realized outcome rate.
+
+Exactness: cents/dollar quantization before any sum; Σxy on DOLLAR
+ints stays inside int64 through ~sf1000 (sf0.1 measures per-user
+x ≈ 1.7e3 dollars → n·Σxy ≈ 6e12; linear-quadratic in scale); the
+final ratios CAST every BIGINT to DOUBLE first in BOTH engines so
+the IEEE op sequence is identical, hence bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TREATED_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def ipw_uplift_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment uplift of order value under the 'expedited
+    priority' pseudo-treatment, with the stratum propensity.
+
+    One join (orders→customer on the key, Catalyst picks the
+    strategy), one aggregation. All sums exact cents; the four
+    output ratios are final float64 divisions.
+    """
+    t = F.col("o_orderpriority").isin(*TREATED_PRIORITIES).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(t).cast("long").alias("n_treated"),
+            F.sum(t * cents).cast("long").alias("sum_t_cents"),
+            F.sum((1 - t) * cents).cast("long").alias("sum_c_cents"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # degenerate strata (an arm with zero members) yield NULL, not
+    # 0/0 — Spark's non-ANSI division and DuckDB disagree on x/0.0,
+    # so the guard is explicit in BOTH engines
+    has_t = F.col("n_treated") > 0
+    has_c = F.col("n_treated") < F.col("n")
+    mean_t = F.when(has_t, d("sum_t_cents") / d("n_treated") / F.lit(100.0))
+    mean_c = F.when(has_c, d("sum_c_cents") / (d("n") - d("n_treated")) / F.lit(100.0))
+    return (
+        agg.select(
+            "segment",
+            "n",
+            "n_treated",
+            (d("n_treated") / d("n")).alias("propensity"),
+            mean_t.alias("mean_treated"),
+            mean_c.alias("mean_control"),
+            F.when(has_t & has_c, mean_t - mean_c).alias("uplift"),
+        )
+        .orderBy("segment")
+    )
+
+
+IPW_UPLIFT_ORACLE_SQL = """
+WITH agg AS (
+  SELECT c_mktsegment AS segment,
+         COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS n_treated,
+         CAST(SUM(t * cents) AS BIGINT) AS sum_t_cents,
+         CAST(SUM((1 - t) * cents) AS BIGINT) AS sum_c_cents
+  FROM (
+    SELECT c_mktsegment,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS t,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  ) GROUP BY 1
+)
+SELECT segment, n, n_treated,
+       CAST(n_treated AS DOUBLE) / CAST(n AS DOUBLE) AS propensity,
+       CASE WHEN n_treated > 0
+            THEN CAST(sum_t_cents AS DOUBLE) / CAST(n_treated AS DOUBLE) / 100.0 END AS mean_treated,
+       CASE WHEN n_treated < n
+            THEN CAST(sum_c_cents AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(n_treated AS DOUBLE)) / 100.0 END AS mean_control,
+       CASE WHEN n_treated > 0 AND n_treated < n
+            THEN CAST(sum_t_cents AS DOUBLE) / CAST(n_treated AS DOUBLE) / 100.0
+               - CAST(sum_c_cents AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(n_treated AS DOUBLE)) / 100.0 END AS uplift
+FROM agg ORDER BY segment
+"""
+
+
+def cuped_adjusted_lift(
+    events: DataFrame, *, cutoff: str = "2024-01-16"
+) -> DataFrame:
+    """One-row CUPED report over the event stream.
+
+    Pre-period covariate x = a user's total event value (whole
+    dollars, floor of the exact cent sum) before ``cutoff``; metric
+    y = the same after. Arm assignment is ``user_id % 2`` (a
+    deterministic, engine-portable stand-in for the experiment's
+    bucketing hash). theta = cov(x,y)/var(x) over ALL users; each
+    arm's adjusted mean subtracts theta·(x̄_arm − x̄).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), cents).otherwise(
+        F.lit(0)
+    )
+    post = F.when(F.col("ts") >= F.lit(cutoff).cast("timestamp"), cents).otherwise(
+        F.lit(0)
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.floor(F.sum(pre) / 100).cast("long").alias("x"),
+        F.floor(F.sum(post) / 100).cast("long").alias("y"),
+    )
+    arm = (F.col("user_id") % 2 == 1).cast("long")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(arm).cast("long").alias("n_t"),
+        F.sum(arm * F.col("x")).cast("long").alias("sx_t"),
+        F.sum(arm * F.col("y")).cast("long").alias("sy_t"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # guards: zero pre-period variance (theta undefined) or an empty
+    # arm yield NULL identically in both engines, never 0/0
+    ok = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n_t") > 0)
+        & (F.col("n_t") < F.col("n"))
+    )
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    n_c = d("n") - d("n_t")
+    mean_x = d("sx") / d("n")
+    raw_t = d("sy_t") / d("n_t")
+    raw_c = (d("sy") - d("sy_t")) / n_c
+    adj_t = raw_t - theta * (d("sx_t") / d("n_t") - mean_x)
+    adj_c = raw_c - theta * ((d("sx") - d("sx_t")) / n_c - mean_x)
+    return m.select(
+        "n",
+        "n_t",
+        F.when(ok, theta).alias("theta"),
+        F.when(ok, raw_t - raw_c).alias("lift_raw"),
+        F.when(ok, adj_t - adj_c).alias("lift_cuped"),
+    )
+
+
+CUPED_ORACLE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(SUM(CASE WHEN ts <  TIMESTAMP '{cutoff}' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) / 100) AS BIGINT) AS x,
+         CAST(floor(SUM(CASE WHEN ts >= TIMESTAMP '{cutoff}' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) / 100) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t
+  FROM per_user
+)
+SELECT n, n_t,
+  CASE WHEN n*sxx - sx*sx > 0 AND n_t > 0 AND n_t < n THEN
+    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS theta,
+  CASE WHEN n*sxx - sx*sx > 0 AND n_t > 0 AND n_t < n THEN
+    CAST(sy_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+      - (CAST(sy AS DOUBLE)-CAST(sy_t AS DOUBLE))/(CAST(n AS DOUBLE)-CAST(n_t AS DOUBLE)) END AS lift_raw,
+  CASE WHEN n*sxx - sx*sx > 0 AND n_t > 0 AND n_t < n THEN
+    (CAST(sy_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+       - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+         * (CAST(sx_t AS DOUBLE)/CAST(n_t AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)))
+    - ((CAST(sy AS DOUBLE)-CAST(sy_t AS DOUBLE))/(CAST(n AS DOUBLE)-CAST(n_t AS DOUBLE))
+       - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+         * ((CAST(sx AS DOUBLE)-CAST(sx_t AS DOUBLE))/(CAST(n AS DOUBLE)-CAST(n_t AS DOUBLE)) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)))
+  END AS lift_cuped
+FROM m
+"""
+
+
+def calibration_bins(
+    events: DataFrame, *, bin_width: float = 50.0, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram over fixed-width value bins: does a higher
+    event value actually predict a purchase? Map-side binning (no
+    global sort, unlike ntile), one aggregation. mean_value and
+    purchase_rate are final float divisions over exact sums."""
+    bin_id = F.least(
+        F.floor(F.col("value") / F.lit(bin_width)).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    hit = (F.col("event_type") == "purchase").cast("long")
+    agg = (
+        events.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.sum(hit).cast("long").alias("purchases"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        agg.select(
+            "bin",
+            "n",
+            "purchases",
+            (d("sum_cents") / d("n") / F.lit(100.0)).alias("mean_value"),
+            (d("purchases") / d("n")).alias("purchase_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+CALIBRATION_ORACLE_SQL = """
+WITH agg AS (
+  SELECT LEAST(CAST(floor(value / {bin_width}) AS BIGINT), {n_bins} - 1) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+  FROM events GROUP BY 1
+)
+SELECT bin, n, purchases,
+       CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+       CAST(purchases AS DOUBLE) / CAST(n AS DOUBLE) AS purchase_rate
+FROM agg ORDER BY bin
+"""

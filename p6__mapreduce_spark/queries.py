@@ -8026,6 +8026,61 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median_price(load_table(spark, sf_dir, "lineitem"))
 
 
+def _ipw_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import IPW_UPLIFT_ORACLE_SQL
+
+    return IPW_UPLIFT_ORACLE_SQL
+
+
+@register("ipw_uplift_by_segment", oracle=_ipw_oracle())
+def q_ipw_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified IPW treatment-effect table: expedited-priority
+    pseudo-treatment vs order value per market segment. With stratum
+    propensities the IPW estimator IS the stratified diff-in-means,
+    so no per-row weights materialize — one join + one exact-integer
+    aggregation; degenerate strata yield NULL (guarded identically in
+    both engines)."""
+    from p6__mapreduce_spark.operators.causal import ipw_uplift_by_segment
+
+    return ipw_uplift_by_segment(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def _cuped_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import CUPED_ORACLE_SQL
+
+    return CUPED_ORACLE_SQL.format(cutoff="2024-01-16")
+
+
+@register("cuped_adjusted_lift", oracle=_cuped_oracle())
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng et al. 2013): pre-period
+    per-user value as covariate, user_id-parity arms, one five-moment
+    exact-BIGINT aggregate; theta/lift ratios are the only float64,
+    mirrored token-for-token in the oracle."""
+    from p6__mapreduce_spark.operators.causal import cuped_adjusted_lift
+
+    return cuped_adjusted_lift(load_table(spark, sf_dir, "events"))
+
+
+def _calibration_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import CALIBRATION_ORACLE_SQL
+
+    return CALIBRATION_ORACLE_SQL.format(bin_width="50.0", n_bins=10)
+
+
+@register("calibration_bins", oracle=_calibration_oracle())
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: fixed-width value bins (map-side — a
+    global ntile would single-partition-sort the corpus) vs realized
+    purchase rate. One aggregation; final ratios float64 over exact
+    sums."""
+    from p6__mapreduce_spark.operators.causal import calibration_bins
+
+    return calibration_bins(load_table(spark, sf_dir, "events"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
