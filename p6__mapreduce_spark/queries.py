@@ -8081,6 +8081,25 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(load_table(spark, sf_dir, "events"))
 
 
+def _jsd_oracle() -> str:
+    from p6__mapreduce_spark.operators.divergence import JSD_ORACLE_SQL
+
+    return JSD_ORACLE_SQL.format(toks=_TOKS)
+
+
+@register("jsd_source_unigrams", oracle=_jsd_oracle())
+def q_jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the corpus-mixing distance matrix (PSI's
+    vocabulary-space sibling). Vocab-sized token table, one
+    self-equi-join on token, disjoint-token mass folded in closed
+    form (c·ln 2) so the join stays inner; per-token log terms
+    quantize to the 1e-6 fixed point before exact BIGINT sums."""
+    from p6__mapreduce_spark.operators.divergence import jsd_source_unigrams
+
+    return jsd_source_unigrams(load_table(spark, sf_dir, "documents"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
