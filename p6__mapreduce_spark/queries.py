@@ -8100,6 +8100,104 @@ def q_jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_source_unigrams(load_table(spark, sf_dir, "documents"))
 
 
+def _snm_oracle() -> str:
+    from p6__mapreduce_spark.dedup.neighborhood import SNM_ORACLE_SQL
+
+    return SNM_ORACLE_SQL.format(
+        toks=_TOKS, window=4, block_chars=8, min_jaccard="0.5e0"
+    )
+
+
+@register("dedup_sorted_neighborhood", oracle=_snm_oracle())
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Sorted-Neighborhood dedup (Hernández-Stolfo 1995): the
+    deterministic candidate generator beside LSH banding and prefix
+    filtering — sort by normalized text inside 8-char prefix blocks,
+    slide a 4-wide window, score candidates with exact distinct-token
+    Jaccard. b·(w−1) candidates per block (linear, never quadratic);
+    one shuffle on the block key; window miss-mode is explicit and
+    covered by the LSH entry for key-divergent near-dups."""
+    from p6__mapreduce_spark.dedup.neighborhood import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "markov_next_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), pred AS (
+      SELECT prev_type, next_type AS predicted_next, c_pair AS c_pred,
+             ROW_NUMBER() OVER (PARTITION BY prev_type
+                                ORDER BY c_pair DESC, next_type) AS rk
+      FROM pairs
+    ), ctx AS (
+      SELECT prev_type, CAST(SUM(c_pair) AS BIGINT) AS n_transitions FROM pairs GROUP BY 1
+    )
+    SELECT ctx.prev_type, pred.predicted_next, ctx.n_transitions,
+           pred.c_pred AS hits,
+           CAST(pred.c_pred AS DOUBLE) / CAST(ctx.n_transitions AS DOUBLE) AS accuracy
+    FROM ctx JOIN pred ON ctx.prev_type = pred.prev_type AND pred.rk = 1
+    ORDER BY 1
+    """,
+)
+def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction quality of the first-order Markov model:
+    per context, the argmax successor (ties broken lexicographically —
+    deterministic) and its IN-SAMPLE accuracy = c_argmax / c_context.
+    The quick 'is user behavior predictable at all' diagnostic on top
+    of event_transition_matrix; same single user-ordered shuffle, then
+    |types|²-row arithmetic. Exact counts; one final float ratio."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+    )
+    w_pred = Window.partitionBy("prev_type").orderBy(
+        F.col("c_pair").desc(), F.col("next_type")
+    )
+    pred = (
+        pairs.withColumn("rk", F.row_number().over(w_pred))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("prev_type").alias("pp"),
+            F.col("next_type").alias("predicted_next"),
+            F.col("c_pair").alias("hits"),
+        )
+    )
+    ctx = pairs.groupBy("prev_type").agg(
+        F.sum("c_pair").cast("long").alias("n_transitions")
+    )
+    return (
+        ctx.join(pred, F.col("prev_type") == F.col("pp"))
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_transitions",
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_transitions").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("prev_type")
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
