@@ -471,3 +471,109 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        CAST(-SUM(logp_q6) AS BIGINT) * 1.0e0 / (COUNT(*) * 1000000) AS avg_nll
 FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame, *, k: int = 5, max_df: int = 100
+) -> DataFrame:
+    """Sparse TF-IDF cosine k-nearest-neighbors via posting-list join —
+    the lexical ANN that complements the embedding kNN family: no
+    model, exact scores, candidates only where documents actually
+    share a token.
+
+    Pipeline: TF-IDF postings (tfidf_doc_terms weights, the same 1e-4
+    fixed point) → drop terms with df > ``max_df`` (stopword-ish
+    postings are what makes naive all-pairs quadratic; the cap bounds
+    every posting list, so candidate volume is Σ df² over RARE terms
+    only — the standard inverted-index bound) → one self-equi-join on
+    token accumulating the dot product → top-``k`` per anchor doc.
+
+    Exactness: weights are exact BIGINT fixed-point, so dot products
+    and squared norms are exact integer sums (order-independent);
+    cosine = dot / (sqrt(na)·sqrt(nb)) is the ONLY float — IEEE sqrt
+    and division are correctly rounded, so both engines produce the
+    identical double and the (cos DESC, doc_b) rank order matches.
+    Overflow headroom: w_q4 ≤ tf·ln(N/df)·1e4 ≈ 1e6 at tf≈10, N=1e12;
+    per-pair dot ≤ shared_terms·1e12 — int64-safe far past 100 TB.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df.filter(F.col("df") <= F.lit(int(max_df))), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            _q4(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nrm2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("tok_b"), F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, (F.col("token") == F.col("tok_b")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb2"))
+    cos = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("doc_a").orderBy(F.col("cos_sim").desc(), F.col("doc_b"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .orderBy("doc_a", "rank")
+    )
+
+
+TFIDF_COSINE_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_ORACLE.format(col="text")}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, token,
+         CAST(floor(tf * ln(n * 1.0e0 / df) * 10000 + 5.0e-1) AS BIGINT) AS wq
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE df <= {{max_df}}
+), norms AS (
+  SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nrm2 FROM w GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), cos AS (
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cos_sim
+  FROM dots JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+), ranked AS (
+  SELECT doc_a, doc_b, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY cos_sim DESC, doc_b) AS rank
+  FROM cos
+)
+SELECT doc_a, doc_b, cos_sim, rank FROM ranked
+WHERE rank <= {{k}} ORDER BY doc_a, rank
+"""

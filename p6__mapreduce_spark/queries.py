@@ -8198,6 +8198,103 @@ def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN du.day = d.day THEN du.user_id END) AS BIGINT) AS dau
+    FROM days d JOIN du
+      ON du.day BETWEEN d.day - INTERVAL 6 DAYS AND d.day
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users (WAU) per day, with same-day
+    DAU — THE engagement headline metric, exact where
+    sketch_weekly_users is the HLL approximation. The corpus first
+    collapses to distinct (day, user) pairs (one shuffle, linear);
+    the 7-day roll is a range join of that SMALL pair table against
+    the |days| grid — the grid side broadcasts, so the roll adds no
+    extra shuffle; COUNT(DISTINCT) dedups overlap windows exactly.
+    At 100 TB the (day,user) table is ~|users|·|active days| rows —
+    orders of magnitude below the event corpus; the 7× fan-out lands
+    on that reduced table, never on raw events."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+        )
+        .orderBy("day")
+    )
+
+
+def _tfidf_cosine_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import TFIDF_COSINE_ORACLE_SQL
+
+    return TFIDF_COSINE_ORACLE_SQL.format(max_df=100, k=5)
+
+
+@register("tfidf_cosine_topk", oracle=_tfidf_cosine_oracle())
+def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical kNN: top-5 TF-IDF-cosine neighbors per document via a
+    df-capped posting-list self-join — the no-model exact counterpart
+    to the embedding kNN family. Candidate volume = Σ df² over rare
+    terms only (df ≤ 100 cap bounds every posting list); dot products
+    and norms are exact BIGINT fixed-point sums; cosine is the one
+    float (IEEE sqrt/divide — identical in both engines)."""
+    from p6__mapreduce_spark.operators.ranking import tfidf_cosine_topk
+
+    return tfidf_cosine_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _upsert_fb_oracle() -> str:
+    from p6__mapreduce_spark.streaming.idempotent import UPSERT_LATEST_ORACLE_SQL
+
+    return UPSERT_LATEST_ORACLE_SQL
+
+
+@register("foreachbatch_idempotent_upsert", oracle=_upsert_fb_oracle())
+def q_foreachbatch_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink with a PROVEN exactly-once effect: each
+    micro-batch upserts keep-latest-per-(user, event_type) into a
+    versioned parquet target behind an atomic symlink swap; after the
+    stream drains the runner REDELIVERS the final batch and asserts
+    the target is byte-identical (idempotence by construction, not by
+    batch-id bookkeeping). Output = latest row per key, same as the
+    batch window oracle."""
+    import os as _os
+
+    from p6__mapreduce_spark.streaming.idempotent import (
+        run_foreachbatch_idempotent_upsert,
+    )
+
+    return run_foreachbatch_idempotent_upsert(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,

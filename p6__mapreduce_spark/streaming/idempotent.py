@@ -1,0 +1,134 @@
+"""foreachBatch idempotent upsert sink — exactly-once EFFECT from
+at-least-once delivery.
+
+Structured Streaming's file/memory sinks are append-only; real
+pipelines land micro-batches into a keyed table with MERGE semantics
+so that a replayed batch (driver restart, retried trigger) cannot
+double-apply. This module implements that pattern with no lakehouse
+jars: each micro-batch merges into a versioned parquet target via
+keep-latest-per-key, and the publish is the atomic symlink swap from
+``sources.sinks.publish_parquet_atomic`` — a reader sees either the
+complete previous version or the complete new one.
+
+Idempotence is BY CONSTRUCTION, not by batch-ID bookkeeping: the
+merge function (union → row_number over (key ORDER BY ts DESC,
+event_id DESC) → keep rank 1) is a deterministic idempotent fold —
+applying the same batch twice yields the byte-identical target. The
+runner PROVES it per run: after the stream drains, it re-applies the
+final micro-batch (simulated redelivery) and asserts the target's
+sorted contents are unchanged, failing fast rather than hash-diffing
+downstream.
+
+Scale shape: state lives in the target table, not executor memory;
+each merge shuffles only (target ∪ batch) on the key — at 100 TB the
+target would be a bucketed/lakehouse table so the merge co-locates,
+and the swap becomes the format's transactional commit. The memory
+path here keeps the plumbing (schema, merge plan, swap protocol)
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from p6__mapreduce_spark.sources.sinks import publish_parquet_atomic
+
+KEYS = ("user_id", "event_type")
+
+
+def _merge_latest(target_path: str, batch: DataFrame, spark: SparkSession) -> None:
+    """Idempotent MERGE: target ∪ batch → keep the latest row per key
+    (ts DESC, event_id DESC — total order, so ties are impossible),
+    atomically republished. Re-applying any already-applied batch is
+    a no-op by construction."""
+    cols = ["user_id", "event_type", "ts", "value", "event_id"]
+    merged = batch.select(*cols)
+    if os.path.exists(target_path):
+        merged = spark.read.parquet(target_path).select(*cols).unionByName(merged)
+    w = Window.partitionBy(*KEYS).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    publish_parquet_atomic(latest, target_path)
+
+
+def run_foreachbatch_idempotent_upsert(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """Stream the events parquet through a foreachBatch upsert sink
+    (1 file per micro-batch so the merge genuinely runs multiple
+    times), then simulate an at-least-once redelivery of the final
+    batch and assert the target did not change. Returns the final
+    keyed table: latest (ts, value) per (user_id, event_type)."""
+    src = tempfile.mkdtemp(prefix="p6_stream_upsert_src_")
+    tgt_root = tempfile.mkdtemp(prefix="p6_stream_upsert_tgt_")
+    target = os.path.join(tgt_root, "target")
+    shutil.copy(events_parquet, os.path.join(src, "batch_a.parquet"))
+    shutil.copy(events_parquet, os.path.join(src, "batch_b.parquet"))
+    schema = spark.read.parquet(events_parquet).schema
+    last_batch_rows: list = []  # captured for the redelivery replay
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        _merge_latest(target, batch, spark)
+        # keep a driver-side copy of THIS batch (bounded: test-scale
+        # runner; a cluster redelivery test would re-trigger from the
+        # checkpoint instead)
+        last_batch_rows.clear()
+        last_batch_rows.extend(batch.collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    query = stream.writeStream.foreachBatch(_sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+    def _snapshot() -> list:
+        return sorted(
+            spark.read.parquet(target).collect(),
+            key=lambda r: (r.user_id, r.event_type),
+        )
+
+    before = _snapshot()
+    if last_batch_rows:  # redelivery: re-apply the final batch verbatim
+        replay = spark.createDataFrame(last_batch_rows, schema=schema)
+        _merge_latest(target, replay, spark)
+    after = _snapshot()
+    assert before == after, (
+        "foreachBatch upsert is NOT idempotent: redelivering the final "
+        f"micro-batch changed {sum(a != b for a, b in zip(before, after))} rows"
+    )
+    out = (
+        spark.read.parquet(target)
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+    # materialize before the temp target dir is removed
+    rows = out.collect()
+    shutil.rmtree(tgt_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=out.schema).orderBy(
+        "user_id", "event_type"
+    )
+
+
+UPSERT_LATEST_ORACLE_SQL = """
+SELECT user_id, event_type, ts, value FROM (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
