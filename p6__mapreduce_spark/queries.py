@@ -8224,19 +8224,26 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra shuffle; COUNT(DISTINCT) dedups overlap windows exactly.
     At 100 TB the (day,user) table is ~|users|·|active days| rows —
     orders of magnitude below the event corpus; the 7× fan-out lands
-    on that reduced table, never on raw events."""
+    on that reduced table, never on raw events. The roll is an
+    EXPLODE of each pair into the 7 window-days it serves plus an
+    equi-join against the observed-day set (hash join on a broadcast
+    day list) — no range predicate, so no nested-loop join anywhere
+    in the plan."""
     du = (
         load_table(spark, sf_dir, "events")
         .select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
     )
     days = du.select("day").distinct().select(F.col("day").alias("d"))
+    fanned = du.select(
+        "day",
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("d"),
+    )
     return (
-        du.join(
-            F.broadcast(days),
-            (F.col("day") >= F.col("d") - F.expr("INTERVAL 6 DAYS"))
-            & (F.col("day") <= F.col("d")),
-        )
+        fanned.join(F.broadcast(days), "d")  # keep only observed days
         .groupBy(F.col("d").alias("day"))
         .agg(
             F.countDistinct("user_id").cast("long").alias("wau"),
@@ -8293,6 +8300,213 @@ def q_foreachbatch_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     return run_foreachbatch_idempotent_upsert(
         spark, _os.path.join(sf_dir, "events.parquet")
     )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev_type, CAST(SUM(c_pair) AS BIGINT) AS c_ctx,
+             CAST(COUNT(*) AS BIGINT) AS n_successors FROM pairs GROUP BY 1
+    ), terms AS (
+      SELECT p.prev_type, ctx.c_ctx, ctx.n_successors,
+             CAST(SUM(c_pair * CAST(floor(ln(c_pair * 1.0e0 / c_ctx) * 1000000 + 5.0e-1) AS BIGINT)) AS BIGINT) AS s
+      FROM pairs p JOIN ctx ON p.prev_type = ctx.prev_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT prev_type, c_ctx AS n_transitions, n_successors,
+           -CAST(s AS DOUBLE) / (CAST(c_ctx AS DOUBLE) * 1000000.0e0) AS entropy_nats
+    FROM terms ORDER BY 1
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the next event given the current one,
+    per context — the information-theoretic counterpart of
+    markov_next_accuracy (low entropy ⇒ predictable behavior). Same
+    single user-ordered shuffle; per-pair ln(p) quantizes to the 1e-6
+    fixed point BEFORE the count-weighted sum (exact, order-free);
+    one final float ratio per context."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+    )
+    ctx = pairs.groupBy(F.col("prev_type").alias("cp")).agg(
+        F.sum("c_pair").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n_successors"),
+    )
+    lterm = F.floor(
+        F.log(F.col("c_pair") * F.lit(1.0) / F.col("c_ctx")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        pairs.join(ctx, F.col("prev_type") == F.col("cp"))
+        .groupBy("prev_type", "c_ctx", "n_successors")
+        .agg(F.sum(F.col("c_pair") * lterm).cast("long").alias("s"))
+    )
+    return terms.select(
+        "prev_type",
+        F.col("c_ctx").alias("n_transitions"),
+        "n_successors",
+        (
+            -F.col("s").cast("double")
+            / (F.col("c_ctx").cast("double") * F.lit(1_000_000.0))
+        ).alias("entropy_nats"),
+    ).orderBy("prev_type")
+
+
+@register(
+    "overdispersion_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+           CASE WHEN n_days > 1 THEN
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n_days AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) - 1.0e0) END AS var_daily,
+           CASE WHEN n_days > 1 AND s1 > 0 THEN
+             ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n_days AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) - 1.0e0))
+             / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) END AS dispersion
+    FROM m ORDER BY 1
+    """,
+)
+def q_overdispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check per event type: sample variance /
+    mean of the daily count series (≈1 ⇒ Poisson arrivals; ≫1 ⇒
+    bursty — the modeling-assumption gate before any rate-based
+    alerting). Corpus collapses to |types|·|days| integer rows; exact
+    (n, Σc, Σc²) moments; final ratios float64 with single-day and
+    zero-mean guards mirrored in both engines."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("s2") - d("s1") * d("s1") / d("n_days")) / (d("n_days") - F.lit(1.0))
+    return m.select(
+        "event_type",
+        "n_days",
+        (d("s1") / d("n_days")).alias("mean_daily"),
+        F.when(F.col("n_days") > 1, var).alias("var_daily"),
+        F.when(
+            (F.col("n_days") > 1) & (F.col("s1") > 0),
+            var / (d("s1") / d("n_days")),
+        ).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+@register(
+    "decision_stump_value",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(floor(value / 25.0e0) AS BIGINT), 19) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT bin,
+             CAST(SUM(n)   OVER (ORDER BY bin) AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS pl,
+             CAST(SUM(n)   OVER () AS BIGINT) AS nt,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pt
+      FROM binned
+    ), stumps AS (
+      SELECT (bin + 1) * 25.0e0 AS threshold, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+      FROM cum WHERE bin < 19
+    )
+    SELECT threshold, nl AS n_left, nr AS n_right,
+           CASE WHEN nl > 0 AND nr > 0 THEN
+             (CAST(nl AS DOUBLE) * (1.0e0 - (CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))*(CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))
+                                          - ((CAST(nl AS DOUBLE)-CAST(pl AS DOUBLE))/CAST(nl AS DOUBLE))*((CAST(nl AS DOUBLE)-CAST(pl AS DOUBLE))/CAST(nl AS DOUBLE)))
+            + CAST(nr AS DOUBLE) * (1.0e0 - (CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE))*(CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE))
+                                          - ((CAST(nr AS DOUBLE)-CAST(pr AS DOUBLE))/CAST(nr AS DOUBLE))*((CAST(nr AS DOUBLE)-CAST(pr AS DOUBLE))/CAST(nr AS DOUBLE))))
+             / CAST(nt AS DOUBLE) END AS weighted_gini
+    FROM stumps ORDER BY threshold
+    """,
+)
+def q_decision_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-split search for a 1-feature decision stump (is this
+    event a purchase, split on value): the corpus collapses ONCE into
+    25-unit value bins map-side, cumulative sums over the ≤20-bin
+    table give every threshold's left/right class counts, weighted
+    Gini per threshold from exact integers. This is how tree
+    libraries scale split-finding (histogram method) — never a pass
+    per candidate threshold. Degenerate sides → NULL in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        F.least(F.floor(F.col("value") / F.lit(25.0)).cast("long"), F.lit(19)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).cast("long").alias("pos"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = binned.select(
+        "bin",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("pos").over(w_cum).cast("long").alias("pl"),
+        F.sum("n").over(w_all).cast("long").alias("nt"),
+        F.sum("pos").over(w_all).cast("long").alias("pt"),
+    ).filter(F.col("bin") < 19)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    stumps = cum.select(
+        ((F.col("bin") + 1) * F.lit(25.0)).alias("threshold"),
+        F.col("nl"),
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        F.col("pl"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        "nt",
+    )
+    gini_l = F.lit(1.0) - (d("pl") / d("nl")) * (d("pl") / d("nl")) - (
+        (d("nl") - d("pl")) / d("nl")
+    ) * ((d("nl") - d("pl")) / d("nl"))
+    gini_r = F.lit(1.0) - (d("pr") / d("nr")) * (d("pr") / d("nr")) - (
+        (d("nr") - d("pr")) / d("nr")
+    ) * ((d("nr") - d("pr")) / d("nr"))
+    return stumps.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.when(
+            (F.col("nl") > 0) & (F.col("nr") > 0),
+            (d("nl") * gini_l + d("nr") * gini_r) / d("nt"),
+        ).alias("weighted_gini"),
+    ).orderBy("threshold")
 
 
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining

@@ -1,0 +1,111 @@
+"""Unit tests: Markov entropy rate, overdispersion, decision stump."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+import p6__mapreduce_spark.queries as qmod
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, day, minute, event_type, value)."""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, 10, m), u, t, float(v))
+            for (i, u, d, m, t, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def _with_table(ev, fn, spark):
+    orig = qmod.load_table
+    qmod.load_table = lambda s, d, n: ev
+    try:
+        return fn(spark, "x").collect()
+    finally:
+        qmod.load_table = orig
+
+
+def test_markov_entropy_deterministic_context_is_zero(spark):
+    # context a always goes to b -> H(next|a) = 0
+    ev = _events(
+        spark,
+        [(0, 1, 1, 0, "a", 1), (1, 1, 1, 1, "b", 1), (2, 2, 1, 0, "a", 1), (3, 2, 1, 1, "b", 1)],
+    )
+    got = {r.prev_type: r for r in _with_table(ev, qmod.q_markov_entropy_rate, spark)}
+    assert got["a"].entropy_nats == pytest.approx(0.0, abs=1e-5)
+    assert got["a"].n_successors == 1
+
+
+def test_markov_entropy_uniform_is_ln_k(spark):
+    # context a -> {b, c} each once: H = ln 2
+    ev = _events(
+        spark,
+        [(0, 1, 1, 0, "a", 1), (1, 1, 1, 1, "b", 1), (2, 2, 1, 0, "a", 1), (3, 2, 1, 1, "c", 1)],
+    )
+    got = {r.prev_type: r for r in _with_table(ev, qmod.q_markov_entropy_rate, spark)}
+    assert got["a"].entropy_nats == pytest.approx(math.log(2), abs=1e-5)
+    assert got["a"].n_transitions == 2
+
+
+def test_overdispersion_constant_series_is_zero(spark):
+    # 2 events/day for 3 days: mean 2, var 0, dispersion 0
+    ev = _events(
+        spark,
+        [(i, 1, d, m, "view", 1) for i, (d, m) in enumerate([(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)])],
+    )
+    got = {r.event_type: r for r in _with_table(ev, qmod.q_overdispersion_by_type, spark)}
+    r = got["view"]
+    assert r.n_days == 3 and r.mean_daily == pytest.approx(2.0)
+    assert r.var_daily == pytest.approx(0.0) and r.dispersion == pytest.approx(0.0)
+
+
+def test_overdispersion_known_variance(spark):
+    # daily counts 1, 3 -> mean 2, sample var 2, dispersion 1
+    ev = _events(spark, [(0, 1, 1, 0, "view", 1), (1, 1, 2, 0, "view", 1), (2, 1, 2, 1, "view", 1), (3, 2, 2, 2, "view", 1)])
+    got = {r.event_type: r for r in _with_table(ev, qmod.q_overdispersion_by_type, spark)}
+    r = got["view"]
+    assert r.var_daily == pytest.approx(2.0)
+    assert r.dispersion == pytest.approx(1.0)
+
+
+def test_overdispersion_single_day_guarded(spark):
+    ev = _events(spark, [(0, 1, 1, 0, "view", 1)])
+    r = _with_table(ev, qmod.q_overdispersion_by_type, spark)[0]
+    assert r.var_daily is None and r.dispersion is None
+
+
+def test_decision_stump_perfect_split(spark):
+    # purchases all below 25, views all >= 50: threshold 25 or 50
+    # separates perfectly -> weighted gini 0 there
+    ev = _events(
+        spark,
+        [
+            (0, 1, 1, 0, "purchase", 10),
+            (1, 1, 1, 1, "purchase", 20),
+            (2, 2, 1, 0, "view", 60),
+            (3, 2, 1, 1, "view", 70),
+        ],
+    )
+    got = {r.threshold: r for r in _with_table(ev, qmod.q_decision_stump_value, spark)}
+    assert got[25.0].weighted_gini == pytest.approx(0.0)
+    assert (got[25.0].n_left, got[25.0].n_right) == (2, 2)
+
+
+def test_decision_stump_useless_split_keeps_base_gini(spark):
+    # classes perfectly mixed on both sides: weighted gini = 0.5 everywhere
+    ev = _events(
+        spark,
+        [
+            (0, 1, 1, 0, "purchase", 10),
+            (1, 1, 1, 1, "view", 12),
+            (2, 2, 1, 0, "purchase", 60),
+            (3, 2, 1, 1, "view", 61),
+        ],
+    )
+    got = {r.threshold: r for r in _with_table(ev, qmod.q_decision_stump_value, spark)}
+    assert got[25.0].weighted_gini == pytest.approx(0.5)

@@ -133,6 +133,9 @@ CARTESIAN_EXEMPT = {
     # four 1-row x 1-row (affected, total) scalar combines — the Q22
     # scalar-broadcast shape, one per audited table
     "cascade_delete_audit",
+    # 1-row doc-count scalar broadcast into the TF-IDF weight table —
+    # identical shape to tfidf_doc_terms
+    "tfidf_cosine_topk",
     # 1-row min-day scalar broadcast centering x before the normal
     # equations — the Q22 scalar shape
     "ols_daily_trend",
