@@ -267,3 +267,106 @@ SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
        END AS acf
 FROM sums ORDER BY lag
 """
+
+
+def durbin_watson_daily(orders: DataFrame) -> DataFrame:
+    """One row: (n_days, dw) — the Durbin-Watson statistic of the
+    daily-revenue OLS residuals, the standard 'are the errors serially
+    correlated' diagnostic that decides whether ols_daily_trend's R²
+    can be trusted (dw ≈ 2 ⇒ independent; → 0 ⇒ positive
+    autocorrelation; → 4 ⇒ negative).
+
+    Exactness: slope/intercept come from the SAME centered exact-sum
+    normal equations as ols_daily_trend (identical float64 trees in
+    both engines ⇒ identical doubles). Each day's residual is then
+    QUANTIZED to the 1e-3 fixed point — floor(e·1000 + 0.5) on an
+    identical double is the identical BIGINT — so Σ(Δe)² and Σe² are
+    exact order-free integer sums; dw is the single final ratio.
+    Plan: |days| rows after one corpus agg; the stats row is a 1-row
+    scalar broadcast (Q22 shape); the lag window runs over the
+    bounded |days| table, never the corpus. Residual magnitude ≈
+    daily k$ (≤ ~2.3e4 at sf0.1, linear in sf) ⇒ e_q3² ≤ ~5e14 per
+    day — int64-safe through ~sf100 with |days| ≈ 1e4.
+    """
+    daily = _daily_kilodollars(orders)
+    x0 = daily.agg(F.min("day_idx").alias("x0"))
+    centered = daily.crossJoin(F.broadcast(x0)).select(
+        (F.col("day_idx") - F.col("x0")).alias("x"), "y"
+    )
+    sums = centered.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # single-day corpus: denx = 0 — fall back to the flat fit (b=0,
+    # a=mean) in BOTH engines instead of 0/0 (Spark NULL vs DuckDB inf)
+    slope = F.when(denx != 0.0, num / denx).otherwise(F.lit(0.0))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    resid = centered.crossJoin(F.broadcast(sums.select(slope.alias("b"), intercept.alias("a")))).select(
+        "x",
+        F.floor(
+            (F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("x").cast("double")))
+            * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("eq3"),
+    )
+    w = Window.orderBy("x")  # |days|-bounded input (ewma/theil_sen class)
+    de = resid.select("eq3", (F.col("eq3") - F.lag("eq3").over(w)).alias("d"))
+    agg = de.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("eq3") * F.col("eq3")).cast("long").alias("see"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    return agg.select(
+        "n_days",
+        F.when(
+            F.col("see") > 0,
+            F.col("sdd").cast("double") / F.col("see").cast("double"),
+        ).alias("dw"),
+    )
+
+
+DURBIN_WATSON_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(floor(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100000) AS BIGINT) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), centered AS (
+  SELECT day_idx - (SELECT MIN(day_idx) FROM daily) AS x, y FROM daily
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM centered
+), coefs AS (
+  SELECT CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0e0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              ELSE 0.0e0 END AS b,
+         (CAST(sy AS DOUBLE)
+            - (CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0e0
+                    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    ELSE 0.0e0 END)
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM sums
+), resid AS (
+  SELECT x,
+         CAST(floor((CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 1000.0e0 + 5.0e-1) AS BIGINT) AS eq3
+  FROM centered CROSS JOIN coefs
+), de AS (
+  SELECT eq3, eq3 - lag(eq3) OVER (ORDER BY x) AS d FROM resid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CASE WHEN CAST(SUM(eq3 * eq3) AS BIGINT) > 0 THEN
+         CAST(CAST(SUM(d * d) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(eq3 * eq3) AS BIGINT) AS DOUBLE) END AS dw
+FROM de
+"""

@@ -8509,6 +8509,25 @@ def q_decision_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+def _dw_oracle() -> str:
+    from p6__mapreduce_spark.operators.timeseries import DURBIN_WATSON_ORACLE_SQL
+
+    return DURBIN_WATSON_ORACLE_SQL
+
+
+@register("durbin_watson_daily", oracle=_dw_oracle())
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic on the daily-
+    revenue OLS residuals (≈2 ⇒ independent errors; the 'can you
+    trust ols_daily_trend's R²' gate). Residuals quantize to the
+    1e-3 fixed point from engine-identical float64 coefficients, so
+    Σ(Δe)²/Σe² is a ratio of exact BIGINTs; the lag window runs over
+    the |days|-bounded table (ewma class), never the corpus."""
+    from p6__mapreduce_spark.operators.timeseries import durbin_watson_daily
+
+    return durbin_watson_daily(load_table(spark, sf_dir, "orders"))
+
+
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue ALSO includes the fifteen round-5
 # closing-batch additions (scd2_user_state, peak_concurrency_daily,

@@ -109,3 +109,39 @@ def test_decision_stump_useless_split_keeps_base_gini(spark):
     )
     got = {r.threshold: r for r in _with_table(ev, qmod.q_decision_stump_value, spark)}
     assert got[25.0].weighted_gini == pytest.approx(0.5)
+
+
+def _orders(spark, day_dollars):
+    base = dt.datetime(1995, 1, 6)
+    rows = [
+        (i, 1, "1-URGENT", float(v), base + dt.timedelta(days=d))
+        for i, (d, v) in enumerate(day_dollars)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+
+
+def test_durbin_watson_perfect_line_zero_residuals(spark):
+    from p6__mapreduce_spark.operators.timeseries import durbin_watson_daily
+
+    # exact line -> residuals all 0 -> see = 0 -> dw NULL (guarded)
+    orders = _orders(spark, [(d, 100000.0 + 100000.0 * d) for d in range(5)])
+    r = durbin_watson_daily(orders).collect()[0]
+    assert r.n_days == 5 and r.dw is None
+
+
+def test_durbin_watson_orthogonal_pattern_exact(spark):
+    from p6__mapreduce_spark.operators.timeseries import durbin_watson_daily
+
+    # residual pattern (+,-,-,+) per 4-day block is orthogonal to the
+    # trend (sum e = 0 AND sum x*e = 0 in each block), so OLS fits the
+    # flat mean exactly and e is the pattern itself: over 8 days the
+    # diffs are (-2e,0,2e,0,-2e,0,2e) -> dw = 16e^2 / 8e^2 = 2.0
+    pat = [1, -1, -1, 1, 1, -1, -1, 1]
+    vals = [100000.0 * (2 + p) for p in pat]
+    orders = _orders(spark, list(enumerate(vals)))
+    r = durbin_watson_daily(orders).collect()[0]
+    assert r.dw == pytest.approx(2.0, abs=1e-6)
