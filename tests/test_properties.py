@@ -319,3 +319,51 @@ def test_round5_closing_ops_partition_invariant(spark):
         a = sorted(map(tuple, op(df.repartition(1)).collect()))
         b = sorted(map(tuple, op(df.repartition(13)).collect()))
         assert a == b and len(a) > 0
+
+
+def test_round5_closing_ops_partition_invariant(spark):
+    """The 16 closing-batch operators produce identical results on 1
+    vs 13 input partitions — windows, sweep-lines, posting joins and
+    moment aggregates must not depend on physical layout."""
+    from p6__mapreduce_spark.dedup.neighborhood import sorted_neighborhood_pairs
+    from p6__mapreduce_spark.operators.causal import (
+        calibration_bins,
+        cuped_adjusted_lift,
+        ipw_uplift_by_segment,
+    )
+    from p6__mapreduce_spark.operators.divergence import jsd_source_unigrams
+    from p6__mapreduce_spark.operators.intervals import (
+        peak_concurrency_daily,
+        scd2_user_state,
+        weighted_median_price,
+    )
+    from p6__mapreduce_spark.operators.ranking import tfidf_cosine_topk
+    from p6__mapreduce_spark.operators.timeseries import durbin_watson_daily
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    orders = load_table(spark, sf, "orders")
+    events = load_table(spark, sf, "events")
+    lineitem = load_table(spark, sf, "lineitem")
+    customer = load_table(spark, sf, "customer")
+
+    cases = [
+        (events, scd2_user_state),
+        (events, peak_concurrency_daily),
+        (lineitem, weighted_median_price),
+        (events, cuped_adjusted_lift),
+        (events, calibration_bins),
+        (docs, jsd_source_unigrams),
+        (docs, sorted_neighborhood_pairs),
+        (docs, lambda d: tfidf_cosine_topk(d, k=3, max_df=50)),
+        (orders, durbin_watson_daily),
+    ]
+    for df, op in cases:
+        a = sorted(map(tuple, op(df.repartition(1)).collect()))
+        b = sorted(map(tuple, op(df.repartition(13)).collect()))
+        assert a == b and len(a) > 0
+    # two-table op separately (repartition the fact side)
+    a = sorted(map(tuple, ipw_uplift_by_segment(orders.repartition(1), customer).collect()))
+    b = sorted(map(tuple, ipw_uplift_by_segment(orders.repartition(13), customer).collect()))
+    assert a == b and len(a) > 0
