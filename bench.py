@@ -281,6 +281,23 @@ HEADLINE = [
     "k_anonymity_audit",
     "conformal_interval_daily",
     "filter_funnel_report",
+    # round-5 closing batch
+    "scd2_user_state",
+    "peak_concurrency_daily",
+    "weighted_median_price",
+    "ipw_uplift_by_segment",
+    "cuped_adjusted_lift",
+    "calibration_bins",
+    "jsd_source_unigrams",
+    "dedup_sorted_neighborhood",
+    "markov_next_accuracy",
+    "markov_entropy_rate",
+    "rolling_7d_active_users",
+    "tfidf_cosine_topk",
+    "foreachbatch_idempotent_upsert",
+    "overdispersion_by_type",
+    "decision_stump_value",
+    "durbin_watson_daily",
 ]
 
 

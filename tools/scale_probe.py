@@ -436,6 +436,49 @@ def main() -> None:
             ),
         }
     )
+    # round-5 closing batch: intervals / divergence / SNM / lexical kNN
+    from p6__mapreduce_spark.dedup.neighborhood import (
+        sorted_neighborhood_pairs as _snm,
+    )
+    from p6__mapreduce_spark.operators.divergence import jsd_source_unigrams as _jsd
+    from p6__mapreduce_spark.operators.intervals import (
+        peak_concurrency_daily as _peak,
+        scd2_user_state as _scd2,
+    )
+    from p6__mapreduce_spark.operators.ranking import tfidf_cosine_topk as _tcknn
+
+    docs_jsd = docs.withColumn(
+        "source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    )
+
+    def _inflate_docs_jsd(d, kk):
+        return inflate_documents(d.drop("source"), kk).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+        )
+
+    ops.update(
+        {
+            # k x disjoint user populations: window state per task is
+            # base-sized, output rows grow exactly k x
+            "scd2_user_state": (lambda d: _scd2(d), events, inflate_events),
+            # sweep volume 2k x rows over the same |days| partitions;
+            # running-sum state bounded per day-task
+            "peak_concurrency_daily": (lambda d: _peak(d), events, inflate_events),
+            # vocab k x disjoint copies: the (source, token) table and
+            # the token self-join both grow k x, pair count |sources|^2
+            "jsd_source_unigrams": (lambda d: _jsd(d), docs_jsd, _inflate_docs_jsd),
+            # blocks grow k x in count (suffixed sort keys diverge at
+            # the prefix), window b*(w-1) candidates per block: linear
+            "dedup_sorted_neighborhood": (lambda d: _snm(d), docs, inflate_documents),
+            # disjoint-vocab copies: postings k x, df per term
+            # unchanged -> candidate volume exactly k x
+            "tfidf_cosine_topk": (
+                lambda d: _tcknn(d, k=3, max_df=100),
+                docs,
+                inflate_documents,
+            ),
+        }
+    )
     only = set(sys.argv[3:])
     if only:
         ops = {n: v for n, v in ops.items() if n in only}
