@@ -58,14 +58,23 @@ def sorted_neighborhood_pairs(
     ).withColumn("block", F.substring("sort_key", 1, block_chars))
     w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
     ranked = keyed.withColumn("rn", F.row_number().over(w))
+    # window pairing as a pure COMPOSITE-KEY equi-join: the anchor
+    # side explodes the w-1 rank offsets and joins on (block, rn+off).
+    # An equi-join on block alone with a rank-range predicate
+    # materializes b^2 rows per block before the filter — measured
+    # 22x wall at 10x data by tools/scale_probe.py; this shape is
+    # exactly linear (b*(w-1) joined rows per block).
     a = ranked.select(
         F.col("block"),
-        F.col("rn"),
         F.col("doc_id").alias("id_a"),
         F.col("toks").alias("toks_a"),
+        F.col("rn"),
+        F.explode(F.expr(f"sequence(1, {int(window) - 1})")).alias("off"),
+    ).select(
+        "block", "id_a", "toks_a", (F.col("rn") + F.col("off")).alias("rn_b")
     )
     b = ranked.select(
-        F.col("block").alias("block_b"),
+        F.col("block"),
         F.col("rn").alias("rn_b"),
         F.col("doc_id").alias("id_b"),
         F.col("toks").alias("toks_b"),
@@ -74,12 +83,7 @@ def sorted_neighborhood_pairs(
     union = F.size(F.array_union("toks_a", "toks_b")).cast("long")
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(
-            b,
-            (F.col("block") == F.col("block_b"))
-            & (F.col("rn_b") > F.col("rn"))
-            & (F.col("rn_b") <= F.col("rn") + F.lit(int(window) - 1)),
-        )
+        a.join(b, ["block", "rn_b"])
         # union > 0 guard: two empty-token docs would hit 0/0, where
         # Spark yields NULL but DuckDB's NaN compares HIGH — exclude
         # the degenerate pair identically in both engines

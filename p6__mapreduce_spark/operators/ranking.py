@@ -474,7 +474,7 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 
 def tfidf_cosine_topk(
-    docs: DataFrame, *, k: int = 5, max_df: int = 100
+    docs: DataFrame, *, k: int = 5, max_df: int | None = None, max_df_den: int = 5
 ) -> DataFrame:
     """Sparse TF-IDF cosine k-nearest-neighbors via posting-list join —
     the lexical ANN that complements the embedding kNN family: no
@@ -482,11 +482,20 @@ def tfidf_cosine_topk(
     share a token.
 
     Pipeline: TF-IDF postings (tfidf_doc_terms weights, the same 1e-4
-    fixed point) → drop terms with df > ``max_df`` (stopword-ish
-    postings are what makes naive all-pairs quadratic; the cap bounds
-    every posting list, so candidate volume is Σ df² over RARE terms
-    only — the standard inverted-index bound) → one self-equi-join on
-    token accumulating the dot product → top-``k`` per anchor doc.
+    fixed point) → drop stopword-ish terms (the unbounded posting
+    lists that make naive all-pairs quadratic; candidate volume is
+    Σ df² over the SURVIVING terms — the standard inverted-index
+    bound) → one self-equi-join on token accumulating the dot product
+    → top-``k`` per anchor doc.
+
+    The cap is RELATIVE by default — ``df · max_df_den ≤ N`` (an
+    exact integer predicate, df ≤ N/5 at the default), so the
+    candidate geometry is scale-invariant: an absolute cap tuned at
+    one sf silently empties the posting set at a larger corpus
+    (measured: ``max_df=100`` yields 0 candidates at sf0.1). Pass
+    ``max_df`` for the absolute bound when posting-list length itself
+    must be capped (the 100 TB posture — then Σ df² ≤ |terms|·cap²
+    regardless of corpus size).
 
     Exactness: weights are exact BIGINT fixed-point, so dot products
     and squared norms are exact integer sums (order-independent);
@@ -503,9 +512,15 @@ def tfidf_cosine_topk(
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cap = (
+        (F.col("df") <= F.lit(int(max_df)))
+        if max_df is not None
+        else (F.col("df") * F.lit(int(max_df_den)) <= F.col("n"))
+    )
     w = (
-        tf.join(df.filter(F.col("df") <= F.lit(int(max_df))), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
+        .filter(cap)
         .select(
             "doc_id",
             "token",
@@ -556,7 +571,7 @@ w AS (
   SELECT doc_id, token,
          CAST(floor(tf * ln(n * 1.0e0 / df) * 10000 + 5.0e-1) AS BIGINT) AS wq
   FROM tf JOIN df USING (token) CROSS JOIN n
-  WHERE df <= {{max_df}}
+  WHERE {{cap_predicate}}
 ), norms AS (
   SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nrm2 FROM w GROUP BY 1
 ), dots AS (

@@ -8260,17 +8260,19 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tfidf_cosine_oracle() -> str:
     from p6__mapreduce_spark.operators.ranking import TFIDF_COSINE_ORACLE_SQL
 
-    return TFIDF_COSINE_ORACLE_SQL.format(max_df=100, k=5)
+    return TFIDF_COSINE_ORACLE_SQL.format(cap_predicate="df * 5 <= n", k=5)
 
 
 @register("tfidf_cosine_topk", oracle=_tfidf_cosine_oracle())
 def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical kNN: top-5 TF-IDF-cosine neighbors per document via a
     df-capped posting-list self-join — the no-model exact counterpart
-    to the embedding kNN family. Candidate volume = Σ df² over rare
-    terms only (df ≤ 100 cap bounds every posting list); dot products
-    and norms are exact BIGINT fixed-point sums; cosine is the one
-    float (IEEE sqrt/divide — identical in both engines)."""
+    to the embedding kNN family. The cap is the RELATIVE df·5 ≤ N
+    (exact integer predicate; scale-invariant candidate geometry —
+    the absolute cap this replaced returned 0 candidates at sf0.1);
+    dot products and norms are exact BIGINT fixed-point sums; cosine
+    is the one float (IEEE sqrt/divide — identical in both
+    engines)."""
     from p6__mapreduce_spark.operators.ranking import tfidf_cosine_topk
 
     return tfidf_cosine_topk(load_table(spark, sf_dir, "documents"))
