@@ -8511,6 +8511,186 @@ def q_decision_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+@register(
+    "char_bigram_entropy",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 1),
+                                   i -> substring(text, CAST(i AS INT), 2))) AS b
+      FROM documents WHERE length(text) >= 2
+    ), cnt AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    )
+    SELECT cnt.doc_id, tot.n AS n_bigrams,
+           -CAST(CAST(SUM(c * CAST(floor(ln(c * 1.0e0 / n) * 1000000 + 5.0e-1) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * 1000000.0e0) AS entropy_nats
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-bigram entropy — the compressibility
+    proxy corpus filters use to catch binary junk, boilerplate and
+    keyboard-mash (low entropy ⇒ repetitive; the corpus-level token
+    `bigram_entropy` cannot see per-doc outliers). Bigrams explode
+    map-side (length-1 per doc, linear); ln(c/n) quantizes to the
+    1e-6 fixed point pre-sum; one final float ratio per doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy(F.col("doc_id").alias("td")).agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    lterm = F.floor(
+        F.log(F.col("c") * F.lit(1.0) / F.col("n")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        cnt.join(tot, F.col("doc_id") == F.col("td"))
+        .groupBy("doc_id", F.col("n").alias("n_bigrams"))
+        .agg(F.sum(F.col("c") * lterm).cast("long").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                -F.col("s").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1_000_000.0))
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "xcorr_count_value_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) AS d, c, v
+      FROM daily
+    ), lagged AS (
+      SELECT i.d, l.lag, i.c AS x, j.v AS y
+      FROM idx i
+      CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag) l
+      JOIN idx j ON j.d = i.d + l.lag
+    ), sums AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM lagged GROUP BY 1
+    )
+    SELECT lag, n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0.0e0
+                 AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0.0e0
+                THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+           END AS xcorr
+    FROM sums ORDER BY lag
+    """,
+)
+def q_xcorr_count_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (lags −3..+3) between daily event
+    COUNT and daily event VALUE — 'does activity volume lead value'.
+    The corpus collapses to |days| integer rows once; the lag table
+    is a 7-row explode + equi-join on shifted day index (acf class,
+    no inequality join); Pearson terms are exact BIGINT sums with
+    one final float per lag (IEEE sqrt — identical both engines)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("v"),
+        )
+        .select(
+            F.datediff(F.to_date("day"), F.lit("1970-01-01")).cast("long").alias("d"),
+            "c",
+            "v",
+        )
+    )
+    lagged = (
+        daily.select("d", F.col("c").alias("x"), F.explode(F.expr("sequence(-3, 3)")).alias("lag"))
+        .select((F.col("d") + F.col("lag")).alias("jd"), "lag", "x")
+        .join(daily.select(F.col("d").alias("jd"), F.col("v").alias("y")), "jd")
+    )
+    sums = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0.0) & (vy > 0.0),
+            (d("n") * d("sxy") - d("sx") * d("sy")) / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("xcorr"),
+    ).orderBy("lag")
+
+
+@register(
+    "wow_revenue_change",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT week, cents, lag(cents) OVER (ORDER BY week) AS prev_cents
+      FROM weekly
+    )
+    SELECT week, cents AS revenue_cents, prev_cents AS prev_revenue_cents,
+           CASE WHEN prev_cents > 0
+                THEN (CAST(cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+                   / CAST(prev_cents AS DOUBLE) END AS wow_change
+    FROM lagged ORDER BY week
+    """,
+)
+def q_wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change — the BI staple. Corpus collapses
+    to |weeks| exact-cent rows; the lag window runs over that bounded
+    table (ewma class); NULL first week and zero-revenue guards
+    mirrored in both engines."""
+    from pyspark.sql import Window
+
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("week")  # |weeks|-bounded input (ewma class)
+    lagged = weekly.withColumn("prev_cents", F.lag("cents").over(w))
+    return lagged.select(
+        "week",
+        F.col("cents").alias("revenue_cents"),
+        F.col("prev_cents").alias("prev_revenue_cents"),
+        F.when(
+            F.col("prev_cents") > 0,
+            (F.col("cents").cast("double") - F.col("prev_cents").cast("double"))
+            / F.col("prev_cents").cast("double"),
+        ).alias("wow_change"),
+    ).orderBy("week")
+
+
 def _dw_oracle() -> str:
     from p6__mapreduce_spark.operators.timeseries import DURBIN_WATSON_ORACLE_SQL
 

@@ -145,3 +145,46 @@ def test_durbin_watson_orthogonal_pattern_exact(spark):
     orders = _orders(spark, list(enumerate(vals)))
     r = durbin_watson_daily(orders).collect()[0]
     assert r.dw == pytest.approx(2.0, abs=1e-6)
+
+
+def test_char_bigram_entropy_repetitive_vs_diverse(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaaa", "en", "s", 4), (1, "abcd", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in _with_table(docs, qmod.q_char_bigram_entropy, spark)}
+    # 'aaaa' -> bigrams {aa,aa,aa}: entropy 0; 'abcd' -> 3 distinct: ln 3
+    assert got[0].n_bigrams == 3 and got[0].entropy_nats == pytest.approx(0.0, abs=1e-5)
+    assert got[1].entropy_nats == pytest.approx(math.log(3), abs=1e-5)
+
+
+def test_xcorr_lag_zero_perfect_correlation(spark):
+    # value proportional to count each day -> xcorr at lag 0 == 1
+    rows, eid = [], 0
+    for d, k in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        for j in range(k):
+            rows.append((eid, 1, d, j, "view", 10.0))
+            eid += 1
+    ev = _events(spark, rows)
+    got = {r.lag: r for r in _with_table(ev, qmod.q_xcorr_count_value_daily, spark)}
+    assert got[0].xcorr == pytest.approx(1.0, abs=1e-9)
+    assert got[0].n_pairs == 4
+    # lag windows shrink at the edges
+    assert got[3].n_pairs == 1 and got[3].xcorr is None  # single pair: zero variance
+
+
+def test_wow_change_exact(spark):
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 100.0),   # week of Jan 1 (Mon)
+        (1, dt.datetime(2024, 1, 8), 150.0),   # next week: +50%
+    ]
+    orders = spark.createDataFrame(
+        [(i, 1, "1-URGENT", v, ts) for (i, ts, v) in rows],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    got = sorted(
+        _with_table(orders, qmod.q_wow_revenue_change, spark), key=lambda r: r.week
+    )
+    assert got[0].wow_change is None
+    assert got[1].wow_change == pytest.approx(0.5)
