@@ -298,6 +298,9 @@ HEADLINE = [
     "overdispersion_by_type",
     "decision_stump_value",
     "durbin_watson_daily",
+    "char_bigram_entropy",
+    "xcorr_count_value_daily",
+    "wow_revenue_change",
 ]
 
 
