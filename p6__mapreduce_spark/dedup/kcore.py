@@ -78,14 +78,24 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
 
 def kcore_oracle_sql(k: int = 2, rounds: int = 6, shingle_k: int = 3, threshold: float = 0.8) -> str:
     """DuckDB replay: the exact-Jaccard edge set (shared prefix with
-    the triangles/LPA oracles), then ``rounds`` peel CTEs."""
+    the triangles/LPA oracles), then ``rounds`` peel CTEs.
+
+    Every CTE here is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each peel round references ``sym`` twice and the previous round
+    twice — un-materialized, the expansion re-evaluates the shingle
+    self-join O(2^rounds) times (measured: 6 rounds at sf0.1 spilled
+    >80 GB of temp storage before failing; materialized, the same
+    query runs in seconds). The LPA/triangles siblings are linear
+    chains, so inlining is harmless there."""
     from p6__mapreduce_spark.dedup.communities import _EDGE_PREFIX
 
-    parts = [_EDGE_PREFIX.format(k=shingle_k, threshold=threshold).strip()]
-    parts.append(", alive0 AS (SELECT DISTINCT a AS v FROM sym)")
+    prefix = _EDGE_PREFIX.format(k=shingle_k, threshold=threshold).strip()
+    prefix = prefix.replace("), sym AS (", "), sym AS MATERIALIZED (")
+    parts = [prefix]
+    parts.append(", alive0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym)")
     for r in range(rounds):
         parts.append(
-            f""", alive{r + 1} AS (
+            f""", alive{r + 1} AS MATERIALIZED (
   SELECT a AS v FROM sym
   JOIN alive{r} x ON x.v = sym.a JOIN alive{r} y ON y.v = sym.b
   GROUP BY a HAVING COUNT(*) >= {k}
