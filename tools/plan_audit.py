@@ -136,6 +136,9 @@ CARTESIAN_EXEMPT = {
     # 1-row doc-count scalar broadcast into the TF-IDF weight table —
     # identical shape to tfidf_doc_terms
     "tfidf_cosine_topk",
+    # two 1-row scalar broadcasts (min-day centering + the fitted
+    # (a, b) coefficient row) — the ols_daily_trend / Q22 shape
+    "durbin_watson_daily",
     # 1-row min-day scalar broadcast centering x before the normal
     # equations — the Q22 scalar shape
     "ols_daily_trend",
