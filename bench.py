@@ -301,6 +301,7 @@ HEADLINE = [
     "char_bigram_entropy",
     "xcorr_count_value_daily",
     "wow_revenue_change",
+    "clicks_full_outer_streaming",
 ]
 
 

@@ -2499,6 +2499,33 @@ def q_clicks_left_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "clicks_full_outer_streaming",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_clicks_full_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: matched pairs PLUS
+    null-padded unattributed clicks PLUS null-padded orphan purchases,
+    each outer row emitted only once the global watermark proves the
+    other side can no longer match. The sentinel-drain protocol makes
+    the finite test input behave like continuous ingestion, so the
+    streaming output equals the batch FULL JOIN oracle exactly."""
+    from p6__mapreduce_spark.streaming.join import (
+        run_streaming_click_purchase_full_join,
+    )
+
+    return run_streaming_click_purchase_full_join(spark, sf_dir)
+
+
+@register(
     "text_normalize",
     oracle="""
     SELECT doc_id,

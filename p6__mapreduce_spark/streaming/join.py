@@ -264,3 +264,111 @@ def run_stream_static_enrichment(
         return spark.sql(f"SELECT * FROM {name}")  # noqa: S608 - generated name
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def run_streaming_click_purchase_full_join(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the complete
+    attribution picture in one query: clicks with their within-``gap``
+    purchases, unattributed clicks null-padded, AND orphan purchases
+    (no click in the preceding ``gap``) null-padded.
+
+    Same sentinel-drain protocol as the left-outer variant, with one
+    addition: both sides can now emit unmatched rows, and both only
+    after the global watermark proves the other side can no longer
+    produce a match. The sentinel click/purchase pair (user −1,
+    identical far-future timestamp) advances both watermarks past
+    every real row's expiry; the pair matches itself, and the single
+    sentinel output row is dropped by the negative-id filter
+    (NULL-safe — outer rows carry NULL on one side by design).
+
+    Output equals the batch FULL JOIN with the identical interval
+    condition; user_id is coalesced across sides so orphan purchases
+    keep their user.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    src = tempfile.mkdtemp(prefix="p6_stream_fjoin_")
+    try:
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "click"), (-2, -1, "purchase")],
+            "event_id long, user_id long, event_type string",
+        ).withColumn(
+            "ts",
+            F.lit(hi).cast("timestamp") + F.expr("INTERVAL 30 DAYS"),
+        ).select("event_id", "user_id", "event_type", "ts")
+        stages = (
+            events.filter(F.col("ts") < F.lit(mid)),
+            events.filter(F.col("ts") >= F.lit(mid)),
+            sentinel,
+        )
+        for i, stage in enumerate(stages):
+            part = os.path.join(src, f"_stage_{i}")
+            stage.coalesce(1).write.mode("overwrite").parquet(part)
+            data = next(
+                f for f in os.listdir(part) if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(os.path.join(part, data), os.path.join(src, f"batch_{i}.parquet"))
+            shutil.rmtree(part)
+
+        stream = (
+            spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", watermark)
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {gap}")),
+            "fullOuter",
+        ).select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return (
+            spark.table(name)
+            # NULL-safe sentinel drop: outer rows carry NULL ids
+            .filter(
+                (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+                & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+            )
+            .orderBy("click_id", "purchase_id")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

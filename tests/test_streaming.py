@@ -481,3 +481,43 @@ def test_streaming_session_merges_across_microbatches(spark, tmp_path):
     s3 = int(t("2024-01-20T12:00:00").timestamp())
     assert got[(2, s3)] == (s3 + 1800, 1)
     assert len(got) == 3  # sentinel filtered out
+
+
+def test_full_outer_stream_join_includes_orphans_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream join == batch FULL JOIN: matched pairs,
+    unattributed clicks, and orphan purchases all present."""
+    import datetime as dt
+
+    from p6__mapreduce_spark.streaming.join import (
+        run_streaming_click_purchase_full_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # u1: click then purchase within 6h -> matched pair
+        (0, base, 1, "click", 1.0),
+        (1, base + dt.timedelta(hours=1), 1, "purchase", 1.0),
+        # u2: click with no purchase -> null-padded click
+        (2, base, 2, "click", 1.0),
+        # u3: purchase with no click -> null-padded purchase
+        (3, base, 3, "purchase", 1.0),
+        # u4: purchase 7h after click -> BOTH sides orphan
+        (4, base, 4, "click", 1.0),
+        (5, base + dt.timedelta(hours=7), 4, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, v) for (i, ts, u, t, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    sf = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = run_streaming_click_purchase_full_join(spark, sf).collect()
+    pairs = {(r.click_id, r.purchase_id) for r in got}
+    assert (0, 1) in pairs          # matched
+    assert (2, None) in pairs       # unattributed click
+    assert (None, 3) in pairs       # orphan purchase
+    assert (4, None) in pairs and (None, 5) in pairs  # out-of-gap pair
+    assert len(got) == 5
+    # orphan purchases keep their user via the coalesce
+    u = {r.purchase_id: r.user_id for r in got if r.click_id is None}
+    assert u == {3: 3, 5: 4}
