@@ -8738,17 +8738,18 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
-# never-driver-verified queue ALSO includes the nineteen round-5
+# never-driver-verified queue ALSO includes the twenty round-5
 # closing-batch additions (scd2_user_state, peak_concurrency_daily,
 # weighted_median_price, ipw_uplift_by_segment, cuped_adjusted_lift,
 # calibration_bins, jsd_source_unigrams, dedup_sorted_neighborhood,
 # markov_next_accuracy, rolling_7d_active_users, tfidf_cosine_topk,
 # foreachbatch_idempotent_upsert, markov_entropy_rate,
 # overdispersion_by_type, decision_stump_value, durbin_watson_daily,
-# char_bigram_entropy, xcorr_count_value_daily, wow_revenue_change —
-# all with committed sf0.01/sf0.001 oracle evidence in
-# ORACLE_LOCAL_r5_final*.txt and a full-registry sf0.01 run in
-# ORACLE_LOCAL_r5_complete_sf0.01.txt).
+# char_bigram_entropy, xcorr_count_value_daily, wow_revenue_change,
+# clicks_full_outer_streaming — all with committed full-registry
+# oracle runs at THREE scale factors:
+# ORACLE_LOCAL_r5_complete_sf0.001.txt / _sf0.01.txt / _sf0.1.txt,
+# every one 0 failures).
 # Original plan follows: after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue is 21 oracle-backed queries — the 15 r4
 # leftovers (dedup_edit_distance, zorder_codes, event_props_variant,
