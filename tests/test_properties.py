@@ -367,3 +367,40 @@ def test_round5_closing_ops_partition_invariant(spark):
     a = sorted(map(tuple, ipw_uplift_by_segment(orders.repartition(1), customer).collect()))
     b = sorted(map(tuple, ipw_uplift_by_segment(orders.repartition(13), customer).collect()))
     assert a == b and len(a) > 0
+
+
+def test_round5_final_queries_partition_invariant(spark):
+    """The registry-level closing queries (monkeypatched load_table)
+    are layout-independent on 1 vs 13 partitions."""
+    import p6__mapreduce_spark.queries as qmod
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+    docs = load_table(spark, sf, "documents")
+    cases = [
+        (events, qmod.q_markov_next_accuracy),
+        (events, qmod.q_markov_entropy_rate),
+        (events, qmod.q_overdispersion_by_type),
+        (events, qmod.q_decision_stump_value),
+        (events, qmod.q_rolling_7d_active_users),
+        (events, qmod.q_xcorr_count_value_daily),
+        (events, qmod.q_calibration_bins),
+        (orders, qmod.q_wow_revenue_change),
+        (docs, qmod.q_char_bigram_entropy),
+    ]
+    orig = qmod.load_table
+    try:
+        for df, q in cases:
+            for parts in (1, 13):
+                qmod.load_table = (
+                    lambda s, d, n, _df=df, _p=parts: _df.repartition(_p)
+                )
+                got = sorted(map(tuple, q(spark, "x").collect()))
+                if parts == 1:
+                    base = got
+                else:
+                    assert got == base and len(base) > 0, q.__name__
+    finally:
+        qmod.load_table = orig
