@@ -302,6 +302,7 @@ HEADLINE = [
     "xcorr_count_value_daily",
     "wow_revenue_change",
     "clicks_full_outer_streaming",
+    "token_budget_pack",
 ]
 
 

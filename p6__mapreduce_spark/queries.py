@@ -2526,6 +2526,65 @@ def q_clicks_full_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "token_budget_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY n_tokens DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM toks WHERE n_tokens > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN cum <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN cum <= 5000 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM ranked GROUP BY source ORDER BY source
+    """.replace("{_TOKS}", _TOKS),
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget packing: greedy longest-first document
+    selection until each source's 5 000-token budget is hit — the
+    corpus-assembly pass that turns mixture WEIGHTS into an actual
+    bounded training set (temperature_mixture's deterministic
+    companion). One cumulative-sum window per source partition over
+    exact token counts; the budget cut is a row predicate, so the
+    plan is one shuffle + one window — no iteration, no driver
+    state."""
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = toks.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    kept = F.when(F.col("cum") <= 5000, F.lit(1)).otherwise(F.lit(0))
+    kept_toks = F.when(F.col("cum") <= 5000, F.col("n_tokens")).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(kept).cast("long").alias("docs_kept"),
+            F.sum(kept_toks).cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_normalize",
     oracle="""
     SELECT doc_id,
