@@ -526,6 +526,12 @@ def tfidf_cosine_topk(
             "token",
             _q4(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias("wq"),
         )
+        # the weight table feeds FOUR consumers (join sides a/b + both
+        # norm lookups); without materialization Catalyst re-plans the
+        # tokenize+tf+df subtree once per consumer — 4 corpus scans.
+        # Same localCheckpoint discipline as pq/kmeans/textrank; at
+        # cluster scale this becomes a written intermediate.
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nrm2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("wq").alias("wa"))

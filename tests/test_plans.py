@@ -272,3 +272,38 @@ def test_tpch_supply_derived_shapes(spark):
     # Q9's part LIKE filter must prune part before its broadcast join
     q9 = plan_of(QUERIES["tpch_q9_product_profit"](spark, SF))
     assert "Contains(p_name, widget)" in q9 or "widget" in q9
+
+
+def test_closing_batch_plan_shapes(spark):
+    """Pinned plans for the round-5 closing operators: the SCD2 build
+    reuses ONE sort-exchange for both windows; the rolling-7d roll has
+    no nested-loop join (explode + equi-join, not a range join); the
+    SNM window pairing is a composite-key equi-join (never a
+    block-only join with a post-filter); tfidf-cosine's only
+    no-condition broadcast is the 1-row doc-count scalar."""
+    from p6__mapreduce_spark.queries import QUERIES
+
+    scd2 = plan_of(QUERIES["scd2_user_state"](spark, SF))
+    # lag + lead share the (user_id, ts) sort: exactly one exchange
+    # hash-partitioned on user_id feeds both windows
+    assert scd2.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in scd2
+
+    roll = plan_of(QUERIES["rolling_7d_active_users"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in roll
+    assert "CartesianProduct" not in roll
+    assert "Generate explode" in roll  # the 7-day fan-out is map-side
+
+    snm = plan_of(QUERIES["dedup_sorted_neighborhood"](spark, SF))
+    assert "CartesianProduct" not in snm
+    assert "BroadcastNestedLoopJoin" not in snm
+    # the pairing join keys on BOTH block and rank
+    assert "block" in snm and "rn_b" in snm
+
+    knn = plan_of(QUERIES["tfidf_cosine_topk"](spark, SF))
+    assert "CartesianProduct" not in knn
+    assert knn.count("BroadcastNestedLoopJoin") <= 1  # 1-row N scalar
+
+    peak = plan_of(QUERIES["peak_concurrency_daily"](spark, SF))
+    # the sweep window is day-partitioned, never a global sort
+    assert "Window" in peak and "CartesianProduct" not in peak
