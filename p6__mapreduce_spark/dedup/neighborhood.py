@@ -57,7 +57,11 @@ def sorted_neighborhood_pairs(
         F.array_distinct(tokens_expr("text")).alias("toks"),
     ).withColumn("block", F.substring("sort_key", 1, block_chars))
     w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
-    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    # both join sides consume the ranked table: materialize it once
+    # instead of re-tokenizing + re-sorting the corpus per side
+    ranked = keyed.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     # window pairing as a pure COMPOSITE-KEY equi-join: the anchor
     # side explodes the w-1 rank offsets and joins on (block, rn+off).
     # An equi-join on block alone with a rank-range predicate

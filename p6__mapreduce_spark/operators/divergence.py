@@ -49,6 +49,11 @@ def jsd_source_unigrams(docs: DataFrame) -> DataFrame:
         docs.select("source", F.explode(tokens_expr("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # four consumers (self-join sides a/b + both total lookups):
+        # materialize the vocab-sized count table once instead of
+        # re-tokenizing the corpus per consumer (pq/kmeans discipline;
+        # a written intermediate at cluster scale)
+        .localCheckpoint(eager=True)
     )
     tot = tokc.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
 
