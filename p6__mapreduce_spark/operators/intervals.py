@@ -125,22 +125,29 @@ def peak_concurrency_daily(
     midnight still discharge within that day's sweep so the daily
     peak is the peak among intervals opened that day.
     """
-    opens = events.select(
+    # ONE corpus scan: each event emits its +1/-1 boundary pair via an
+    # inline-array explode (a union of two selects would scan twice)
+    bounds = events.select(
         F.date_trunc("day", F.col(ts_col)).alias("day"),
-        F.col(ts_col).alias("bts"),
-        F.lit(1).alias("delta"),
-    )
-    closes = events.select(
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-        (F.col(ts_col) + F.expr(f"INTERVAL {int(duration_minutes)} MINUTES")).alias("bts"),
-        F.lit(-1).alias("delta"),
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col(ts_col).alias("bts"), F.lit(1).alias("delta")),
+                F.struct(
+                    (
+                        F.col(ts_col)
+                        + F.expr(f"INTERVAL {int(duration_minutes)} MINUTES")
+                    ).alias("bts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b"),
+    ).select("day", F.col("b.bts").alias("bts"), F.col("b.delta").alias("delta"))
     w = (
         Window.partitionBy("day")
         .orderBy("bts", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    swept = opens.unionAll(closes).withColumn("live", F.sum("delta").over(w))
+    swept = bounds.withColumn("live", F.sum("delta").over(w))
     return (
         swept.groupBy("day")
         .agg(

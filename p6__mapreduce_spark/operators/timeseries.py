@@ -290,8 +290,12 @@ def durbin_watson_daily(orders: DataFrame) -> DataFrame:
     """
     daily = _daily_kilodollars(orders)
     x0 = daily.agg(F.min("day_idx").alias("x0"))
-    centered = daily.crossJoin(F.broadcast(x0)).select(
-        (F.col("day_idx") - F.col("x0")).alias("x"), "y"
+    # |days| rows feed both the normal-equation aggregate and the
+    # residual pass: materialize once, never rescan the orders corpus
+    centered = (
+        daily.crossJoin(F.broadcast(x0))
+        .select((F.col("day_idx") - F.col("x0")).alias("x"), "y")
+        .localCheckpoint(eager=True)
     )
     sums = centered.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

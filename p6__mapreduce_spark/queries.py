@@ -8253,6 +8253,9 @@ def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        # |types|^2 rows feed TWO consumers (argmax + context totals):
+        # materialize once instead of re-running the corpus window
+        .localCheckpoint(eager=True)
     )
     w_pred = Window.partitionBy("prev_type").orderBy(
         F.col("c_pair").desc(), F.col("next_type")
@@ -8319,6 +8322,9 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
+        # the reduced (day, user) table feeds both the day grid and
+        # the fan-out: materialize once, never rescan raw events
+        .localCheckpoint(eager=True)
     )
     days = du.select("day").distinct().select(F.col("day").alias("d"))
     fanned = du.select(
@@ -8434,6 +8440,8 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        # |types|^2 rows, two consumers: materialize once
+        .localCheckpoint(eager=True)
     )
     ctx = pairs.groupBy(F.col("prev_type").alias("cp")).agg(
         F.sum("c_pair").cast("long").alias("c_ctx"),
@@ -8706,6 +8714,8 @@ def q_xcorr_count_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             "v",
         )
+        # |days| rows feed both lag-join sides: materialize once
+        .localCheckpoint(eager=True)
     )
     lagged = (
         daily.select("d", F.col("c").alias("x"), F.explode(F.expr("sequence(-3, 3)")).alias("lag"))
