@@ -303,6 +303,7 @@ HEADLINE = [
     "wow_revenue_change",
     "clicks_full_outer_streaming",
     "token_budget_pack",
+    "tukey_outlier_fences",
 ]
 
 

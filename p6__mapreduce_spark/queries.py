@@ -2526,6 +2526,105 @@ def q_clicks_full_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tukey_outlier_fences",
+    oracle="""
+    WITH vc AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vc
+    ), q1 AS (
+      SELECT event_type, MIN(cents) AS q1_cents FROM cum WHERE 4 * c >= n GROUP BY 1
+    ), q3 AS (
+      SELECT event_type, MIN(cents) AS q3_cents FROM cum WHERE 4 * c >= 3 * n GROUP BY 1
+    ), fences AS (
+      SELECT q1.event_type, q1_cents, q3_cents, q3_cents - q1_cents AS iqr_cents
+      FROM q1 JOIN q3 ON q1.event_type = q3.event_type
+    )
+    SELECT cum.event_type, MAX(n) AS n,
+           MAX(q1_cents) AS q1_cents, MAX(q3_cents) AS q3_cents,
+           MAX(iqr_cents) AS iqr_cents,
+           CAST(SUM(CASE WHEN 2 * cents < 2 * q1_cents - 3 * iqr_cents
+                           OR 2 * cents > 2 * q3_cents + 3 * iqr_cents
+                         THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM cum JOIN fences ON cum.event_type = fences.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot outlier audit per event type: exact lower-pick Q1/Q3
+    (first value whose cumulative count reaches n/4 and 3n/4), IQR,
+    and the count beyond the 1.5·IQR Tukey fences. ONE corpus scan
+    collapses to a (type, cents, count) distinct-value table (≤49k
+    cents values — winsorize/value_quantile class); quartile picks,
+    fences and the outlier count all run on that reduced table. The
+    fence comparison doubles both sides (2·c vs 2·q − 3·iqr) so
+    1.5·IQR stays integer-exact — no float anywhere, bit-exact
+    oracle."""
+    from pyspark.sql import Window
+
+    vc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        vc.withColumn("c", F.sum("cnt").over(w_cum).cast("long"))
+        .withColumn("n", F.sum("cnt").over(w_all).cast("long"))
+        # the reduced distinct-value table feeds three consumers
+        # (both quartile picks + the outlier count): materialize once
+        .localCheckpoint(eager=True)
+    )
+    q1 = (
+        cum.filter(4 * F.col("c") >= F.col("n"))
+        .groupBy(F.col("event_type").alias("t1"))
+        .agg(F.min("cents").alias("q1_cents"))
+    )
+    q3 = (
+        cum.filter(4 * F.col("c") >= 3 * F.col("n"))
+        .groupBy(F.col("event_type").alias("t3"))
+        .agg(F.min("cents").alias("q3_cents"))
+    )
+    fences = q1.join(q3, F.col("t1") == F.col("t3")).select(
+        F.col("t1").alias("ft"),
+        "q1_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+    )
+    is_out = (
+        2 * F.col("cents") < 2 * F.col("q1_cents") - 3 * F.col("iqr_cents")
+    ) | (2 * F.col("cents") > 2 * F.col("q3_cents") + 3 * F.col("iqr_cents"))
+    return (
+        cum.join(F.broadcast(fences), F.col("event_type") == F.col("ft"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1_cents").alias("q1_cents"),
+            F.max("q3_cents").alias("q3_cents"),
+            F.max("iqr_cents").alias("iqr_cents"),
+            F.sum(F.when(is_out, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "token_budget_pack",
     oracle="""
     WITH toks AS (

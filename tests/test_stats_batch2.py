@@ -188,3 +188,21 @@ def test_wow_change_exact(spark):
     )
     assert got[0].wow_change is None
     assert got[1].wow_change == pytest.approx(0.5)
+
+
+def test_tukey_fences_hand_computed(spark):
+    # type 'a': values 1..8 (cents 100..800) plus one wild 100.00 ->
+    # n=9, lower-pick Q1 = ceil(9/4)=3rd value (300), Q3 = ceil(27/4)=7th (700)
+    # IQR=400, fences [300-600, 700+600] = [-300, 1300] -> 10000 is the 1 outlier
+    rows = [(i, 1, 1, i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    ev = _events(spark, rows)
+    r = _with_table(ev, qmod.q_tukey_outlier_fences, spark)[0]
+    assert (r.n, r.q1_cents, r.q3_cents, r.iqr_cents) == (9, 300, 700, 400)
+    assert r.n_outliers == 1
+
+
+def test_tukey_fences_no_outliers_uniform(spark):
+    rows = [(i, 1, 1, i, "a", float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    ev = _events(spark, rows)
+    r = _with_table(ev, qmod.q_tukey_outlier_fences, spark)[0]
+    assert r.n_outliers == 0
