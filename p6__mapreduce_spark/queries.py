@@ -8906,7 +8906,7 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
-# never-driver-verified queue ALSO includes the twenty round-5
+# never-driver-verified queue ALSO includes the twenty-two round-5
 # closing-batch additions (scd2_user_state, peak_concurrency_daily,
 # weighted_median_price, ipw_uplift_by_segment, cuped_adjusted_lift,
 # calibration_bins, jsd_source_unigrams, dedup_sorted_neighborhood,
@@ -8914,7 +8914,8 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # foreachbatch_idempotent_upsert, markov_entropy_rate,
 # overdispersion_by_type, decision_stump_value, durbin_watson_daily,
 # char_bigram_entropy, xcorr_count_value_daily, wow_revenue_change,
-# clicks_full_outer_streaming — all with committed full-registry
+# clicks_full_outer_streaming, token_budget_pack,
+# tukey_outlier_fences — all with committed full-registry
 # oracle runs at THREE scale factors:
 # ORACLE_LOCAL_r5_complete_sf0.001.txt / _sf0.01.txt / _sf0.1.txt,
 # every one 0 failures).
