@@ -8967,72 +8967,96 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "range_bucket_sort",
     "mr_facade_wordcount",
     "mr_facade_sort",
-    # --- round-5 rotation (the plan the r4 verdict asked to execute):
-    # every remaining slot goes to a query that has NEVER had a
-    # driver-verified row (CORRECTNESS_r01-r04 union = 112 of 173), so
-    # cumulative driver coverage grows 112 -> 156 of the registry.
-    # Rotated-out r4 occupants all have fresh driver-green history
-    # (CORRECTNESS_r04: 50/50 full pass) plus committed local oracle
-    # evidence at three scale factors (ORACLE_LOCAL_r4_final*.txt).
-    # Still never-verified after this round (17, queued for r6):
+    # --- round-6 rotation (executes the r5 verdict's #1 directive):
+    # registry growth is FROZEN at 251 this round; every non-pinned
+    # slot goes to a query that has NEVER had a driver-verified row
+    # (CORRECTNESS_r01-r05 union = 157 of 251), so cumulative driver
+    # coverage grows 157 -> 201 of 251 if all pass. Rotated-out r5
+    # occupants all have fresh driver-green history (CORRECTNESS_r05:
+    # 50/50 full pass) plus committed full-registry oracle evidence at
+    # three scale factors (ORACLE_LOCAL_r5_complete_*.txt).
+    # Priority per VERDICT.md r5 Next-round #1: (a) the 22 round-5
+    # closing-batch ops, (b) knn_ivfpq + the sampled-training trio,
+    # (c) the Gopher/C4 quality filters, (d) the stats batch, (e) the
+    # three plans REWRITTEN this round (rfm_segments,
+    # quantile_normalize_tokens, pareto_frontier_parts) so the driver
+    # hash-checks the two-phase rewrites directly
+    # (weighted_median_price and token_budget_pack — also rewritten —
+    # sit in the closing-batch block below).
+    # Still never-verified after this round (50, queued for r7 —
+    # rotate ALL of them before registering anything new):
     # dedup_edit_distance, zorder_codes, event_props_variant,
     # lexicon_hits, embedding_dim_stats, gap_fill_daily, skew_profile,
     # stable_dense_ids, snapshot_diff, top_event_paths,
     # time_decayed_user_value, running_value_since_purchase,
-    # arrival_burstiness, zipf_fit, fk_integrity_profile, plus the two
-    # inherently rows-only sketches (approx_stats, sketch_weekly_users).
-    # iterative training heavyweights (r4 verdict priority #1)
-    "pq_codes",
-    "knn_pq",
-    "kmeans_lloyd",
-    "bpe_learn_merges",
-    "bpe_fertility",
-    "textrank_keywords",
-    # data-selection / mining
-    "dsir_weights",
-    "dsir_resample_topk",
-    "contrastive_mining",
-    "hybrid_search_rrf",
-    "retrieval_mrr_eval",
-    # dedup / similarity continuation
-    "dedup_prefix_filter",
-    "cluster_medoids",
-    "source_centroid_similarity",
-    # sketches / stats family
-    "cms_heavy_hitters",
-    "kaplan_meier_conversion",
-    "bootstrap_mean_ci",
-    "ewma_daily_revenue",
-    "value_drift_psi",
-    "event_value_mad",
-    "lang_source_chisq",
-    "udaf_source_gmean",
-    "bigram_perplexity",
-    "lang_id_confusion",
-    "quality_pct_by_source",
-    # TPC-H shapes never yet driver-verified
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q16_supplier_diversity",
-    "tpch_q20_promotion_suppliers",
-    # multimodal audio/video decode rows (r4 verdict item #6)
-    "multimodal_audio_decode",
-    "multimodal_video_decode",
-    "multimodal_audio_downsample",
-    # pipeline / sampling / attribution continuation
-    "weighted_sample_topk",
-    "incremental_agg_merge",
-    "temperature_mixture",
-    "leakage_safe_splits",
-    "user_cohort_retention",
-    "multi_touch_attribution",
-    "position_attribution",
-    "event_transition_matrix",
-    "user_value_trailing_1h",
-    # streaming continuation (left-outer stream-stream join)
-    "clicks_left_outer_streaming",
+    # arrival_burstiness, zipf_fit, fk_integrity_profile,
+    # cross_source_dup_matrix, dedup_rate_by_source,
+    # bloom_prejoin_audit, value_quantile_sketch, nation_trade_pagerank,
+    # feature_hash_vectors, ngram_pmi, hll_user_audit,
+    # matryoshka_recall_audit, promo_window_event_stats,
+    # dedup_triangle_stats, kneser_ney_bigram, seasonal_anomaly_daily,
+    # session_windows_streaming, basket_part_pairs, dedup_containment,
+    # jl_projection_audit, doc_length_lang_auc, orders_merkle_checksum,
+    # cohort_ltv_curve, orders_unpivot_quarters, readability_scores,
+    # dedup_label_propagation, nbayes_source_confusion, dedup_kcore,
+    # cascade_delete_audit, acf_daily_revenue, target_encode_loo,
+    # nation_trade_hits, mmr_diversified_topk, kcenter_coreset,
+    # silhouette_by_cluster, retrieval_ndcg_eval, filter_funnel_report,
+    # plus the inherently rows-only sketch_weekly_users (approx_stats
+    # already has a rows-only driver row).
+    # (a) round-5 closing batch — interval analytics, divergence,
+    # experimentation, streaming protocol runners
+    "scd2_user_state",
+    "peak_concurrency_daily",
+    "weighted_median_price",
+    "ipw_uplift_by_segment",
+    "cuped_adjusted_lift",
+    "calibration_bins",
+    "jsd_source_unigrams",
+    "dedup_sorted_neighborhood",
+    "markov_next_accuracy",
+    "rolling_7d_active_users",
+    "tfidf_cosine_topk",
+    "foreachbatch_idempotent_upsert",
+    "markov_entropy_rate",
+    "overdispersion_by_type",
+    "decision_stump_value",
+    "durbin_watson_daily",
+    "char_bigram_entropy",
+    "xcorr_count_value_daily",
+    "wow_revenue_change",
+    "clicks_full_outer_streaming",
+    "token_budget_pack",
+    "tukey_outlier_fences",
+    # (b) IVF-PQ + sampled-training trio (r4 brief #4 knob, never
+    # driver-exercised)
+    "knn_ivfpq",
+    "kmeans_lloyd_sampled",
+    "pq_codes_sampled",
+    "knn_ivfpq_sampled",
+    # (c) Gopher/C4 quality-filter family
+    "gopher_quality_filters",
+    "gopher_top_ngram_frac",
+    "c4_quality_filters",
+    # (d) stats batch
+    "theil_sen_daily_revenue",
+    "cusum_changepoint_daily",
+    "mann_kendall_trend",
+    "ks_purchase_vs_click",
+    "revenue_gini",
+    "revenue_lorenz_deciles",
+    "benford_price_digits",
+    "wilson_lcb_return_rates",
+    "woe_iv_segments",
+    "k_anonymity_audit",
+    "conformal_interval_daily",
+    "ols_daily_trend",
+    # (e) plans rewritten this round (two-phase ranking / two-level
+    # skyline) — driver hash-checks the rewrites against unchanged
+    # oracles
+    "rfm_segments",
+    "quantile_normalize_tokens",
+    "pareto_frontier_parts",
 )
 
 
