@@ -23,10 +23,12 @@ Scale shape (100 TB notes in SCALE.md):
   then runs ONE running-sum window per day partition. Day-partitioned,
   so no global single-partition window; the running sum is an exact
   integer. Peak extraction is an ordinary groupBy.
-* Weighted median shuffles once on the group key; the cumulative
-  weight is an exact BIGINT (quantities are integral), and the median
-  pick is the first row where 2·cum ≥ total — the lower weighted
-  median, deterministic under ties via the (price, orderkey) sort.
+* Weighted median collapses to the (flag, price_cents) weight
+  HISTOGRAM first (map-side-partial groupBy), then runs the cumulative
+  window over the histogram — per-flag window input is bounded by the
+  distinct-price value domain, never the corpus row count. The
+  cumulative weight is an exact BIGINT (quantities are integral); the
+  median pick is min(price) over rows with 2·cum ≥ total.
 
 Exactness: timestamps, counts, and quantized cents are the only
 values that cross engines; no float arithmetic anywhere, so DuckDB
@@ -121,9 +123,22 @@ def peak_concurrency_daily(
     gives the live count (closes sort before opens at the same
     instant — the standard half-open convention, so an interval
     ending exactly when another starts does not double-count).
-    Intervals are attributed to their OPEN day; closes landing past
-    midnight still discharge within that day's sweep so the daily
-    peak is the peak among intervals opened that day.
+
+    DAY-ATTRIBUTION SEMANTICS (deliberate, matches the oracle): each
+    interval belongs entirely to its OPEN day — closes landing past
+    midnight discharge within that day's sweep, so ``peak_concurrent``
+    for day D is the peak among intervals OPENED on D. A day's peak
+    therefore excludes carry-over from intervals opened the previous
+    day; with the default 30-minute duration the discrepancy window is
+    the first 30 minutes after midnight, and it grows with duration
+    (durations approaching 24 h make the open-day reading materially
+    undercount next-day concurrency). This is the "sessions started
+    per day" reading, the right one for license/burst audits keyed to
+    arrival cohorts. For true calendar-day concurrency, pre-split each
+    interval at midnight boundaries (one ``sequence(day_open,
+    day_close)`` explode — bounded by ⌈duration/1 day⌉ + 1 rows per
+    event) and feed the pieces to this same sweep; the operator's
+    day-partitioned shape is unchanged.
     """
     # ONE corpus scan: each event emits its +1/-1 boundary pair via an
     # inline-array explode (a union of two selects would scan twice)
@@ -180,37 +195,49 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
     """Quantity-weighted (lower) median of ``l_extendedprice`` per
     ``l_returnflag``: the first price, scanning ascending, whose
     cumulative quantity reaches half the group total. Prices quantize
-    to exact cents; quantities are integral; ties order by
-    ``(price_cents, l_orderkey, l_linenumber)``. One shuffle on the
-    group key; the median pick is a row filter on two exact BIGINTs.
+    to exact cents; quantities are integral.
+
+    Two-phase histogram shape (the r5-verdict fix): the corpus first
+    collapses to the ``(flag, price_cents)`` weight histogram — an
+    ordinary map-side-partial groupBy, fully parallel — and only THEN
+    runs the cumulative window, whose per-flag input is bounded by the
+    price VALUE DOMAIN (distinct cents values), never by row count.
+    The naive single-pass form funneled ~|lineitem|/3 rows through one
+    window task per flag (|flags| = 3, a constant fraction of the
+    corpus at any scale). The median is a pure function of the
+    per-price cumulative weights, so the row-level tie order of the
+    original formulation (``l_orderkey, l_linenumber``) cannot change
+    which PRICE first reaches half the total — result identical, plan
+    scale-safe. The final pick needs no second window: the lower
+    weighted median is simply ``min(price_cents)`` over the rows with
+    ``2·cum ≥ total``.
     """
     q = lineitem.select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
+    hist = q.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
     w_cum = (
         Window.partitionBy("flag")
-        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .orderBy("price_cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_tot = Window.partitionBy("flag")
-    ranked = q.withColumn("cum_w", F.sum("w").over(w_cum)).withColumn(
+    ranked = hist.withColumn("cum_w", F.sum("w").over(w_cum)).withColumn(
         "tot_w", F.sum("w").over(w_tot)
     )
-    hits = ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
-    w_first = Window.partitionBy("flag").orderBy(
-        "price_cents", "l_orderkey", "l_linenumber"
-    )
     return (
-        hits.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
+        ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").alias("wmedian_price_cents"),
+            F.max("tot_w").alias("total_quantity"),
+        )
         .select(
             F.col("flag").alias("l_returnflag"),
-            F.col("price_cents").alias("wmedian_price_cents"),
-            F.col("tot_w").alias("total_quantity"),
+            "wmedian_price_cents",
+            "total_quantity",
         )
         .orderBy("l_returnflag")
     )

@@ -2650,12 +2650,40 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection until each source's 5 000-token budget is hit — the
     corpus-assembly pass that turns mixture WEIGHTS into an actual
     bounded training set (temperature_mixture's deterministic
-    companion). One cumulative-sum window per source partition over
-    exact token counts; the budget cut is a row predicate, so the
-    plan is one shuffle + one window — no iteration, no driver
-    state."""
+    companion).
+
+    Two-stage salted shape (the ``source_cap`` pattern of
+    ``operators/pipeline.py``, applied per the r5 verdict): the naive
+    single window per source sorts ~|corpus|/|sources| rows through
+    ONE task, then discards almost all of them against the 5 000-token
+    budget. Instead:
+
+      1. pre-filter within ``(salt, source)`` where salt =
+         xxhash64(doc_id) % 64: keep rows with local
+         ``row_number ≤ budget`` AND local preceding-sum < budget.
+         Superset proof: a globally-kept row has global cum ≤ budget,
+         so (tokens ≥ 1 each) global rank ≤ budget and global
+         preceding-sum < budget; both local statistics only shrink
+         when other salt groups' rows are removed.
+      2. the exact per-source window runs over the survivors — at most
+         ``salts · budget`` rows per source by construction (in
+         practice ~salts · budget/avg_len), bounded by configuration,
+         not by corpus size.
+
+    Decision identity: every row ahead (in the global longest-first
+    order) of any row the budget keeps survives stage 1 — rows with
+    global rank ≤ budget all survive — so stage-2 cumulative sums are
+    EXACT for every kept row; and a cut row's stage-2 sum still
+    exceeds the budget because its surviving predecessors alone carry
+    ≥ budget tokens (rank-path) or its dominating prefix survives
+    (sum-path). ``docs_total`` rides along as the per-(salt, source)
+    group count carried on each group's rank-1 survivor, so the whole
+    query stays one scan. Asserted vs the unchanged single-window
+    oracle at three SFs and pinned as a plan shape in
+    ``tests/test_plans.py``."""
     from p6__mapreduce_spark.functions.text import tokens_expr
 
+    budget, salts = 5000, 64
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -2664,18 +2692,37 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tokens") > 0)
     from pyspark.sql import Window
 
+    salted = toks.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+    w_pre = Window.partitionBy("_salt", "source").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    w_cnt = Window.partitionBy("_salt", "source")
+    pre = (
+        salted.withColumn("_rk", F.row_number().over(w_pre))
+        .withColumn(
+            "_cum_pre",
+            F.sum("n_tokens").over(w_pre.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_cnt_g", F.count(F.lit(1)).over(w_cnt).cast("long"))
+        .filter(
+            (F.col("_rk") <= budget)
+            & (F.col("_cum_pre") - F.col("n_tokens") < budget)
+        )
+    )
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("n_tokens").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranked = toks.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
-    kept = F.when(F.col("cum") <= 5000, F.lit(1)).otherwise(F.lit(0))
-    kept_toks = F.when(F.col("cum") <= 5000, F.col("n_tokens")).otherwise(F.lit(0))
+    ranked = pre.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    kept = F.when(F.col("cum") <= budget, F.lit(1)).otherwise(F.lit(0))
+    kept_toks = F.when(F.col("cum") <= budget, F.col("n_tokens")).otherwise(F.lit(0))
     return (
         ranked.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(F.when(F.col("_rk") == 1, F.col("_cnt_g")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("docs_total"),
             F.sum(kept).cast("long").alias("docs_kept"),
             F.sum(kept_toks).cast("long").alias("tokens_kept"),
         )
@@ -6809,9 +6856,22 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     max over all STRICTLY cheaper parts (RANGE frame to 1 PRECEDING on
     integer cents) and ties the max within its own price point.
     Equal (price, size) duplicates all survive — neither strictly
-    dominates. At cluster scale: local per-partition skylines first
-    (each is tiny), then this pass over their union — same operator,
-    two levels."""
+    dominates.
+
+    TWO-LEVEL shape (the form this docstring always described, shipped
+    per the r5 verdict): level 1 salts rows by xxhash64(p_partkey) %
+    64 and runs the SAME window filter within each salt group — a
+    64-way-parallel local skyline that removes only rows some
+    salt-mate strictly dominates (so it keeps a superset of the
+    answer; domination is transitive, so every removed row leaves a
+    surviving dominator behind). Level 2 is the original exact global
+    pass, now over the union of 64 local skylines — a skyline-sized
+    input (tens of rows per salt group on real price/size data), never
+    |parts|. Decision identity: a level-2 survivor's best-cheaper /
+    best-at-price maxima are unchanged by deleting dominated rows,
+    because each deleted row's dominator contributes an equal-or-
+    better (price, size) to every window frame the deleted row would
+    have reached. Oracle (single-pass SQL) unchanged."""
     from pyspark.sql import Window
 
     p = load_table(spark, sf_dir, "part").select(
@@ -6819,12 +6879,33 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("p_size"),
     )
+    salted = p.withColumn("_salt", F.pmod(F.xxhash64("p_partkey"), F.lit(64)))
+    w_lt_loc = (
+        Window.partitionBy("_salt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq_loc = Window.partitionBy("_salt", "price_cents")
+    loc = salted.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_lt_loc).alias("_bc"),
+        F.max("p_size").over(w_eq_loc).alias("_bs"),
+    )
+    cand = (
+        loc.filter(
+            (F.col("_bc").isNull() | (F.col("p_size") > F.col("_bc")))
+            & (F.col("p_size") == F.col("_bs"))
+        )
+        .drop("_bc", "_bs")
+    )
     w_lt = (
         Window.orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_eq = Window.partitionBy("price_cents")
-    s = p.select(
+    s = cand.select(
         "p_partkey",
         "price_cents",
         "p_size",
@@ -6906,11 +6987,23 @@ def q_doc_length_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles, 5 =
     best): the classic customer-base partitioning behind retention
-    campaigns. Quintiles assign by ntile(5) with a custkey tie-break
-    so both engines split ties identically; all three windows run on
-    the |customers| aggregate (two-phase ranking replaces them at
-    billion-customer scale, output unchanged)."""
-    from pyspark.sql import Window
+    campaigns. Quintiles assign with a custkey tie-break so both
+    engines split ties identically.
+
+    Two-phase ranking (the rewrite this query's docstring promised,
+    shipped per the r5 verdict): the naive form ran three
+    ``ntile(5)`` calls over UNPARTITIONED windows — three single-task
+    global sorts of the |customers| aggregate, the exact shape
+    SCALE.md's own calibration_bins note warns against. Each quintile
+    now derives from an exact distributed rank
+    (``functions/ranks.py::two_phase_rank``: range-repartition →
+    local row_number → bounded per-partition-count offsets) plus the
+    closed-form ntile bucket split (``ntile_expr`` — identical sizing
+    to both engines' ntile), so no task ever sorts more than
+    |customers|/num_partitions rows. Output is bit-identical to the
+    unchanged ntile oracle; the no-single-task-window shape is pinned
+    in ``tests/test_plans.py``."""
+    from p6__mapreduce_spark.functions.ranks import ntile_expr, two_phase_rank
 
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
@@ -6920,11 +7013,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
-    scored = cust.select(
-        "*",
-        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m_score"),
+    ranked = two_phase_rank(
+        cust, ["last_day", "o_custkey"], rank_col="_r_rk", group_count_col="_n_all"
+    )
+    ranked = two_phase_rank(ranked, ["n_orders", "o_custkey"], rank_col="_f_rk")
+    ranked = two_phase_rank(ranked, ["cents", "o_custkey"], rank_col="_m_rk")
+    n_all = F.col("_n_all")
+    scored = ranked.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "cents",
+        ntile_expr(F.col("_r_rk"), n_all, 5).alias("r_score"),
+        ntile_expr(F.col("_f_rk"), n_all, 5).alias("f_score"),
+        ntile_expr(F.col("_m_rk"), n_all, 5).alias("m_score"),
     )
     return scored.select(
         "o_custkey",
@@ -7507,27 +7609,37 @@ def q_quantile_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-member sources pin to the global median position), then a
     range join into the CUMULATIVE count table over DISTINCT values —
     bounded by the value domain, not the corpus — recovers the pooled
-    value. The only full-corpus shuffles are the source window and the
-    distinct-value groupBy; the cumulative window runs on the bounded
-    distinct-value table (the registry's standing WindowExec policy)."""
+    value.
+
+    The within-source rank is TWO-PHASE
+    (``functions/ranks.py::two_phase_rank``, per the r5 verdict): the
+    previous ``row_number() OVER (PARTITION BY source)`` put
+    ~|corpus|/|sources| rows through one task per source (|sources| is
+    a small constant, so that's a constant fraction of the corpus at
+    any scale — and AQE skew-splitting applies to joins, not window
+    partitions). Now: range-repartition on (source, n_tokens, doc_id),
+    local row_number, plus bounded per-(partition, source) count
+    offsets; ``n_src`` falls out of the same counts table. The only
+    remaining windows run on bounded tables (the distinct-value
+    cumulative table and the partition-count offsets table). The only
+    full-corpus shuffles are the range repartition and the
+    distinct-value groupBy."""
     from pyspark.sql import Window
 
+    from p6__mapreduce_spark.functions.ranks import two_phase_rank
     from p6__mapreduce_spark.functions.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
     nz = docs.select(
         "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
-    ranked = nz.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
-        .cast("long")
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("n_src"),
-    )
+    ranked = two_phase_rank(
+        nz,
+        ["n_tokens", "doc_id"],
+        group_cols=["source"],
+        rank_col="rn",
+        group_count_col="n_src",
+    ).select("doc_id", "source", "n_tokens", "rn", "n_src")
     tot = nz.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     # `div` is Spark's INTEGER division — exact int64, no double
     # round-trip (F.floor(a/b) goes through float64 and can misround
@@ -7744,13 +7856,16 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.seg AS c_mktsegment, s.n_pos, s.n_neg,
            CASE WHEN s.n_pos > 0 AND s.n_neg > 0
-                THEN CAST(floor(ln((s.n_pos * t.tn) * 1.0e0 / (s.n_neg * t.tp)) * 1000000
+                THEN CAST(floor(ln((CAST(s.n_pos AS DOUBLE) * CAST(t.tn AS DOUBLE))
+                                   / (CAST(s.n_neg AS DOUBLE) * CAST(t.tp AS DOUBLE))) * 1000000
                           + 5.0e-1) AS BIGINT)
            END AS woe_q6,
            CASE WHEN s.n_pos > 0 AND s.n_neg > 0
-                THEN (CAST(s.n_pos * t.tn - s.n_neg * t.tp AS DOUBLE)
-                      / CAST(t.tp * t.tn AS DOUBLE))
-                   * (CAST(CAST(floor(ln((s.n_pos * t.tn) * 1.0e0 / (s.n_neg * t.tp)) * 1000000
+                THEN ((CAST(s.n_pos AS DOUBLE) * CAST(t.tn AS DOUBLE)
+                       - CAST(s.n_neg AS DOUBLE) * CAST(t.tp AS DOUBLE))
+                      / (CAST(t.tp AS DOUBLE) * CAST(t.tn AS DOUBLE)))
+                   * (CAST(CAST(floor(ln((CAST(s.n_pos AS DOUBLE) * CAST(t.tn AS DOUBLE))
+                                         / (CAST(s.n_neg AS DOUBLE) * CAST(t.tp AS DOUBLE))) * 1000000
                               + 5.0e-1) AS BIGINT) AS DOUBLE) / 1000000.0e0)
            END AS iv_term
     FROM seg s CROSS JOIN tot t
@@ -7765,6 +7880,11 @@ def q_woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizes ln((pos·TN)/(neg·TP)) to int64 micro-units (the nbayes
     discipline); each segment's IV term is one fixed-shape double
     expression over exact integer counts — no cross-row float sum.
+    The count products multiply as DOUBLES on both engines (not
+    int64): exact below 2^53 and merely last-ulp-rounded above it,
+    where the int64 form silently wraps past ~3e9 counts in Spark's
+    non-ANSI mode while DuckDB raises — the cross-engine divergence
+    the causal.py/timeseries.py headroom notes guard against.
     Plan: one fact-table agg over a broadcast dimension join, then a
     |segments|-row grid with a 1-row totals broadcast."""
     base = (
@@ -7785,10 +7905,10 @@ def q_woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = seg.agg(
         F.sum("n_pos").cast("long").alias("tp"), F.sum("n_neg").cast("long").alias("tn")
     )
+    pos_d, neg_d = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    tp_d, tn_d = F.col("tp").cast("double"), F.col("tn").cast("double")
     woe_q = F.floor(
-        F.log((F.col("n_pos") * F.col("tn")) * F.lit(1.0) / (F.col("n_neg") * F.col("tp")))
-        * F.lit(1e6)
-        + F.lit(0.5)
+        F.log((pos_d * tn_d) / (neg_d * tp_d)) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
     ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     return (
@@ -7800,10 +7920,7 @@ def q_woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok, woe_q).alias("woe_q6"),
             F.when(
                 ok,
-                (
-                    (F.col("n_pos") * F.col("tn") - F.col("n_neg") * F.col("tp")).cast("double")
-                    / (F.col("tp") * F.col("tn")).cast("double")
-                )
+                ((pos_d * tn_d - neg_d * tp_d) / (tp_d * tn_d))
                 * (woe_q.cast("double") / F.lit(1e6)),
             ).alias("iv_term"),
         )

@@ -307,3 +307,49 @@ def test_closing_batch_plan_shapes(spark):
     peak = plan_of(QUERIES["peak_concurrency_daily"](spark, SF))
     # the sweep window is day-partitioned, never a global sort
     assert "Window" in peak and "CartesianProduct" not in peak
+
+
+def test_r6_two_phase_window_rewrites(spark):
+    """Pinned plans for the four r5-verdict corpus-fraction-window
+    rewrites + the two-level skyline: no plan may funnel a constant
+    fraction of the corpus through one window task anymore."""
+    import re
+
+    from p6__mapreduce_spark.queries import QUERIES
+
+    # weighted_median_price: the cumulative window must sit ON TOP of
+    # the (flag, price_cents) histogram aggregate, and the old rank-1
+    # row_number pick must be gone (replaced by the min-price agg)
+    wm = plan_of(QUERIES["weighted_median_price"](spark, SF))
+    assert re.search(r"HashAggregate\(keys=\[flag#\d+, price_cents#\d+L?\]", wm), wm
+    assert "row_number" not in wm, wm
+
+    # token_budget_pack: stage-1 exchange keyed by (salt, source),
+    # stage-2 exchange keyed by source alone; the stage-1 rank runs
+    # within the salt group, never per-source
+    tb = plan_of(QUERIES["token_budget_pack"](spark, SF))
+    assert re.search(r"Exchange hashpartitioning\(_salt#\d+L?, source#\d+", tb), tb
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, \d+\)", tb), tb
+    assert re.search(r"row_number.*windowspecdefinition\(_salt#\d+L?, source#\d+", tb), tb
+
+    # rfm_segments: the three global ntile windows are gone; every
+    # row_number rank is local to a range partition (keyed by the
+    # two-phase rank's pid column)
+    rfm = plan_of(QUERIES["rfm_segments"](spark, SF))
+    assert "ntile" not in rfm, rfm
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+)", rfm):
+        assert "_tpr_pid" in spec, rfm
+
+    # quantile_normalize_tokens: the per-source corpus rank window is
+    # gone — the only row_number is the two-phase local rank
+    qn = plan_of(QUERIES["quantile_normalize_tokens"](spark, SF))
+    assert not re.search(r"windowspecdefinition\(source#\d+, n_tokens", qn), qn
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+)", qn):
+        assert "_tpr_pid" in spec, qn
+
+    # pareto_frontier_parts: level 1 is the salt-partitioned local
+    # skyline (64-way parallel); only ONE single-partition exchange
+    # remains — the exact level-2 pass over the bounded skyline union
+    pf = plan_of(QUERIES["pareto_frontier_parts"](spark, SF))
+    assert re.search(r"Exchange hashpartitioning\(_salt#\d+L?", pf), pf
+    assert pf.count("Exchange SinglePartition") == 1, pf
