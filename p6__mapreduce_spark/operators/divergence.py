@@ -40,11 +40,17 @@ def jsd_source_unigrams(docs: DataFrame) -> DataFrame:
     """Pairwise (source_a < source_b) Jensen-Shannon divergence over
     unigram token distributions, with shared-vocabulary size.
 
-    Caveat (by design of the INNER join): a pair of sources with a
-    fully DISJOINT vocabulary emits no row at all rather than the
-    theoretical jsd = ln 2 — natural-language sources always share
-    function words, and the missing-row semantics keeps the plan
-    outer-join-free."""
+    DISJOINT-VOCAB POLICY (decided, by design of the INNER join): a
+    pair of sources sharing ZERO tokens emits no row at all rather
+    than the theoretical maximum jsd = ln 2. Rationale: (a) natural-
+    language sources always share function words, so the case is
+    degenerate in practice; (b) the missing row is unambiguous — every
+    co-occurring pair IS present, so absence itself encodes
+    "no overlap" losslessly (a consumer wanting the ln 2 convention
+    can left-join the source-pair grid — |sources|² rows, tiny — and
+    COALESCE jsd to ln 2 where n_shared_tokens is NULL); and (c) it
+    keeps the corpus-scale plan outer-join-free. The oracle encodes
+    the same inner-join semantics, so both engines agree row-for-row."""
     tokc = (
         docs.select("source", F.explode(tokens_expr("text")).alias("token"))
         .groupBy("source", "token")

@@ -170,7 +170,11 @@ def target_encode_loo(orders: DataFrame, customer: DataFrame) -> DataFrame:
     through the encoder); LOO removes the row's own contribution. A
     single-member segment has no "others", so it falls back to the
     leave-one-out GLOBAL mean (same formula over the whole table) —
-    both branches exact-integer sums with ONE final division.
+    both branches exact-integer sums with ONE final division. On a
+    degenerate one-row table even the global fallback has no
+    "others": that branch is guarded to NULL on both engines (Spark
+    non-ANSI x/0.0 yields NULL but DuckDB double division yields inf
+    — the exact cross-engine mismatch causal.py guards against).
 
     Plan shape: the encoder table is a groupBy over the categorical
     (|segments| rows — tiny) broadcast-joined back; the global
@@ -201,11 +205,12 @@ def target_encode_loo(orders: DataFrame, customer: DataFrame) -> DataFrame:
                 (F.col("seg_sum") - F.col("cents")).cast("double")
                 / (F.col("seg_n") - 1).cast("double"),
             )
-            .otherwise(
+            .when(
+                F.col("g_n") > 1,
                 (F.col("g_sum") - F.col("cents")).cast("double")
-                / (F.col("g_n") - 1).cast("double")
+                / (F.col("g_n") - 1).cast("double"),
             )
-            .alias("loo_mean_cents"),
+            .alias("loo_mean_cents"),  # one-row table: NULL on both engines
         )
         .orderBy("o_orderkey")
     )
@@ -226,7 +231,8 @@ WITH base AS (
 SELECT b.o_orderkey, b.c_mktsegment,
        CASE WHEN s.seg_n > 1
             THEN CAST(s.seg_sum - b.cents AS DOUBLE) / CAST(s.seg_n - 1 AS DOUBLE)
-            ELSE CAST(g.g_sum - b.cents AS DOUBLE) / CAST(g.g_n - 1 AS DOUBLE)
+            WHEN g.g_n > 1
+            THEN CAST(g.g_sum - b.cents AS DOUBLE) / CAST(g.g_n - 1 AS DOUBLE)
        END AS loo_mean_cents
 FROM base b JOIN seg s USING (c_mktsegment) CROSS JOIN gtot g
 ORDER BY b.o_orderkey

@@ -502,8 +502,14 @@ def tfidf_cosine_topk(
     cosine = dot / (sqrt(na)·sqrt(nb)) is the ONLY float — IEEE sqrt
     and division are correctly rounded, so both engines produce the
     identical double and the (cos DESC, doc_b) rank order matches.
-    Overflow headroom: w_q4 ≤ tf·ln(N/df)·1e4 ≈ 1e6 at tf≈10, N=1e12;
-    per-pair dot ≤ shared_terms·1e12 — int64-safe far past 100 TB.
+    Overflow headroom is UNCONDITIONAL because tf clamps at 100 on
+    both engines (a spam-bomb doc repeating one token 1e9 times would
+    otherwise push w_q4 past int64 in the dot products; cosine already
+    saturates long before tf=100, so the clamp only tames adversarial
+    inputs — no test corpus reaches it, max observed tf=14): w_q4 ≤
+    100·ln(N/df)·1e4 ≤ 2.8e7 at N=1e12, per-pair dot ≤
+    shared_terms·7.8e14 — int64-safe to ~11 000 shared terms, far
+    past any real doc at the df cap.
     """
     tf = (
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
@@ -524,7 +530,10 @@ def tfidf_cosine_topk(
         .select(
             "doc_id",
             "token",
-            _q4(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias("wq"),
+            _q4(
+                F.least(F.col("tf"), F.lit(100))
+                * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+            ).alias("wq"),
         )
         # the weight table feeds FOUR consumers (join sides a/b + both
         # norm lookups); without materialization Catalyst re-plans the
@@ -575,7 +584,7 @@ WITH toks AS (
 ), n AS (SELECT COUNT(*) AS n FROM documents),
 w AS (
   SELECT doc_id, token,
-         CAST(floor(tf * ln(n * 1.0e0 / df) * 10000 + 5.0e-1) AS BIGINT) AS wq
+         CAST(floor(LEAST(tf, 100) * ln(n * 1.0e0 / df) * 10000 + 5.0e-1) AS BIGINT) AS wq
   FROM tf JOIN df USING (token) CROSS JOIN n
   WHERE {{cap_predicate}}
 ), norms AS (

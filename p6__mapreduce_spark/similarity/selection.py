@@ -103,8 +103,11 @@ def mmr_diversified_topk(
         )
         .localCheckpoint(eager=True)
     )
+    schema = "step long, doc_id long, rel_q long, mmr_q long"
     chosen: list[tuple[int, int, int, int]] = []  # (step, id, rel_q, mmr_q)
     first = pool.orderBy(F.desc("rel_q"), "vec_id").select("vec_id", "rel_q").first()
+    if first is None:  # empty pool — mirror the oracle's recursion, which
+        return spark.createDataFrame([], schema)  # simply never starts
     chosen.append((1, first["vec_id"], first["rel_q"], lam_num * first["rel_q"]))
     for step in range(2, k + 1):
         sel_ids = [c[1] for c in chosen]
@@ -123,10 +126,10 @@ def mmr_diversified_topk(
             .orderBy(F.desc("score"), "ida")
             .first()  # 1-row driver round-trip per pick (bounded: k rows total)
         )
+        if pick is None:  # pool exhausted before k picks — stop, return
+            break  # the shorter selection (oracle's step < k recursion stops too)
         chosen.append((step, pick["ida"], pick["rel_q"], pick["score"]))
-    return spark.createDataFrame(
-        chosen, "step long, doc_id long, rel_q long, mmr_q long"
-    ).orderBy("step")
+    return spark.createDataFrame(chosen, schema).orderBy("step")
 
 
 def mmr_oracle_sql(
@@ -201,7 +204,10 @@ def kcenter_coreset(embeddings: DataFrame, *, k: int = 8) -> DataFrame:
     kmeans.py Lloyd discipline). localCheckpoint per round keeps the
     plan linear in k."""
     spark = embeddings.sparkSession
+    schema = "step long, center_id long, radius_q long"
     seed = embeddings.orderBy("vec_id").select("vec_id", "embedding").first()
+    if seed is None:  # empty table — the oracle's recursion never seeds
+        return spark.createDataFrame([], schema)
     centers: list[tuple[int, int, int]] = [(1, seed["vec_id"], 0)]
     center_vec = [float(x) for x in seed["embedding"]]
 
@@ -218,6 +224,8 @@ def kcenter_coreset(embeddings: DataFrame, *, k: int = 8) -> DataFrame:
             .select("vec_id", "mind_q", "v")
             .first()  # 1-row maximin round-trip (k rows total)
         )
+        if far is None:  # fewer than k points — return the shorter
+            break  # traversal (oracle's step < k recursion stops too)
         centers.append((step, far["vec_id"], far["mind_q"]))
         cvec = [float(x) for x in far["v"]]
         state = state.select(
@@ -227,9 +235,7 @@ def kcenter_coreset(embeddings: DataFrame, *, k: int = 8) -> DataFrame:
                 F.col("mind_q"), _d2_q("v", F.lit(cvec).cast("array<double>"))
             ).alias("mind_q"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(centers, "step long, center_id long, radius_q long").orderBy(
-        "step"
-    )
+    return spark.createDataFrame(centers, schema).orderBy("step")
 
 
 def kcenter_oracle_sql(*, k: int = 8) -> str:

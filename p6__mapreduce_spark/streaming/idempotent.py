@@ -41,6 +41,13 @@ from p6__mapreduce_spark.sources.sinks import publish_parquet_atomic
 
 KEYS = ("user_id", "event_type")
 
+# The redelivery simulation keeps ONE micro-batch driver-side to
+# replay it verbatim. That collect is gated: above this bound the
+# runner skips the replay proof instead of pulling an unbounded batch
+# through the driver (a cluster-scale redelivery test re-triggers
+# from the checkpoint rather than replaying driver-held rows).
+REPLAY_MAX_ROWS = 100_000
+
 
 def _merge_latest(target_path: str, batch: DataFrame, spark: SparkSession) -> None:
     """Idempotent MERGE: target ∪ batch → keep the latest row per key
@@ -78,11 +85,14 @@ def run_foreachbatch_idempotent_upsert(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         _merge_latest(target, batch, spark)
-        # keep a driver-side copy of THIS batch (bounded: test-scale
-        # runner; a cluster redelivery test would re-trigger from the
-        # checkpoint instead)
-        last_batch_rows.clear()
-        last_batch_rows.extend(batch.collect())
+        # keep a driver-side copy of THIS batch for the replay proof —
+        # gated on the OBSERVED batch size so the collect can never
+        # pull an unbounded micro-batch through the driver
+        if batch.count() <= REPLAY_MAX_ROWS:
+            last_batch_rows.clear()
+            last_batch_rows.extend(batch.collect())
+        else:  # oversized batch: skip the replay proof (documented)
+            last_batch_rows.clear()
 
     stream = (
         spark.readStream.schema(schema)

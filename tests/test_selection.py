@@ -73,3 +73,40 @@ class TestKcenter:
         vecs = [[0.0], [5.0], [9.0]]
         out = kcenter_coreset(_emb(spark, vecs), k=3).collect()
         assert sorted(r["center_id"] for r in out) == [0, 1, 2]
+
+
+class TestShortInputGuards:
+    """r6 ADVICE fix: fewer-than-k candidates must yield the shorter
+    selection (the oracle's step < k recursion just stops), and an
+    empty table must yield an empty frame — never a TypeError from
+    subscripting a None .first()."""
+
+    def test_kcenter_k_exceeds_n_returns_all_points(self, spark):
+        vecs = [[0.0], [5.0]]
+        out = kcenter_coreset(_emb(spark, vecs), k=8).collect()
+        assert sorted(r["center_id"] for r in out) == [0, 1]
+        assert [r["step"] for r in out] == [1, 2]
+
+    def test_kcenter_empty_table_returns_empty(self, spark):
+        out = kcenter_coreset(_emb(spark, []), k=4)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["step", "center_id", "radius_q"]
+
+    def test_mmr_pool_smaller_than_k_returns_pool(self, spark):
+        # 3 candidate vectors besides the query -> only 3 picks possible
+        vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.5, 0.5]]
+        out = mmr_diversified_topk(
+            _emb(spark, vecs), query_vec_id=0, k=8, pool_size=30
+        ).collect()
+        assert len(out) == 3
+        assert [r["step"] for r in out] == [1, 2, 3]
+
+    def test_mmr_only_query_vector_returns_empty(self, spark):
+        out = mmr_diversified_topk(_emb(spark, [[1.0]]), query_vec_id=0, k=5)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "step",
+            "doc_id",
+            "rel_q",
+            "mmr_q",
+        ]

@@ -101,3 +101,12 @@ class TestTargetEncodeLoo:
         got = {r["o_orderkey"]: r["loo_mean_cents"] for r in target_encode_loo(orders, cust).collect()}
         assert got[1] == pytest.approx(3000.0)
         assert got[2] == pytest.approx(1000.0)
+
+    def test_one_row_table_yields_null_not_nan(self, spark):
+        # r6 ADVICE fix: a degenerate one-row table has no "others"
+        # even globally — the fallback division by (g_n - 1) = 0 must
+        # be guarded to NULL on both engines, never inf/NaN
+        cust = self._customer(spark, [(1, "A")])
+        orders = _orders(spark, [(1, 1, 10, _day(0))])
+        out = target_encode_loo(orders, cust).collect()
+        assert len(out) == 1 and out[0]["loo_mean_cents"] is None
