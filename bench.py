@@ -338,6 +338,11 @@ STEADY_SET = frozenset(
         # codegen noise profile as dedup_minhash_lsh
         "dedup_containment",
         "dedup_triangle_stats",
+        # >3.5s cold and variance-prone (r5 verdict #6): the bigram
+        # explode's first-run codegen and the Python-reducer facade's
+        # worker spin-up both need steady-vs-steady deltas
+        "char_bigram_entropy",
+        "mr_facade_wordcount",
     }
 )
 
