@@ -506,16 +506,18 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
     Exactness: Σi·xᵢ is rank-assignment-invariant under ties (equal x
     contribute equally whichever order they take), so the integer
     numerator/denominator are deterministic and the single final IEEE
-    division matches DuckDB bit-for-bit. The global rank window runs
-    AFTER the corpus collapses to |customers| rows — the same
-    bounded-aggregate-then-window shape as order_price_percentiles;
-    at larger |customers| the two-phase partition-offset ranking
-    replaces the single-partition window, leaving results unchanged.
+    division matches DuckDB bit-for-bit. The rank is the exact
+    TWO-PHASE rank (``functions/ranks.py::two_phase_rank``, the swap
+    this docstring used to promise for billion-customer scale — r6):
+    range-repartition → per-partition row_number → bounded
+    partition-count offsets, so no task ever sorts more than
+    |customers|/P rows. Output unchanged, oracle unchanged.
     """
-    ranked = customer_revenue(orders).select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
-    )
+    from p6__mapreduce_spark.functions.ranks import two_phase_rank
+
+    ranked = two_phase_rank(
+        customer_revenue(orders), ["cents", "o_custkey"], rank_col="i"
+    ).select("cents", "i")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").alias("total_cents"),
@@ -530,14 +532,22 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
 def revenue_lorenz_deciles(orders: DataFrame) -> DataFrame:
     """(decile, n_customers, decile_cents, cum_cents, cum_share): the
     Lorenz curve of customer revenue at decile resolution — 'the top
-    10% of customers hold X% of revenue'. Deciles assign by
-    ntile(10) over (cents, custkey) — the custkey tie-break pins the
-    assignment so both engines split ties identically. The cumulative
-    window runs over 10 aggregated rows; cum_share is the single
-    final division."""
-    ranked = customer_revenue(orders).select(
-        "cents", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile")
-    )
+    10% of customers hold X% of revenue'. Deciles assign by the
+    two-phase rank + closed-form ntile split
+    (``functions/ranks.py``, r6 — identical bucket sizing to both
+    engines' ntile(10), so the unchanged ntile oracle still matches
+    bit-for-bit) over (cents, custkey) — the custkey tie-break pins
+    the assignment so both engines split ties identically and no
+    single-task global sort remains. The cumulative window runs over
+    10 aggregated rows; cum_share is the single final division."""
+    from p6__mapreduce_spark.functions.ranks import ntile_expr, two_phase_rank
+
+    ranked = two_phase_rank(
+        customer_revenue(orders),
+        ["cents", "o_custkey"],
+        rank_col="_rk",
+        group_count_col="_n",
+    ).select("cents", ntile_expr(F.col("_rk"), F.col("_n"), 10).alias("decile"))
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").alias("decile_cents"),
@@ -587,3 +597,102 @@ SELECT decile, n_customers, decile_cents,
          / SUM(decile_cents) OVER () AS cum_share
 FROM per ORDER BY decile
 """
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles,
+    5 = best) of the customer base — all three quintiles derive from
+    exact two-phase ranks (``functions/ranks.py``) plus the
+    closed-form ntile split, so no task ever sorts more than
+    |customers|/P rows (the naive form is three UNPARTITIONED
+    ntile(5) windows — three single-task global sorts). Output is
+    bit-identical to the ntile formulation; see q_rfm_segments for
+    the driver-verified oracle."""
+    from p6__mapreduce_spark.functions.ranks import ntile_expr, two_phase_rank
+
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    ranked = two_phase_rank(
+        cust, ["last_day", "o_custkey"], rank_col="_r_rk", group_count_col="_n_all"
+    )
+    ranked = two_phase_rank(ranked, ["n_orders", "o_custkey"], rank_col="_f_rk")
+    ranked = two_phase_rank(ranked, ["cents", "o_custkey"], rank_col="_m_rk")
+    n_all = F.col("_n_all")
+    scored = ranked.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "cents",
+        ntile_expr(F.col("_r_rk"), n_all, 5).alias("r_score"),
+        ntile_expr(F.col("_f_rk"), n_all, 5).alias("f_score"),
+        ntile_expr(F.col("_m_rk"), n_all, 5).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm"),
+    ).orderBy("o_custkey")
+
+
+def pareto_frontier(parts: DataFrame) -> DataFrame:
+    """2D Pareto skyline of (price ↓, size ↑) over the part table,
+    TWO-LEVEL (r6): level 1 salts by xxhash64(p_partkey) % 64 and
+    removes locally-dominated rows within each salt group (a 64-way
+    parallel window pass keeping a superset of the answer — removing
+    only rows a salt-mate strictly dominates; domination is
+    transitive, so every removed row leaves a surviving dominator);
+    level 2 is the exact global pass over the skyline-sized union.
+    See q_pareto_frontier_parts for the decision-identity argument
+    and the driver-verified single-pass oracle."""
+    p = parts.select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    salted = p.withColumn("_salt", F.pmod(F.xxhash64("p_partkey"), F.lit(64)))
+    w_lt_loc = (
+        Window.partitionBy("_salt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq_loc = Window.partitionBy("_salt", "price_cents")
+    loc = salted.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_lt_loc).alias("_bc"),
+        F.max("p_size").over(w_eq_loc).alias("_bs"),
+    )
+    cand = loc.filter(
+        (F.col("_bc").isNull() | (F.col("p_size") > F.col("_bc")))
+        & (F.col("p_size") == F.col("_bs"))
+    ).drop("_bc", "_bs")
+    w_lt = Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.partitionBy("price_cents")
+    s = cand.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_lt).alias("best_cheaper"),
+        F.max("p_size").over(w_eq).alias("best_same_price"),
+    )
+    return (
+        s.filter(
+            (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+            & (F.col("p_size") == F.col("best_same_price"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )

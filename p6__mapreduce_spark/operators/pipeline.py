@@ -251,6 +251,85 @@ def source_cap(
     )
 
 
+def token_budget_pack(
+    docs: DataFrame, *, budget: int = 5000, salts: int = 64
+) -> DataFrame:
+    """Per-source token-budget packing: greedy longest-first document
+    selection until each source's token ``budget`` is hit — the
+    corpus-assembly pass that turns mixture WEIGHTS into an actual
+    bounded training set. Returns one row per source:
+    (source, docs_total, docs_kept, tokens_kept).
+
+    Two-stage salted shape (the ``source_cap`` pattern above): the
+    naive single window per source sorts ~|corpus|/|sources| rows
+    through ONE task, then discards almost all of them against the
+    budget. Instead:
+
+      1. pre-filter within ``(salt, source)`` where salt =
+         xxhash64(doc_id) % salts: keep rows with local
+         ``row_number ≤ budget`` AND local preceding-sum < budget.
+         Superset proof: a globally-kept row has global cum ≤ budget,
+         so (tokens ≥ 1 each) global rank ≤ budget and global
+         preceding-sum < budget; both local statistics only shrink
+         when other salt groups' rows are removed.
+      2. the exact per-source window runs over the survivors — at most
+         ``salts · budget`` rows per source by construction, bounded
+         by configuration, not corpus size.
+
+    Decision identity: every row ahead (in the global longest-first
+    order) of any row the budget keeps survives stage 1 — rows with
+    global rank ≤ budget all survive — so stage-2 cumulative sums are
+    EXACT for every kept row; and a cut row's stage-2 sum still
+    exceeds the budget because its surviving predecessors alone carry
+    ≥ budget tokens (rank-path) or its dominating prefix survives
+    (sum-path). ``docs_total`` rides along as the per-(salt, source)
+    group count carried on each group's rank-1 survivor, so the whole
+    query stays one scan. Verified against the unchanged single-window
+    oracle at three SFs; plan shape pinned in ``tests/test_plans.py``.
+    """
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    salted = toks.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+    w_pre = Window.partitionBy("_salt", "source").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    w_cnt = Window.partitionBy("_salt", "source")
+    pre = (
+        salted.withColumn("_rk", F.row_number().over(w_pre))
+        .withColumn(
+            "_cum_pre",
+            F.sum("n_tokens").over(w_pre.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_cnt_g", F.count(F.lit(1)).over(w_cnt).cast("long"))
+        .filter(
+            (F.col("_rk") <= budget)
+            & (F.col("_cum_pre") - F.col("n_tokens") < budget)
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = pre.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    kept = F.when(F.col("cum") <= budget, F.lit(1)).otherwise(F.lit(0))
+    kept_toks = F.when(F.col("cum") <= budget, F.col("n_tokens")).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_rk") == 1, F.col("_cnt_g")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("docs_total"),
+            F.sum(kept).cast("long").alias("docs_kept"),
+            F.sum(kept_toks).cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def stratified_sample(
     rows: DataFrame,
     rates: dict[str, float],

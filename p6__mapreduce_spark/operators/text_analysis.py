@@ -351,3 +351,58 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
              + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade
 FROM base WHERE n_words > 0 ORDER BY doc_id
 """
+
+
+def quantile_normalize_tokens(docs: DataFrame) -> DataFrame:
+    """Cross-source quantile normalization of document length: each
+    doc's token count is replaced by the pooled corpus distribution's
+    value at the doc's within-source positional quantile. The
+    within-source rank is the exact two-phase rank
+    (``functions/ranks.py``, r6 — the naive per-source window put
+    ~corpus/|sources| rows through one task); the pooled lookup is a
+    broadcast range join into the DISTINCT-value cumulative table
+    (value-domain sized). All-integer rank arithmetic via Spark's
+    ``div``. See q_quantile_normalize_tokens for the driver-verified
+    oracle."""
+    from pyspark.sql import Window
+
+    from p6__mapreduce_spark.functions.ranks import two_phase_rank
+
+    nz = docs.select(
+        "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    ranked = two_phase_rank(
+        nz,
+        ["n_tokens", "doc_id"],
+        group_cols=["source"],
+        rank_col="rn",
+        group_count_col="n_src",
+    ).select("doc_id", "source", "n_tokens", "rn", "n_src")
+    tot = nz.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    targets = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("n_src") > 1,
+            1 + F.expr("((rn - 1) * (n_all - 1)) div (n_src - 1)"),
+        )
+        .otherwise(F.expr("(n_all + 1) div 2"))
+        .cast("long")
+        .alias("g_rank"),
+    )
+    counts = nz.groupBy("n_tokens").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    gdist = counts.select(
+        F.col("n_tokens").alias("v"),
+        F.sum("cnt").over(wcum).cast("long").alias("hi"),
+        (F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long").alias("lo"),
+    )
+    return (
+        targets.join(
+            F.broadcast(gdist),
+            (F.col("g_rank") >= F.col("lo")) & (F.col("g_rank") <= F.col("hi")),
+        )
+        .select("doc_id", "source", "n_tokens", F.col("v").alias("norm_tokens"))
+        .orderBy("doc_id")
+    )

@@ -2680,53 +2680,12 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     group count carried on each group's rank-1 survivor, so the whole
     query stays one scan. Asserted vs the unchanged single-window
     oracle at three SFs and pinned as a plan shape in
-    ``tests/test_plans.py``."""
-    from p6__mapreduce_spark.functions.text import tokens_expr
+    ``tests/test_plans.py``. Full proof + implementation:
+    ``operators/pipeline.py::token_budget_pack``."""
+    from p6__mapreduce_spark.operators.pipeline import token_budget_pack
 
-    budget, salts = 5000, 64
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
-    from pyspark.sql import Window
-
-    salted = toks.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
-    w_pre = Window.partitionBy("_salt", "source").orderBy(
-        F.col("n_tokens").desc(), "doc_id"
-    )
-    w_cnt = Window.partitionBy("_salt", "source")
-    pre = (
-        salted.withColumn("_rk", F.row_number().over(w_pre))
-        .withColumn(
-            "_cum_pre",
-            F.sum("n_tokens").over(w_pre.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("_cnt_g", F.count(F.lit(1)).over(w_cnt).cast("long"))
-        .filter(
-            (F.col("_rk") <= budget)
-            & (F.col("_cum_pre") - F.col("n_tokens") < budget)
-        )
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = pre.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
-    kept = F.when(F.col("cum") <= budget, F.lit(1)).otherwise(F.lit(0))
-    kept_toks = F.when(F.col("cum") <= budget, F.col("n_tokens")).otherwise(F.lit(0))
-    return (
-        ranked.groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("_rk") == 1, F.col("_cnt_g")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("docs_total"),
-            F.sum(kept).cast("long").alias("docs_kept"),
-            F.sum(kept_toks).cast("long").alias("tokens_kept"),
-        )
-        .orderBy("source")
+    return token_budget_pack(
+        load_table(spark, sf_dir, "documents"), budget=5000, salts=64
     )
 
 
@@ -6871,55 +6830,11 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-at-price maxima are unchanged by deleting dominated rows,
     because each deleted row's dominator contributes an equal-or-
     better (price, size) to every window frame the deleted row would
-    have reached. Oracle (single-pass SQL) unchanged."""
-    from pyspark.sql import Window
+    have reached. Oracle (single-pass SQL) unchanged. Implementation:
+    ``operators/analytics.py::pareto_frontier``."""
+    from p6__mapreduce_spark.operators.analytics import pareto_frontier
 
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
-        F.col("p_size").cast("long").alias("p_size"),
-    )
-    salted = p.withColumn("_salt", F.pmod(F.xxhash64("p_partkey"), F.lit(64)))
-    w_lt_loc = (
-        Window.partitionBy("_salt")
-        .orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_eq_loc = Window.partitionBy("_salt", "price_cents")
-    loc = salted.select(
-        "p_partkey",
-        "price_cents",
-        "p_size",
-        F.max("p_size").over(w_lt_loc).alias("_bc"),
-        F.max("p_size").over(w_eq_loc).alias("_bs"),
-    )
-    cand = (
-        loc.filter(
-            (F.col("_bc").isNull() | (F.col("p_size") > F.col("_bc")))
-            & (F.col("p_size") == F.col("_bs"))
-        )
-        .drop("_bc", "_bs")
-    )
-    w_lt = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_eq = Window.partitionBy("price_cents")
-    s = cand.select(
-        "p_partkey",
-        "price_cents",
-        "p_size",
-        F.max("p_size").over(w_lt).alias("best_cheaper"),
-        F.max("p_size").over(w_eq).alias("best_same_price"),
-    )
-    return (
-        s.filter(
-            (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
-            & (F.col("p_size") == F.col("best_same_price"))
-        )
-        .select("p_partkey", "price_cents", "p_size")
-        .orderBy("price_cents", "p_partkey")
-    )
+    return pareto_frontier(load_table(spark, sf_dir, "part"))
 
 
 def _ks_oracle() -> str:
@@ -7002,44 +6917,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to both engines' ntile), so no task ever sorts more than
     |customers|/num_partitions rows. Output is bit-identical to the
     unchanged ntile oracle; the no-single-task-window shape is pinned
-    in ``tests/test_plans.py``."""
-    from p6__mapreduce_spark.functions.ranks import ntile_expr, two_phase_rank
+    in ``tests/test_plans.py``. Implementation:
+    ``operators/analytics.py::rfm_segments``."""
+    from p6__mapreduce_spark.operators.analytics import rfm_segments
 
-    orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1970-01-01"))
-        .cast("long")
-        .alias("last_day"),
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
-    )
-    ranked = two_phase_rank(
-        cust, ["last_day", "o_custkey"], rank_col="_r_rk", group_count_col="_n_all"
-    )
-    ranked = two_phase_rank(ranked, ["n_orders", "o_custkey"], rank_col="_f_rk")
-    ranked = two_phase_rank(ranked, ["cents", "o_custkey"], rank_col="_m_rk")
-    n_all = F.col("_n_all")
-    scored = ranked.select(
-        "o_custkey",
-        "last_day",
-        "n_orders",
-        "cents",
-        ntile_expr(F.col("_r_rk"), n_all, 5).alias("r_score"),
-        ntile_expr(F.col("_f_rk"), n_all, 5).alias("f_score"),
-        ntile_expr(F.col("_m_rk"), n_all, 5).alias("m_score"),
-    )
-    return scored.select(
-        "o_custkey",
-        "last_day",
-        "n_orders",
-        "cents",
-        "r_score",
-        "f_score",
-        "m_score",
-        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
-        .cast("long")
-        .alias("rfm"),
-    ).orderBy("o_custkey")
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
 
 
 def _merkle_oracle() -> str:
@@ -7623,55 +7505,13 @@ def q_quantile_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining windows run on bounded tables (the distinct-value
     cumulative table and the partition-count offsets table). The only
     full-corpus shuffles are the range repartition and the
-    distinct-value groupBy."""
-    from pyspark.sql import Window
+    distinct-value groupBy. Implementation:
+    ``operators/text_analysis.py::quantile_normalize_tokens``."""
+    from p6__mapreduce_spark.operators.text_analysis import (
+        quantile_normalize_tokens,
+    )
 
-    from p6__mapreduce_spark.functions.ranks import two_phase_rank
-    from p6__mapreduce_spark.functions.text import tokens_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    nz = docs.select(
-        "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
-    ranked = two_phase_rank(
-        nz,
-        ["n_tokens", "doc_id"],
-        group_cols=["source"],
-        rank_col="rn",
-        group_count_col="n_src",
-    ).select("doc_id", "source", "n_tokens", "rn", "n_src")
-    tot = nz.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    # `div` is Spark's INTEGER division — exact int64, no double
-    # round-trip (F.floor(a/b) goes through float64 and can misround
-    # once products pass 2^53); DuckDB's // is the same semantics on
-    # non-negative BIGINTs
-    targets = ranked.crossJoin(F.broadcast(tot)).select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.when(
-            F.col("n_src") > 1,
-            1 + F.expr("((rn - 1) * (n_all - 1)) div (n_src - 1)"),
-        )
-        .otherwise(F.expr("(n_all + 1) div 2"))
-        .cast("long")
-        .alias("g_rank"),
-    )
-    counts = nz.groupBy("n_tokens").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
-    gdist = counts.select(
-        F.col("n_tokens").alias("v"),
-        F.sum("cnt").over(wcum).cast("long").alias("hi"),
-        (F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long").alias("lo"),
-    )
-    return (
-        targets.join(
-            F.broadcast(gdist),
-            (F.col("g_rank") >= F.col("lo")) & (F.col("g_rank") <= F.col("hi")),
-        )
-        .select("doc_id", "source", "n_tokens", F.col("v").alias("norm_tokens"))
-        .orderBy("doc_id")
-    )
+    return quantile_normalize_tokens(load_table(spark, sf_dir, "documents"))
 
 
 def _mmr_oracle() -> str:
@@ -9099,7 +8939,9 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     # quantile_normalize_tokens, pareto_frontier_parts) so the driver
     # hash-checks the two-phase rewrites directly
     # (weighted_median_price and token_budget_pack — also rewritten —
-    # sit in the closing-batch block below).
+    # sit in the closing-batch block below; revenue_gini and
+    # revenue_lorenz_deciles in block (d) also moved to the two-phase
+    # rank this round).
     # Still never-verified after this round (50, queued for r7 —
     # rotate ALL of them before registering anything new):
     # dedup_edit_distance, zorder_codes, event_props_variant,

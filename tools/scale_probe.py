@@ -480,6 +480,68 @@ def main() -> None:
             # tests (absolute max_df path) rather than probed here.
         }
     )
+    # round-6 two-phase rewrites: each probe pins the <=2x-at-10x
+    # claim the r5 verdict asked for on the rewritten plans
+    from p6__mapreduce_spark.operators.analytics import (
+        pareto_frontier as _pareto,
+        revenue_gini as _gini,
+        rfm_segments as _rfm,
+    )
+    from p6__mapreduce_spark.operators.intervals import (
+        weighted_median_price as _wmedian,
+    )
+    from p6__mapreduce_spark.operators.pipeline import (
+        token_budget_pack as _tbp,
+    )
+    from p6__mapreduce_spark.operators.text_analysis import (
+        quantile_normalize_tokens as _qnorm,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+
+    def _inflate_part(p, kk):
+        # offset partkeys, identical (price, size) copies: the global
+        # skyline is every copy of each frontier row, so output grows
+        # exactly k x while level-1 local skylines stay tiny
+        out = None
+        for i in range(kk):
+            copy = p.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(i * 100_000_000)
+            )
+            out = copy if out is None else out.unionAll(copy)
+        return out
+
+    ops.update(
+        {
+            # histogram collapse first: the cumulative window input is
+            # |distinct prices| regardless of k — wall should track
+            # the scan only
+            "weighted_median_price": (
+                lambda l: _wmedian(l),
+                li,
+                inflate_lineitem,
+            ),
+            # salted pre-filter keeps <= salts*budget rows per source
+            # at ANY k; stage-2 window input constant
+            "token_budget_pack": (lambda d: _tbp(d), docs_src, _inflate_docs_src),
+            # three chained two-phase ranks over the k x customer
+            # aggregate: per-task sort is |customers|*k/P
+            "rfm_segments": (lambda o: _rfm(o), orders, _inflate_orders),
+            # two-phase global rank over the k x customer aggregate
+            "revenue_gini": (lambda o: _gini(o), orders, _inflate_orders),
+            # two-phase per-source rank + bounded distinct-value
+            # range join (suffixed vocab grows the distinct-value
+            # table k x — still tiny vs corpus)
+            "quantile_normalize_tokens": (
+                lambda d: _qnorm(d),
+                docs_src,
+                _inflate_docs_src,
+            ),
+            # 64-way local skylines then the exact pass over their
+            # union (k x frontier duplicates)
+            "pareto_frontier_parts": (lambda p: _pareto(p), part, _inflate_part),
+        }
+    )
     only = set(sys.argv[3:])
     if only:
         ops = {n: v for n, v in ops.items() if n in only}
