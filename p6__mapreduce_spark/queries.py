@@ -8862,7 +8862,9 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return durbin_watson_daily(load_table(spark, sf_dir, "orders"))
 
 
-# ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the remaining
+# ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
+# which supersedes this planning note; kept for the audit trail):
+# after CORRECTNESS_r05 lands, the remaining
 # never-driver-verified queue ALSO includes the twenty-two round-5
 # closing-batch additions (scd2_user_state, peak_concurrency_daily,
 # weighted_median_price, ipw_uplift_by_segment, cuped_adjusted_lift,
