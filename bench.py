@@ -356,8 +356,14 @@ def _calibrate(spark) -> dict[str, float]:
     0.20->0.56s, pii_redact 0.29->0.76s) — container drift that a
     per-query comparison alone cannot distinguish from a plan
     regression. Two probes, both data-independent and deterministic:
-    a single-thread Python sha256 loop (raw core speed) and a fixed
-    32-partition JVM hash-aggregation job (the Spark execution stack).
+    a single-thread Python sha256 loop (raw core speed), a fixed
+    32-partition JVM hash-aggregation job (the Spark execution stack),
+    and — added r6 after a round where the first two probes ran FASTER
+    while the per-query median drifted +35% — a fixed shuffle+sort
+    window job (exchange write/read + sort + window exec, the
+    machinery most headline queries actually spend their time in;
+    drift can live in the shuffle/disk path while pure-CPU probes
+    stand still).
     """
     import hashlib
 
@@ -371,7 +377,25 @@ def _calibrate(spark) -> dict[str, float]:
         "count(distinct id % 65536) AS c"
     ).collect()
     jvm_s = time.time() - t0
-    return {"py_sha256_s": round(py_s, 4), "jvm_hashagg_s": round(jvm_s, 3)}
+    t0 = time.time()
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(0, 2_000_000, 1, 32)
+        .withColumn("k", _F.pmod(_F.col("id") * 2654435761, _F.lit(1024)))
+        .withColumn(
+            "rn", _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("id")))
+        )
+        .filter(_F.col("rn") <= 3)
+        .count()
+    )
+    shuf_s = time.time() - t0
+    return {
+        "py_sha256_s": round(py_s, 4),
+        "jvm_hashagg_s": round(jvm_s, 3),
+        "jvm_shuffle_window_s": round(shuf_s, 3),
+    }
 
 
 def main() -> None:
