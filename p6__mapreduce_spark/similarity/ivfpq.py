@@ -84,6 +84,8 @@ def knn_ivfpq(
     from pyspark.sql import Window
 
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("IVF-PQ requires a non-empty embeddings table")
     d = int(first["d"])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

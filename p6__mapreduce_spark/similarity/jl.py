@@ -56,7 +56,10 @@ def jl_projection_audit(
     corpus)."""
     from pyspark.sql import Window
 
-    d_full = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    _row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if _row is None:
+        raise ValueError("JL projection audit requires a non-empty embeddings table")
+    d_full = int(_row["d"])
     p_max = max(proj_dims)
     signs = sign_matrix(p_max, d_full)
 

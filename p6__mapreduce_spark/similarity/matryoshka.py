@@ -44,7 +44,10 @@ def matryoshka_recall_audit(
     how many prefixes are audited."""
     from pyspark.sql import Window
 
-    d_full = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    _row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if _row is None:
+        raise ValueError("Matryoshka audit requires a non-empty embeddings table")
+    d_full = int(_row["d"])
     quant = embeddings.select(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     )

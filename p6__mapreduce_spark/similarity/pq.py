@@ -60,6 +60,8 @@ def pq_codes(
     full corpus once, un-materialized. Default None = oracle-pinned
     full-corpus training."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty table: fail with a contract error, not
+        raise ValueError("PQ training requires a non-empty embeddings table")
     d = int(first["d"])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -294,6 +296,8 @@ def knn_pq(
     from pyspark.sql import Window
 
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("PQ encoding requires a non-empty embeddings table")
     d = int(first["d"])
     dsub = d // m
     q, codebooks = _quantize_and_train(

@@ -46,6 +46,8 @@ def run_streaming_click_purchase_join(
         "event_id", "user_id", "event_type", "ts"
     )
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:  # empty events table: nothing to stage into batches
+        raise ValueError("streaming protocol runner requires a non-empty events table")
     mid = lo + (hi - lo) / 2
 
     src = tempfile.mkdtemp(prefix="p6_stream_join_")
@@ -140,6 +142,8 @@ def run_streaming_click_purchase_left_join(
         "event_id", "user_id", "event_type", "ts"
     )
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:  # empty events table: nothing to stage into batches
+        raise ValueError("streaming protocol runner requires a non-empty events table")
     mid = lo + (hi - lo) / 2
 
     src = tempfile.mkdtemp(prefix="p6_stream_ljoin_")
@@ -294,6 +298,8 @@ def run_streaming_click_purchase_full_join(
         "event_id", "user_id", "event_type", "ts"
     )
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:  # empty events table: nothing to stage into batches
+        raise ValueError("streaming protocol runner requires a non-empty events table")
     mid = lo + (hi - lo) / 2
 
     src = tempfile.mkdtemp(prefix="p6_stream_fjoin_")

@@ -220,3 +220,39 @@ class TestParetoTwoLevel:
         parts = self._parts(spark, rows)
         out = {r["p_partkey"] for r in pareto_frontier(parts).collect()}
         assert out == {0, 2}
+
+
+class TestEmptyInputGuards:
+    """r6 proactive audit: every trainer/runner that subscripts a
+    .first() row now raises a contract error on an empty input table
+    instead of a TypeError deep in the loop (the selection.py ADVICE
+    class, applied to the remaining call sites)."""
+
+    def _empty_emb(self, spark):
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_pq_empty_raises_value_error(self, spark):
+        from p6__mapreduce_spark.similarity.pq import pq_codes
+
+        with pytest.raises(ValueError, match="non-empty"):
+            pq_codes(self._empty_emb(spark)).collect()
+
+    def test_ivfpq_empty_raises_value_error(self, spark):
+        from p6__mapreduce_spark.similarity.ivfpq import knn_ivfpq
+
+        with pytest.raises(ValueError, match="non-empty"):
+            knn_ivfpq(self._empty_emb(spark)).collect()
+
+    def test_jl_empty_raises_value_error(self, spark):
+        from p6__mapreduce_spark.similarity.jl import jl_projection_audit
+
+        with pytest.raises(ValueError, match="non-empty"):
+            jl_projection_audit(self._empty_emb(spark)).collect()
+
+    def test_matryoshka_empty_raises_value_error(self, spark):
+        from p6__mapreduce_spark.similarity.matryoshka import matryoshka_recall_audit
+
+        with pytest.raises(ValueError, match="non-empty"):
+            matryoshka_recall_audit(self._empty_emb(spark)).collect()
