@@ -49,6 +49,7 @@ def two_phase_rank(
     rank_col: str = "_rank",
     group_count_col: str | None = None,
     num_partitions: int | None = None,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Append ``rank_col`` = exact 1-based ``row_number`` over
     ``order_cols`` within each ``group_cols`` group (global rank when
@@ -57,9 +58,31 @@ def two_phase_rank(
     When ``group_count_col`` is given, also append the group's total
     row count (the ``n`` of an ntile computation) — it falls out of
     the same bounded counts table for free.
+
+    CONTRACT: ``(group_cols…, order_cols…)`` must be unique per row —
+    equal full keys could straddle a range boundary and the local
+    ranks would silently double-count. Every call site ends
+    ``order_cols`` with a key column. Pass ``check_unique=True`` (used
+    by the equivalence tests; one extra aggregation job) to enforce
+    the contract at runtime instead of trusting the caller.
+
+    Fault-tolerance note (SCALE.md §two-phase-rank): ``localCheckpoint``
+    pins the sampled range boundaries on EXECUTOR-LOCAL storage — fast,
+    but not recomputable after executor loss. On a long-lived 100 TB
+    cluster job, swap it for a reliable ``checkpoint()`` (HDFS-backed)
+    or ``persist(DISK_ONLY_2)``; the plan is otherwise identical.
     """
     order_cols = list(order_cols)
     group_cols = list(group_cols)
+    if check_unique:
+        total = df.count()
+        distinct = df.select(*group_cols, *order_cols).distinct().count()
+        if distinct != total:
+            raise ValueError(
+                "two_phase_rank: (group_cols, order_cols) is not a unique "
+                f"key — {total} rows but only {distinct} distinct keys; "
+                "append a tiebreak column (ranks would double-count)"
+            )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     keyed = (

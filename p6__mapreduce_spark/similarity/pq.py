@@ -60,7 +60,8 @@ def pq_codes(
     full corpus once, un-materialized. Default None = oracle-pinned
     full-corpus training."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
-    if first is None:  # empty table: fail with a contract error, not
+    # empty table: fail with a contract error, not a TypeError downstream
+    if first is None:
         raise ValueError("PQ training requires a non-empty embeddings table")
     d = int(first["d"])
     if d % m:

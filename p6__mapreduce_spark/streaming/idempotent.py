@@ -15,24 +15,28 @@ merge function (union → row_number over (key ORDER BY ts DESC,
 event_id DESC) → keep rank 1) is a deterministic idempotent fold —
 applying the same batch twice yields the byte-identical target. The
 runner PROVES it per run: after the stream drains, it re-applies the
-final micro-batch (simulated redelivery) and asserts the target's
-sorted contents are unchanged, failing fast rather than hash-diffing
-downstream.
+final micro-batch (simulated redelivery) and asserts the target is
+unchanged via a DISTRIBUTED checksum — (row count, order-independent
+XOR fold, modular-sum fold of a per-row xxhash64 over every column) —
+three scalars through the driver, never the table. A checksum
+collision masking a real divergence needs a simultaneous XOR- and
+sum-preserving row change (~2^-128); the failure mode of the old
+full-collect comparison (driver OOM at scale) is gone.
 
 Scale shape: state lives in the target table, not executor memory;
 each merge shuffles only (target ∪ batch) on the key — at 100 TB the
 target would be a bucketed/lakehouse table so the merge co-locates,
 and the swap becomes the format's transactional commit. The memory
-path here keeps the plumbing (schema, merge plan, swap protocol)
-identical.
+path here keeps the plumbing (schema, merge plan, swap protocol,
+checksum proof) identical.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -47,6 +51,20 @@ KEYS = ("user_id", "event_type")
 # through the driver (a cluster-scale redelivery test re-triggers
 # from the checkpoint rather than replaying driver-held rows).
 REPLAY_MAX_ROWS = 100_000
+
+
+def table_checksum(df: DataFrame) -> tuple:
+    """Order-independent distributed table fingerprint: (row count,
+    bit_xor of per-row xxhash64 over ALL columns, sum of the same
+    hashes as decimal(38,0) — exact, cannot overflow below ~10^18
+    rows). One aggregation job, three scalars to the driver."""
+    h = F.xxhash64(*df.columns)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+    ).first()
+    return (row["n"], row["x"], str(row["s"]))
 
 
 def _merge_latest(target_path: str, batch: DataFrame, spark: SparkSession) -> None:
@@ -86,13 +104,14 @@ def run_foreachbatch_idempotent_upsert(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         _merge_latest(target, batch, spark)
         # keep a driver-side copy of THIS batch for the replay proof —
-        # gated on the OBSERVED batch size so the collect can never
-        # pull an unbounded micro-batch through the driver
-        if batch.count() <= REPLAY_MAX_ROWS:
-            last_batch_rows.clear()
-            last_batch_rows.extend(batch.collect())
-        else:  # oversized batch: skip the replay proof (documented)
-            last_batch_rows.clear()
+        # ONE limit-bounded job (not count-then-collect): fetch at most
+        # REPLAY_MAX_ROWS+1 rows; the sentinel extra row means the
+        # batch is oversized and the replay proof is skipped rather
+        # than pulling an unbounded micro-batch through the driver
+        rows = batch.limit(REPLAY_MAX_ROWS + 1).collect()
+        last_batch_rows.clear()
+        if len(rows) <= REPLAY_MAX_ROWS:
+            last_batch_rows.extend(rows)
 
     stream = (
         spark.readStream.schema(schema)
@@ -106,31 +125,26 @@ def run_foreachbatch_idempotent_upsert(
         query.stop()
         shutil.rmtree(src, ignore_errors=True)
 
-    def _snapshot() -> list:
-        return sorted(
-            spark.read.parquet(target).collect(),
-            key=lambda r: (r.user_id, r.event_type),
-        )
-
-    before = _snapshot()
+    # redelivery proof: distributed checksum before and after
+    # re-applying the final batch — three scalars cross the driver,
+    # never the target table (checksum-based per the 100 TB contract)
+    before = table_checksum(spark.read.parquet(target))
     if last_batch_rows:  # redelivery: re-apply the final batch verbatim
         replay = spark.createDataFrame(last_batch_rows, schema=schema)
         _merge_latest(target, replay, spark)
-    after = _snapshot()
+    after = table_checksum(spark.read.parquet(target))
     assert before == after, (
         "foreachBatch upsert is NOT idempotent: redelivering the final "
-        f"micro-batch changed {sum(a != b for a, b in zip(before, after))} rows"
+        f"micro-batch changed the target checksum {before} -> {after}"
     )
-    out = (
+    # the returned DataFrame lazily reads the published target; keep the
+    # temp dir alive for the session (process-exit cleanup) instead of
+    # collecting the whole table through the driver to re-materialize it
+    atexit.register(shutil.rmtree, tgt_root, ignore_errors=True)
+    return (
         spark.read.parquet(target)
         .select("user_id", "event_type", "ts", "value")
         .orderBy("user_id", "event_type")
-    )
-    # materialize before the temp target dir is removed
-    rows = out.collect()
-    shutil.rmtree(tgt_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema=out.schema).orderBy(
-        "user_id", "event_type"
     )
 
 
