@@ -10,12 +10,14 @@ Each query is forced with a count() action (no driver-side collect of
 result payloads). A warm-up action runs first so JVM/codegen startup
 isn't attributed to the first query.
 
-Excluded from the headline set (still available in queries()):
-embedding_neardup_exact (opt-in O(n^2) baseline — the timed scale path
-is embedding_neardup's LSH bucketing), dedup_simhash_pairs (this
+Excluded from the headline set (still available in queries()) — the
+ONLY three exclusions as of r7, each deliberate: embedding_neardup_exact
+(opt-in O(n^2) baseline — the timed scale path is embedding_neardup's
+LSH bucketing) and dedup_simhash_pairs / dedup_simhash64_pairs (this
 synthetic shared-vocabulary corpus puts ~10% of ALL doc pairs within
-hamming 3, so its runtime measures output cardinality — a data
-property — not the banded plan), and the hypothesis-style micro ops.
+hamming 3, so their runtime measures output cardinality — a data
+property — not the banded plan). Everything else in the registry is
+timed every round, including the streaming protocol runners (r7).
 
 If a previous round's bench artifact exists in the repo root, the JSON
 line also carries "prev_total", "delta_total" and a "regressions" map
@@ -304,6 +306,30 @@ HEADLINE = [
     "clicks_full_outer_streaming",
     "token_budget_pack",
     "tukey_outlier_fences",
+    # r7 scope widening (r6 verdict gap #6): the 17 previously
+    # unbenched registry queries — reference parity straggler, text
+    # pipeline singles, TPC-H Q3, and the six remaining streaming
+    # protocol runners (each sets up its own file-source stream and
+    # runs it to completion, so their times carry fixed stream-setup
+    # cost on top of query time; totals are NOT comparable with
+    # r<=6 artifacts — see BENCH_NOTES_r7.md)
+    "mr_facade_sort",
+    "tpch_q3_shipping",
+    "lang_id",
+    "quality_score",
+    "bigram_freq",
+    "winnow_fingerprints",
+    "dedup_incremental",
+    "clean_corpus",
+    "brand_volume",
+    "approx_stats",
+    "events_window_streaming",
+    "events_dedup_streaming",
+    "clicks_to_purchases_streaming",
+    "clicks_left_outer_streaming",
+    "stateful_running_totals",
+    "append_finalized_windows_streaming",
+    "session_windows_streaming",
 ]
 
 
