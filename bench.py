@@ -532,14 +532,27 @@ def main() -> None:
         # re-run each flagged query once and report the steady-state
         # time: recheck <= prev means first-run noise, not a plan
         # regression.
-        machine_ratio = out.get("machine_ratio", 1.0)
+        # drift factor for the verdict: the WORST of the calibration
+        # probes, not just hashagg — r6's same-tree drift hit the
+        # shuffle path (jvm_shuffle_window_s 2.6 -> 3.1 while hashagg
+        # stayed flat), and nearly every registry query shuffles, so
+        # judging rechecks against hashagg alone mislabels pure
+        # shuffle-path box drift as "investigate"
+        drift_ratio = out.get("machine_ratio", 1.0)
+        if isinstance(prev_cal.get("jvm_shuffle_window_s"), (int, float)):
+            shuffle_ratio = round(
+                calibration["jvm_shuffle_window_s"] / prev_cal["jvm_shuffle_window_s"],
+                3,
+            )
+            out["shuffle_ratio"] = shuffle_ratio
+            drift_ratio = max(drift_ratio, shuffle_ratio)
         for n, entry in out["regressions"].items():
             t0 = time.time()
             QUERIES[n](spark, sf_dir).count()
             entry["recheck_steady"] = round(time.time() - t0, 3)
             if entry["recheck_steady"] <= entry["prev"] * 1.15:
                 entry["verdict"] = "first_run_noise"
-            elif entry["recheck_steady"] <= entry["prev"] * max(machine_ratio, 1.0) * 1.15:
+            elif entry["recheck_steady"] <= entry["prev"] * max(drift_ratio, 1.0) * 1.15:
                 # slower than last round, but by no more than the
                 # calibration probes say THIS CONTAINER is slower —
                 # environment drift, not a plan regression
