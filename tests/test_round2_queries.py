@@ -108,27 +108,37 @@ def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
 
 
 def test_verified_window_spends_all_50_slots_on_oracles():
-    """The driver verifies the first 50 registered queries; every one
-    of those slots must be oracle-backed, parity + the LLM-pipeline
-    core must sit inside the window, and the rows-only estimator
-    queries must sit outside it."""
+    """The driver verifies the first 50 registered queries, in
+    registration order — the window head must match VERIFIED_WINDOW
+    exactly and (r7 policy) hold precisely the queries that had never
+    had a driver-verified row after round 6, all oracle-backed except
+    the one inherently rows-only estimator left in the debt
+    (sketch_weekly_users, which takes the weaker rows-only check)."""
     from p6__mapreduce_spark.queries import QUERIES, VERIFIED_WINDOW, get_oracle_sql
 
     keys = list(QUERIES)
     assert keys[: len(VERIFIED_WINDOW)] == list(VERIFIED_WINDOW)
     assert len(VERIFIED_WINDOW) == 50
     oracles = get_oracle_sql()
-    assert all(k in oracles for k in VERIFIED_WINDOW)
-    # round-4 policy: the six reference-parity queries stay pinned every
-    # round; the remaining slots rotate to maximize CUMULATIVE driver
-    # coverage (round 4 spends them on the 36 never-driver-verified
-    # oracle-backed queries + 8 one-round holdovers). The old "LLM core
-    # must sit in-window" invariant retired once every core query had
-    # two rounds of driver-green history (CORRECTNESS_r01-r03).
+    missing = [
+        k for k in VERIFIED_WINDOW if k not in oracles and k != "sketch_weekly_users"
+    ]
+    assert not missing, missing
+    # r7 policy (COVERAGE.md "Round 7"): the six reference-parity
+    # queries are unpinned for THIS round only — six consecutive
+    # driver-green rounds plus the golden replay suites in every gate —
+    # so the whole 50-slot window pays off the verification debt in one
+    # rotation. They must still be registered (and return to the pinned
+    # head slots in round 8: re-assert `parity <= set(VERIFIED_WINDOW[:6])`
+    # when the r8 rotation lands).
     parity = {
         "wordcount_lines", "wordcount_union", "distinct_sorted",
         "range_bucket_sort", "mr_facade_wordcount", "mr_facade_sort",
     }
-    assert parity <= set(VERIFIED_WINDOW[:6])
-    for rows_only in ("approx_stats", "sketch_weekly_users"):
-        assert rows_only in keys and rows_only not in keys[:50]
+    assert parity <= set(keys)
+    assert parity.isdisjoint(VERIFIED_WINDOW)  # r7 only — see above
+    # approx_stats already has its rows-only driver row (r2); it stays
+    # out-of-window. sketch_weekly_users is IN the r7 window to collect
+    # its rows-only driver row — the last query without one.
+    assert "approx_stats" in keys and "approx_stats" not in keys[:50]
+    assert "sketch_weekly_users" in keys[:50]
