@@ -8940,6 +8940,16 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_weekly_users is inherently rows-only (estimator sketch, no
 # static oracle; within-error-of-exact asserted in tests) — it takes
 # the weaker rows-only driver check, the last such query to do so.
+#
+# ROUND-8 PLAN (write the rotation against CORRECTNESS_r07 when it
+# lands): (1) re-pin the parity six at the window head and re-enable
+# the `parity <= set(VERIFIED_WINDOW[:6])` assertion in
+# tests/test_round2_queries.py; (2) re-verify any r7 window entry
+# whose driver row failed (expected none — all 50 pre-validated at
+# sf0.01, ORACLE_LOCAL_r7_*); (3) with the debt at zero, new
+# registrations may resume, sized <= 44/batch so each batch earns its
+# driver rows within ONE rotation — never let never-verified backlog
+# exceed one window again.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # r4-era leftovers (waited longest)
     "dedup_edit_distance",
