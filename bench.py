@@ -382,6 +382,16 @@ STEADY_SET = frozenset(
         # worker spin-up both need steady-vs-steady deltas
         "char_bigram_entropy",
         "mr_facade_wordcount",
+        # r7: the residual investigate flag and its family — iterative
+        # loops of tiny jobs (BPE: ~30 merge rounds; DSIR: bucket-model
+        # aggregates) whose wall is scheduler+shuffle latency; isolated
+        # probes measured 3.6-5.7s on the SAME pinned plan within
+        # minutes (BENCH_NOTES_r7.md), so only steady-vs-steady deltas
+        # are readable
+        "bpe_learn_merges",
+        "dsir_weights",
+        "dsir_resample_topk",
+        "winnow_fingerprints",
     }
 )
 
