@@ -404,3 +404,74 @@ def test_round5_final_queries_partition_invariant(spark):
                     assert got == base and len(base) > 0, q.__name__
     finally:
         qmod.load_table = orig
+
+
+# --- r7: two-phase ranking primitives under fuzzed shapes ------------
+# two_phase_rank's correctness argument (range boundary + offset join)
+# must hold for ANY group skew / duplicate density / partition count,
+# not just the fixed shapes in test_ranks.py. The model is Python
+# sorting; ntile_expr's model is the SQL-standard bucket split.
+
+rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # duplicate-heavy sort value
+        st.sampled_from(["a", "b", "c", "d"]),   # group
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rank_rows, st.sampled_from([1, 3, 7, 50]))
+@spark_settings
+def test_two_phase_rank_matches_python_model(spark, rows, nparts):
+    from p6__mapreduce_spark.functions.ranks import two_phase_rank
+
+    df = spark.createDataFrame(
+        [(i, v, g) for i, (v, g) in enumerate(rows)], "id long, v long, g string"
+    )
+    got = {
+        (r.g, r.id): r.rk
+        for r in two_phase_rank(
+            df, ["v", "id"], group_cols=["g"], rank_col="rk", num_partitions=nparts
+        ).collect()
+    }
+    model: dict = {}
+    by_g: dict = {}
+    for i, (v, g) in enumerate(rows):
+        by_g.setdefault(g, []).append((v, i))
+    for g, vals in by_g.items():
+        for rank, (v, i) in enumerate(sorted(vals), start=1):
+            model[(g, i)] = rank
+    assert got == model
+
+
+@given(
+    st.integers(min_value=1, max_value=200),  # group size n
+    st.integers(min_value=1, max_value=12),   # tiles
+)
+@settings(max_examples=40, deadline=None)
+def test_ntile_expr_matches_sql_standard_split(n, tiles):
+    # pure column math — evaluate the closed form in Python against the
+    # SQL-standard definition: first (n mod t) buckets get ceil(n/t)
+    q, r = divmod(n, tiles)
+    def model(rank):
+        big = r * (q + 1)
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - big - 1) // q + 1 if q else r
+    # Spark evaluation of the expression over all ranks 1..n at once
+    from pyspark.sql import functions as F
+    from p6__mapreduce_spark.functions.ranks import ntile_expr
+    from p6__mapreduce_spark.session import get_session
+
+    spark = get_session("ntile_prop")
+    out = (
+        spark.range(1, n + 1)
+        .select(
+            F.col("id").alias("rank"),
+            ntile_expr(F.col("id"), F.lit(n).cast("long"), tiles).alias("t"),
+        )
+        .collect()
+    )
+    assert {r_.rank: r_.t for r_ in out} == {k: model(k) for k in range(1, n + 1)}
