@@ -142,3 +142,24 @@ def test_verified_window_spends_all_50_slots_on_oracles():
     # its rows-only driver row — the last query without one.
     assert "approx_stats" in keys and "approx_stats" not in keys[:50]
     assert "sketch_weekly_users" in keys[:50]
+
+
+def test_bench_scope_covers_registry_except_documented_exclusions():
+    """r7 invariant (r6 verdict gap #6): every registered query is
+    timed every round — in the headline set or the protocol-runner
+    section — except the three documented output-cardinality /
+    opt-in-quadratic baselines. Guards against silent bench-coverage
+    drift as the registry grows."""
+    from bench import HEADLINE, PROTOCOL_RUNNERS
+    from p6__mapreduce_spark.queries import QUERIES
+
+    assert set(HEADLINE).isdisjoint(PROTOCOL_RUNNERS)
+    assert len(HEADLINE) == len(set(HEADLINE))
+    timed = set(HEADLINE) | set(PROTOCOL_RUNNERS)
+    assert timed <= set(QUERIES)  # no stale names
+    untimed = set(QUERIES) - timed
+    assert untimed == {
+        "dedup_simhash_pairs",
+        "dedup_simhash64_pairs",
+        "embedding_neardup_exact",
+    }, untimed
