@@ -6,9 +6,26 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ...}
 
+SINCE r8 the stdout line is a bounded SUMMARY (total, calibration,
+machine/shuffle ratios, regressions, protocol_total, and only the 15
+slowest per-query timings): the full 241-query single-line payload
+overran the driver's stdout tail capture three rounds running
+(BENCH_r05..r07 all landed `parsed: null`), losing the round's
+headline numbers driver-side. The COMPLETE per-query payload is
+written to BENCH_LOCAL_r{N}.json (committed every round — already the
+round-over-round artifact of record, see _previous_round), and the
+summary line carries a "queries_full_in" pointer to it.
+
 Each query is forced with a count() action (no driver-side collect of
 result payloads). A warm-up action runs first so JVM/codegen startup
-isn't attributed to the first query.
+isn't attributed to the first query. Every timed query (headline and
+protocol-runner alike) runs inside its own try/except — a single
+failure records an "errors" entry instead of aborting the run, so the
+headline artifact always lands (r7 ADVICE: the protocol runners are
+the flakiest queries in the registry; one hang/failure must not lose
+the round's timings). Protocol runners additionally get a SIGALRM
+watchdog because state-store/micro-batch scheduling can hang, not
+just fail.
 
 Excluded from the headline set (still available in queries()) — the
 ONLY three exclusions as of r7, each deliberate: embedding_neardup_exact
@@ -464,27 +481,56 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     steady: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — artifact must land
+            errors[name] = repr(exc)[:200]
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # isolate queries: no cross-query cache memory
         if name in STEADY_SET:
             runs = [timings[name]]
             for _ in range(2):
                 t0 = time.time()
-                QUERIES[name](spark, sf_dir).count()
+                try:
+                    QUERIES[name](spark, sf_dir).count()
+                except Exception:  # steady sample is optional signal
+                    break
                 runs.append(round(time.time() - t0, 3))
                 spark.catalog.clearCache()
-            steady[name] = {"cold": runs[0], "steady": sorted(runs)[1]}
+            steady[name] = {"cold": runs[0], "steady": sorted(runs)[len(runs) // 2]}
 
     # streaming protocol runners: timed every round, reported
-    # separately (not in the headline total — see PROTOCOL_RUNNERS)
-    protocol: dict[str, float] = {}
+    # separately (not in the headline total — see PROTOCOL_RUNNERS).
+    # Each gets exception isolation AND a watchdog alarm: these stage
+    # their own file-source streams through the state store across
+    # forced micro-batches — the flakiest queries in the registry
+    # (measured 15-70s swings) — and a hang here must not lose the
+    # whole round's timings.
+    import signal
+
+    def _alarm(signum, frame):  # noqa: ARG001
+        raise TimeoutError("protocol runner watchdog (900s)")
+
+    protocol: dict[str, float | None] = {}
     for name in PROTOCOL_RUNNERS:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        protocol[name] = round(time.time() - t0, 3)
+        old_handler = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(900)
+        try:
+            QUERIES[name](spark, sf_dir).count()
+            protocol[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            protocol[name] = None
+            errors[name] = repr(exc)[:200]
+            spark.sparkContext.cancelAllJobs()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -495,10 +541,12 @@ def main() -> None:
         "queries": timings,
         "steady": steady,
         "protocol_runners": protocol,
-        "protocol_total": round(sum(protocol.values()), 3),
+        "protocol_total": round(sum(v for v in protocol.values() if v), 3),
         "calibration": calibration,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     root = os.path.dirname(os.path.abspath(__file__))
     prev = _previous_round(root)
     if prev:
@@ -560,6 +608,14 @@ def main() -> None:
             t0 = time.time()
             QUERIES[n](spark, sf_dir).count()
             entry["recheck_steady"] = round(time.time() - t0, 3)
+            # r7 ADVICE: record BOTH probe ratios in every verdict
+            # entry, so a reader can see whether the applied
+            # max(hash-agg, shuffle) drift allowance was carried by
+            # the probe that actually matches the query's bound
+            # (documented tradeoff: we don't tag queries shuffle- vs
+            # cpu-bound, we expose the inputs instead)
+            entry["machine_ratio"] = out.get("machine_ratio")
+            entry["shuffle_ratio"] = out.get("shuffle_ratio")
             if entry["recheck_steady"] <= entry["prev"] * 1.15:
                 entry["verdict"] = "first_run_noise"
             elif entry["recheck_steady"] <= entry["prev"] * max(drift_ratio, 1.0) * 1.15:
@@ -570,11 +626,45 @@ def main() -> None:
             else:
                 entry["verdict"] = "investigate"
             spark.catalog.clearCache()
-    _write_local_artifact(root, out)
-    print(json.dumps(out))
+    artifact = _write_local_artifact(root, out)
+    print(json.dumps(_summary_line(out, artifact)))
 
 
-def _write_local_artifact(root: str, out: dict) -> None:
+def _summary_line(out: dict, artifact: str | None) -> dict:
+    """The single driver-parseable stdout line (r7 verdict #2): every
+    scalar signal, the regressions map, and only the 15 slowest
+    per-query timings — bounded at ~1.5 KB so no stdout tail capture
+    can truncate it mid-object. The full queries/steady/protocol maps
+    live in the committed local artifact named by "queries_full_in"."""
+    keep = (
+        "metric",
+        "value",
+        "unit",
+        "sf",
+        "calibration",
+        "protocol_total",
+        "prev_round",
+        "prev_source",
+        "prev_total",
+        "delta_total",
+        "machine_ratio",
+        "shuffle_ratio",
+        "regressions",
+        "errors",
+    )
+    summary = {k: out[k] for k in keep if k in out}
+    timings = out.get("queries", {})
+    summary["n_queries"] = len(timings)
+    summary["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    summary["queries_note"] = "15 slowest of n_queries; full map in queries_full_in"
+    if artifact is not None:
+        summary["queries_full_in"] = os.path.basename(artifact)
+    return summary
+
+
+def _write_local_artifact(root: str, out: dict) -> str | None:
     """Persist this run's FULL parsed payload as BENCH_LOCAL_r{N}.json
     (N = current round = latest driver BENCH_r*.json + 1, or 1).
     Committed each round, it guarantees `_previous_round` always finds
@@ -593,7 +683,8 @@ def _write_local_artifact(root: str, out: dict) -> None:
         with open(dst, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError:
-        pass  # bench output on stdout is still the artifact of record
+        return None  # summary on stdout still lands
+    return dst
 
 
 def _previous_round(root: str) -> dict | None:

@@ -75,8 +75,16 @@ def two_phase_rank(
     order_cols = list(order_cols)
     group_cols = list(group_cols)
     if check_unique:
-        total = df.count()
-        distinct = df.select(*group_cols, *order_cols).distinct().count()
+        # ONE aggregation job scanning the input once (count_distinct
+        # over a struct keeps DISTINCT-row-count null semantics: the
+        # struct itself is never null, so null-containing keys still
+        # count) — a nondeterministic or expensive upstream is not
+        # evaluated twice.
+        row = df.agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.count_distinct(F.struct(*group_cols, *order_cols)).alias("_d"),
+        ).first()
+        total, distinct = row["_t"], row["_d"]
         if distinct != total:
             raise ValueError(
                 "two_phase_rank: (group_cols, order_cols) is not a unique "

@@ -1,8 +1,8 @@
 """Portable HyperLogLog (Flajolet et al. 2007) with an EXACT oracle.
 
-``approx_stats`` / ``sketch_weekly_users`` use Spark's built-in HLL++
-whose register layout is engine-private, so those queries get only a
-rows-only driver check. This module is the portable counterpart: the
+``approx_stats`` uses Spark's built-in HLL++ whose register layout is
+engine-private, so that query gets only a rows-only driver check.
+This module is the portable counterpart: the
 register array is built from the repo's engine-portable affine hash,
 every register value is an exact integer max, and the harmonic-mean
 denominator Z = Σ 2^-r is carried as the exact int64 numerator
@@ -49,13 +49,13 @@ def _mix32(col: Column) -> Column:
     return h.bitwiseXOR(F.shiftright(h, 16))
 
 
-def _rho_expr(v: Column) -> Column:
-    """1 + leading zeros of the 24-bit value = 25 - bit_length(v),
-    bit_length counted against a powers-of-two literal (exact, no
-    log2): v = 0 gives the maximal rho 25."""
-    powers = F.lit([1 << i for i in range(VBITS)])
+def _rho_expr(v: Column, vbits: int = VBITS) -> Column:
+    """1 + leading zeros of the ``vbits``-bit value = vbits+1 -
+    bit_length(v), bit_length counted against a powers-of-two literal
+    (exact, no log2): v = 0 gives the maximal rho vbits+1."""
+    powers = F.lit([1 << i for i in range(vbits)])
     bitlen = F.size(F.filter(powers, lambda p: p <= v))
-    return F.lit(VBITS + 1) - bitlen
+    return F.lit(vbits + 1) - bitlen
 
 
 def hll_portable_audit(events: DataFrame) -> DataFrame:
@@ -142,4 +142,174 @@ def hll_audit_oracle_sql() -> str:
            ex.exact_distinct
     FROM sk JOIN ex USING (event_type)
     ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Weekly distinct-user rollup on the portable sketch (r8: replaces the
+# rows-only hll_sketch_agg version so sketch_weekly_users becomes
+# hash-verifiable — the last estimator query without a real oracle)
+# ---------------------------------------------------------------------------
+
+# Rollup geometry: p = 10 index bits -> m = 1024 registers (22 value
+# bits remain). Chosen for the weekly-users cardinality regime: the
+# small-range (linear-counting) branch is accurate for n up to ~2.5m,
+# and the raw-HLL branch takes over beyond it — ~3% realized error at
+# every tested scale factor instead of the ~6.5% the audit's m = 256
+# would give here.
+P_W = 10
+M_W = 1 << P_W
+VBITS_W = 32 - P_W  # 22
+ALPHA_W = 0.7213 / (1 + 1.079 / M_W)  # same Python literal both engines
+
+# Small-range correction WITHOUT in-engine libm: linear counting needs
+# ln(m/V) for V = number of EMPTY registers, and V has only m possible
+# values — so the whole ln table is precomputed here in integer
+# nano-units and embedded as the SAME plan literal in both engines
+# (the time_decayed_user_value discipline). Estimate = m * LN[V] / 1e9
+# is then a fixed-shape exact-integer-to-double expression that both
+# engines round identically.
+import math as _math
+
+LN_NANO_W: list[int] = [round(_math.log(M_W / v) * 1e9) for v in range(1, M_W + 1)]
+
+
+def weekly_users_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: per-day portable-HLL registers of
+    distinct users, MAX-merged into per-week estimates WITHOUT
+    rescanning the days — the incremental pattern a 100 TB event store
+    needs (each day's partition is scanned once ever; any window is
+    answered by merging kilobyte register tables).
+
+    Output per ISO week: ``approx_weekly_users`` (linear-counting
+    branch when raw <= 2.5m and empty registers exist, raw HLL
+    otherwise — branch condition computed from identical integers in
+    both engines, so the branch itself is deterministic),
+    ``sum_daily_naive`` (the WRONG sum-of-daily-distincts rollup, for
+    contrast), ``n_days``, and the sketch state (``n_hit_regs``,
+    ``s_q``) so the driver hash pins the registers, not just the
+    estimate.
+
+    Plan: one map-side hash projection; (day, idx) MAX shuffle bounded
+    at |days| x 1024 rows; week merge and collapse run on that bounded
+    table. The exact-daily contrast branch is a standard two-level
+    distinct agg. No driver state; no floats before the single final
+    estimate expression.
+    """
+    w = _mix32(F.col("user_id"))
+    daily_regs = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            w.bitwiseAND(F.lit(M_W - 1)).alias("idx"),
+            _rho_expr(F.shiftright(w, P_W), VBITS_W).alias("rho"),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    weekly_regs = (
+        daily_regs.groupBy(F.weekofyear("day").alias("week"), "idx")
+        .agg(F.max("r").alias("r"))
+    )
+    # common denominator 2^(vbits+1): S = sum 2^(vbits+1-r), absent
+    # registers contribute 2^(vbits+1) each
+    top = VBITS_W + 1  # 23
+    pows = F.lit([1 << i for i in range(top + 1)])  # 2^0 .. 2^23
+    sk = weekly_regs.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_hit_regs"),
+        F.sum(F.element_at(pows, (F.lit(top + 1) - F.col("r")).cast("int"))).alias(
+            "s_hit"
+        ),
+    )
+    daily_exact = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_daily"))
+    )
+    weekly_exact = daily_exact.groupBy(F.weekofyear("day").alias("week")).agg(
+        F.sum("exact_daily").cast("long").alias("sum_daily_naive"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    s_q = F.col("s_hit") + (F.lit(M_W) - F.col("n_hit_regs")) * F.lit(1 << top)
+    raw = F.lit(ALPHA_W) * F.lit(float(M_W * M_W)) * F.lit(float(1 << top)) / s_q
+    v_empty = (F.lit(M_W) - F.col("n_hit_regs")).cast("int")
+    lc = (
+        F.element_at(F.lit(LN_NANO_W), v_empty).cast("double")
+        * F.lit(float(M_W))
+        / F.lit(1e9)
+    )
+    est = F.when((v_empty > F.lit(0)) & (raw <= F.lit(2.5 * M_W)), lc).otherwise(raw)
+    return (
+        sk.join(weekly_exact, "week")
+        .select(
+            F.col("week").cast("int").alias("week"),
+            est.alias("approx_weekly_users"),
+            "sum_daily_naive",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_hit_regs").cast("long").alias("n_hit_regs"),
+            s_q.cast("long").alias("s_q"),
+        )
+        .orderBy("week")
+    )
+
+
+def weekly_rollup_oracle_sql() -> str:
+    """DuckDB replica of ``weekly_users_sketch_rollup``: identical
+    mixer, rho-via-powers-count, day->week register MAX merge, integer
+    harmonic numerator, identical branch condition, and the identical
+    embedded ln table for the linear-counting branch."""
+    powers = ", ".join(str(1 << i) for i in range(VBITS_W))
+    pows = ", ".join(str(1 << i) for i in range(VBITS_W + 2))  # 2^0..2^23
+    ln_tab = ", ".join(str(x) for x in LN_NANO_W)
+    top = VBITS_W + 1
+    return f"""
+    WITH m0 AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, user_id & {MASK32} AS h0 FROM events
+    ), m1 AS (
+      SELECT day, user_id, (xor(h0, h0 >> 16) * {C1}) & {MASK32} AS h1 FROM m0
+    ), m2 AS (
+      SELECT day, user_id, (xor(h1, h1 >> 15) * {C2}) & {MASK32} AS h2 FROM m1
+    ), mh AS (
+      SELECT day, user_id, xor(h2, h2 >> 16) AS h FROM m2
+    ), hh AS (
+      SELECT day, h & {M_W - 1} AS idx,
+             {VBITS_W + 1} - len(list_filter([{powers}], p -> p <= (h >> {P_W}))) AS rho
+      FROM mh
+    ), daily AS (
+      SELECT day, idx, MAX(rho) AS r FROM hh GROUP BY 1, 2
+    ), weekly AS (
+      SELECT weekofyear(day) AS week, idx, MAX(r) AS r FROM daily GROUP BY 1, 2
+    ), sk AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_hit_regs,
+             CAST(SUM(list_extract([{pows}], {top + 1} - r)) AS BIGINT) AS s_hit
+      FROM weekly GROUP BY 1
+    ), de AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_daily
+      FROM events GROUP BY 1
+    ), we AS (
+      SELECT weekofyear(day) AS week,
+             CAST(SUM(exact_daily) AS BIGINT) AS sum_daily_naive,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM de GROUP BY 1
+    ), fin AS (
+      SELECT sk.week, sk.n_hit_regs,
+             sk.s_hit + ({M_W} - sk.n_hit_regs) * {1 << top} AS s_q,
+             we.sum_daily_naive, we.n_days
+      FROM sk JOIN we USING (week)
+    )
+    SELECT CAST(week AS INTEGER) AS week,
+           CASE WHEN ({M_W} - n_hit_regs) > 0
+                 AND (CAST({ALPHA_W!r} AS DOUBLE) * {float(M_W * M_W):.1f}e0
+                      * {float(1 << top):.1f}e0 / s_q)
+                     <= {2.5 * M_W:.1f}e0
+                THEN CAST(list_extract([{ln_tab}],
+                          CAST({M_W} - n_hit_regs AS INTEGER)) AS DOUBLE)
+                     * {float(M_W):.1f}e0 / 1e9
+                ELSE CAST({ALPHA_W!r} AS DOUBLE) * {float(M_W * M_W):.1f}e0
+                     * {float(1 << top):.1f}e0 / s_q
+           END AS approx_weekly_users,
+           sum_daily_naive, n_days,
+           CAST(n_hit_regs AS BIGINT) AS n_hit_regs,
+           CAST(s_q AS BIGINT) AS s_q
+    FROM fin ORDER BY week
     """

@@ -3080,15 +3080,28 @@ ORACLE_SQL["canonical_best_quality"] = _CANONICAL_BEST_ORACLE.format(
 )
 
 
-@register("sketch_weekly_users")  # rows-only: HLL estimator is engine-specific
+@register("sketch_weekly_users")
 def q_sketch_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: daily HLL sketches of distinct users
-    unioned into weekly estimates without rescanning days — the
-    incremental pattern for distinct-counting a 100 TB event store
-    (estimates asserted within HLL error of exact in tests)."""
-    from p6__mapreduce_spark.operators.analytics import distinct_users_sketch_rollup
+    """Mergeable-sketch rollup: daily portable-HLL registers of
+    distinct users MAX-merged into weekly estimates without rescanning
+    days — the incremental pattern for distinct-counting a 100 TB
+    event store. Hash-verified since r8: the portable sketch
+    (operators/hll.py) replays bit-for-bit in DuckDB, including the
+    linear-counting small-range branch via an embedded integer ln
+    table (estimates also asserted within sketch error of exact in
+    tests)."""
+    from p6__mapreduce_spark.operators.hll import weekly_users_sketch_rollup
 
-    return distinct_users_sketch_rollup(load_table(spark, sf_dir, "events"))
+    return weekly_users_sketch_rollup(load_table(spark, sf_dir, "events"))
+
+
+def _register_weekly_rollup_oracle() -> None:
+    from p6__mapreduce_spark.operators.hll import weekly_rollup_oracle_sql
+
+    ORACLE_SQL["sketch_weekly_users"] = weekly_rollup_oracle_sql()
+
+
+_register_weekly_rollup_oracle()
 
 
 @register(
@@ -8941,16 +8954,86 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # static oracle; within-error-of-exact asserted in tests) — it takes
 # the weaker rows-only driver check, the last such query to do so.
 #
-# ROUND-8 PLAN (write the rotation against CORRECTNESS_r07 when it
-# lands): (1) re-pin the parity six at the window head and re-enable
-# the `parity <= set(VERIFIED_WINDOW[:6])` assertion in
-# tests/test_round2_queries.py; (2) re-verify any r7 window entry
-# whose driver row failed (expected none — all 50 pre-validated at
-# sf0.01, ORACLE_LOCAL_r7_*); (3) with the debt at zero, new
-# registrations may resume, sized <= 44/batch so each batch earns its
-# driver rows within ONE rotation — never let never-verified backlog
-# exceed one window again.
+# ROUND-8 ROTATION (EXECUTED — supersedes the r7 window below, kept
+# as _R7_WINDOW for the audit trail). CORRECTNESS_r07 landed 49/50
+# full-green (sketch_weekly_users rows-only by design, now upgraded to
+# a real oracle this round), taking cumulative driver coverage to
+# 251/251. Per the r7 verdict's #1 directive and COVERAGE.md's
+# commitment:
+#   - the six reference-parity queries RETURN TO THE PINNED HEAD SLOTS
+#     (the r7 unpin was a one-round exception; the window-policy test
+#     in tests/test_round2_queries.py is flipped back to pinned mode);
+#   - the remaining 44 slots run an oldest-driver-verified-first
+#     REFRESH: every query whose last driver row is round 2 (19
+#     queries, 6 rounds stale) plus the alphabetically-first 25 of the
+#     round-3 cohort. Recomputed from the CORRECTNESS_r01..r07 union;
+#     deterministic tie-break = name order within a round.
+#   - approx_stats (rows-only HLL++/approx-quantile internals — see
+#     _ROWS_ONLY below) is the oldest of all and refreshes its
+#     rows-only row; sketch_weekly_users collects its FIRST
+#     hash-verified row next time it rotates in (its r8 oracle is in
+#     the full local gate at 3 SFs regardless).
+# Registry growth stays frozen this round; future batches sized
+# <= 44/batch so never-verified backlog cannot exceed one window.
 VERIFIED_WINDOW: tuple[str, ...] = (
+    # reference parity (SURVEY.md §2) — pinned every round
+    "wordcount_lines",
+    "wordcount_union",
+    "distinct_sorted",
+    "range_bucket_sort",
+    "mr_facade_wordcount",
+    "mr_facade_sort",
+    # refresh cohort A: last driver row = round 2 (oldest first)
+    "approx_stats",
+    "cube_flag_status",
+    "customer_order_stats",
+    "embedding_neardup_exact",
+    "events_window_5m",
+    "mode_event_type_per_user",
+    "orders_status_pivot",
+    "rollup_orders_by_month",
+    "set_except",
+    "set_intersect",
+    "top100_orders_global",
+    "tpch_q10_returned",
+    "tpch_q14_promo",
+    "tpch_q19_disjunctive",
+    "tpch_q4_priority_exists",
+    "tpch_q5_local_supplier",
+    "user_event_type_sets",
+    "user_sessions",
+    "user_value_sliding_avg",
+    # refresh cohort B: last driver row = round 3 (first 25 by name)
+    "asof_last_signup",
+    "bigram_freq",
+    "brand_volume",
+    "canonical_best_quality",
+    "clean_corpus",
+    "contamination_check",
+    "corpus_mixture_sample",
+    "corpus_split_counts",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "deterministic_sample",
+    "doc_chunks",
+    "doc_fingerprints",
+    "embedding_neardup",
+    "event_json_stats",
+    "events_dedup_streaming",
+    "events_window_streaming",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+)
+
+# Superseded r7 window, kept for the audit trail (CORRECTNESS_r07:
+# 49/50 full green + sketch_weekly_users rows-only by design):
+_R7_WINDOW: tuple[str, ...] = (
     # r4-era leftovers (waited longest)
     "dedup_edit_distance",
     "zorder_codes",
@@ -9117,20 +9200,29 @@ def _apply_registration_order() -> None:
     missing = [n for n in VERIFIED_WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"VERIFIED_WINDOW names unknown queries: {missing}")
-    # knn_ivf / semantic_dedup / ann_recall_audit / cluster_medoids /
-    # silhouette_by_cluster oracles are generated per sf-dir in
-    # get_oracle_sql() (model literals depend on the data);
-    # sketch_weekly_users is inherently rows-only (estimator sketch).
+    # Two DISTINCT exemption classes (r7 ADVICE: don't conflate them —
+    # future rows-only queries must not slip in under the "generated"
+    # label):
+    # _GENERATED: TRUE per-sf-dir oracles built in get_oracle_sql()
+    # (trained model literals depend on the data, so the SQL can't be a
+    # static string).
     _GENERATED = {
         "knn_ivf",
         "semantic_dedup",
         "ann_recall_audit",
         "cluster_medoids",
         "silhouette_by_cluster",
-        "sketch_weekly_users",
     }
+    # _ROWS_ONLY: inherently non-reproducible estimators (engine-private
+    # sketch layouts) that take the weaker rows-only driver check. Since
+    # r8 this is ONLY approx_stats (Spark HLL++/approx-quantile
+    # internals); sketch_weekly_users moved to the portable
+    # hash-verified sketch.
+    _ROWS_ONLY = {"approx_stats"}
     no_oracle = [
-        n for n in VERIFIED_WINDOW if n not in ORACLE_SQL and n not in _GENERATED
+        n
+        for n in VERIFIED_WINDOW
+        if n not in ORACLE_SQL and n not in _GENERATED and n not in _ROWS_ONLY
     ]
     if no_oracle:
         raise RuntimeError(f"VERIFIED_WINDOW entries lack oracles: {no_oracle}")

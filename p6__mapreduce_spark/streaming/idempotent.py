@@ -52,6 +52,30 @@ KEYS = ("user_id", "event_type")
 # from the checkpoint rather than replaying driver-held rows).
 REPLAY_MAX_ROWS = 100_000
 
+# ONE session-scoped root for published targets (r7 ADVICE: per-call
+# mkdtemp + atexit accumulated a parquet temp dir per invocation for
+# the process lifetime — bench rounds and test suites call this
+# repeatedly). Each invocation publishes under a fresh numbered subdir
+# and the PREVIOUS invocation's subdir is reclaimed on the next call,
+# so at most two live at once.
+_TGT_ROOT: str | None = None
+_TGT_SEQ = 0
+
+
+def _next_target() -> str:
+    global _TGT_ROOT, _TGT_SEQ
+    if _TGT_ROOT is None:
+        _TGT_ROOT = tempfile.mkdtemp(prefix="p6_stream_upsert_tgt_")
+        atexit.register(shutil.rmtree, _TGT_ROOT, ignore_errors=True)
+    prev = os.path.join(_TGT_ROOT, f"v{_TGT_SEQ}")
+    _TGT_SEQ += 1
+    shutil.rmtree(prev, ignore_errors=True)  # reclaim last invocation
+    # each invocation gets its own DIRECTORY (the atomic publish swaps
+    # a symlink inside it, with version stores as siblings)
+    sub = os.path.join(_TGT_ROOT, f"v{_TGT_SEQ}")
+    os.makedirs(sub, exist_ok=True)
+    return os.path.join(sub, "target")
+
 
 def table_checksum(df: DataFrame) -> tuple:
     """Order-independent distributed table fingerprint: (row count,
@@ -92,10 +116,15 @@ def run_foreachbatch_idempotent_upsert(
     (1 file per micro-batch so the merge genuinely runs multiple
     times), then simulate an at-least-once redelivery of the final
     batch and assert the target did not change. Returns the final
-    keyed table: latest (ts, value) per (user_id, event_type)."""
+    keyed table: latest (ts, value) per (user_id, event_type).
+
+    LIFETIME: the returned DataFrame lazily reads a session-scoped
+    published target — it is valid only within this process and only
+    until the NEXT invocation of this runner (which reclaims the
+    previous target; see _next_target). Consumers that need the data
+    past either boundary must write it out themselves."""
     src = tempfile.mkdtemp(prefix="p6_stream_upsert_src_")
-    tgt_root = tempfile.mkdtemp(prefix="p6_stream_upsert_tgt_")
-    target = os.path.join(tgt_root, "target")
+    target = _next_target()
     shutil.copy(events_parquet, os.path.join(src, "batch_a.parquet"))
     shutil.copy(events_parquet, os.path.join(src, "batch_b.parquet"))
     schema = spark.read.parquet(events_parquet).schema
@@ -137,10 +166,10 @@ def run_foreachbatch_idempotent_upsert(
         "foreachBatch upsert is NOT idempotent: redelivering the final "
         f"micro-batch changed the target checksum {before} -> {after}"
     )
-    # the returned DataFrame lazily reads the published target; keep the
-    # temp dir alive for the session (process-exit cleanup) instead of
-    # collecting the whole table through the driver to re-materialize it
-    atexit.register(shutil.rmtree, tgt_root, ignore_errors=True)
+    # the returned DataFrame lazily reads the published target (valid
+    # until the next invocation / process exit — see docstring); the
+    # session-scoped root registered its ONE atexit cleanup in
+    # _next_target, so repeated calls no longer accumulate temp dirs
     return (
         spark.read.parquet(target)
         .select("user_id", "event_type", "ts", "value")

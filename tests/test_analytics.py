@@ -244,3 +244,35 @@ def test_trailing_range_window_time_based(spark):
     assert out[1].trail_cents == 100 and out[1].trail_n == 1
     assert out[2].trail_cents == 300 and out[2].trail_n == 2   # 10:00 within 1h
     assert out[3].trail_cents == 600 and out[3].trail_n == 2   # only 10:30 + itself
+
+
+def test_portable_weekly_rollup_within_sketch_error(spark):
+    """r8: sketch_weekly_users moved from Spark HLL++ (rows-only) to
+    the portable m=1024 sketch with the embedded-ln-table linear-
+    counting branch — hash-verified vs DuckDB in the oracle gate; here
+    we assert the ESTIMATOR quality: within 5% of exact at sf0.01
+    (realized: <=0.4%; <=3.2% at sf0.1) and the naive sum-of-daily
+    rollup overcounts (why mergeable sketches exist)."""
+    import pyspark.sql.functions as F
+
+    from p6__mapreduce_spark.operators.hll import weekly_users_sketch_rollup
+    from p6__mapreduce_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {r.week: r for r in weekly_users_sketch_rollup(ev).collect()}
+    exact = {
+        r.week: r.exact
+        for r in ev.select(F.weekofyear(F.to_date("ts")).alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 3
+    for wk, r in got.items():
+        assert abs(r.approx_weekly_users - exact[wk]) <= max(2, 0.05 * exact[wk]), (
+            wk, r.approx_weekly_users, exact[wk]
+        )
+        assert r.sum_daily_naive >= exact[wk]
+        # sketch state is visible and sane: s_q carries the absent-
+        # register mass, n_hit_regs is bounded by m
+        assert 0 < r.n_hit_regs <= 1024 and r.s_q > 0

@@ -110,38 +110,32 @@ def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
 def test_verified_window_spends_all_50_slots_on_oracles():
     """The driver verifies the first 50 registered queries, in
     registration order — the window head must match VERIFIED_WINDOW
-    exactly and (r7 policy) hold precisely the queries that had never
-    had a driver-verified row after round 6, all oracle-backed except
-    the one inherently rows-only estimator left in the debt
-    (sketch_weekly_users, which takes the weaker rows-only check)."""
+    exactly. r8 policy (COVERAGE.md "Round 8"): the six reference-
+    parity queries are BACK IN THE PINNED HEAD SLOTS (the r7 unpin was
+    a one-round exception, reverted here as committed), and the other
+    44 slots refresh the oldest driver-verified queries (r2/r3-era
+    rows). Every window entry is oracle-backed except approx_stats —
+    the one inherently rows-only estimator (engine-private HLL++ /
+    approx-quantile layouts), which refreshes its rows-only row."""
     from p6__mapreduce_spark.queries import QUERIES, VERIFIED_WINDOW, get_oracle_sql
 
     keys = list(QUERIES)
     assert keys[: len(VERIFIED_WINDOW)] == list(VERIFIED_WINDOW)
     assert len(VERIFIED_WINDOW) == 50
     oracles = get_oracle_sql()
-    missing = [
-        k for k in VERIFIED_WINDOW if k not in oracles and k != "sketch_weekly_users"
-    ]
+    missing = [k for k in VERIFIED_WINDOW if k not in oracles and k != "approx_stats"]
     assert not missing, missing
-    # r7 policy (COVERAGE.md "Round 7"): the six reference-parity
-    # queries are unpinned for THIS round only — six consecutive
-    # driver-green rounds plus the golden replay suites in every gate —
-    # so the whole 50-slot window pays off the verification debt in one
-    # rotation. They must still be registered (and return to the pinned
-    # head slots in round 8: re-assert `parity <= set(VERIFIED_WINDOW[:6])`
-    # when the r8 rotation lands).
+    # pinned mode restored (r7's one-round disjoint assertion flipped
+    # back — reference-parity regressions are driver-visible again)
     parity = {
         "wordcount_lines", "wordcount_union", "distinct_sorted",
         "range_bucket_sort", "mr_facade_wordcount", "mr_facade_sort",
     }
-    assert parity <= set(keys)
-    assert parity.isdisjoint(VERIFIED_WINDOW)  # r7 only — see above
-    # approx_stats already has its rows-only driver row (r2); it stays
-    # out-of-window. sketch_weekly_users is IN the r7 window to collect
-    # its rows-only driver row — the last query without one.
-    assert "approx_stats" in keys and "approx_stats" not in keys[:50]
-    assert "sketch_weekly_users" in keys[:50]
+    assert parity <= set(VERIFIED_WINDOW[:6])
+    # sketch_weekly_users gained a real oracle in r8 (portable HLL +
+    # embedded-ln-table linear counting) — it must never again be
+    # exempted from the hash compare
+    assert "sketch_weekly_users" in oracles
 
 
 def test_bench_scope_covers_registry_except_documented_exclusions():

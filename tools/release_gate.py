@@ -2,10 +2,12 @@
 """One-command release gate: the full verification recipe in order.
 
 1. driver-contract smoke (entry() rows + queries()/oracle_sql() shape)
-2. plan audit (writes PLANS.md; fails on any non-exempt cartesian /
+2. doc-drift (COVERAGE.md query count == registry) and advice-drift
+   (every ADVICE.md item resolved + verified — tools/advice_check.py)
+3. plan audit (writes PLANS.md; fails on any non-exempt cartesian /
    Python-in-plan)
-3. DuckDB oracle sweep at the given sf dir (every registered query)
-4. pytest (the whole suite)
+4. DuckDB oracle sweep at the given sf dir (every registered query)
+5. pytest (the whole suite)
 
 Stops at the first failing stage and exits non-zero; prints one
 summary line per stage so CI logs read at a glance. This is the
@@ -62,6 +64,10 @@ def main() -> None:
         "print(f'doc-drift OK: COVERAGE.md == registry == {n}')"
     )
     stage("doc-drift", [sys.executable, "-c", doccheck])
+    # advice-drift check (r7 verdict #3): every ADVICE.md item must
+    # have a recorded+verified resolution in tools/advice_check.py, so
+    # the advisory file can't silently go stale between rounds
+    stage("advice-drift", [sys.executable, "tools/advice_check.py"])
     stage("plan-audit", [sys.executable, "tools/plan_audit.py"])
     stage("oracle", [sys.executable, "tools/oracle_check.py", sf_dir])
     if "--skip-pytest" not in sys.argv:
