@@ -338,6 +338,13 @@ HEADLINE = [
     "clean_corpus",
     "brand_volume",
     "approx_stats",
+    # r8 batch: int8 quantization audit, skip-gram PMI, Spearman rank
+    # correlation, Markov removal-effect attribution
+    "int8_quant_audit",
+    "skipgram_pmi",
+    "spearman_activity_value",
+    "markov_removal_attribution",
+    "kmv_audience_overlap",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.
@@ -409,6 +416,9 @@ STEADY_SET = frozenset(
         "dsir_weights",
         "dsir_resample_topk",
         "winnow_fingerprints",
+        # r8: 12 fixed-point rounds of tiny jobs (one localCheckpoint
+        # each) — the bpe/dsir scheduler-latency profile
+        "markov_removal_attribution",
     }
 )
 

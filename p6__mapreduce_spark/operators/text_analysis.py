@@ -154,74 +154,115 @@ def winnow_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFr
     (doc_id, fp) postings join exactly like shingle postings for
     candidate generation.
     """
-    from pyspark.sql import Window as W
-
     from p6__mapreduce_spark.functions.hashing import POLY_BASE, POLY_MOD
 
-    # Row-wise shape: one row per k-gram, then a sliding ROWS window for
-    # the per-window minimum. An array-of-arrays formulation re-expands
-    # the gram-hash array inside every window slice (quadratic per doc);
-    # this stays linear and the only shuffle is the doc_id window sort.
+    # r8 (r7 verdict #5), structural rewrite with IDENTICAL output:
     #
-    # r8 (r7 verdict #5): gram hashes come from ONE per-doc prefix-hash
-    # pass instead of re-folding poly_hash_expr(substring(i, k)) at
-    # every position (k multiply-adds + a k-char substring + char split
-    # per gram — ~16x the expression work at k=16). With P[t] = hash of
-    # the first t chars (mod m), the standard rolling identity gives
-    # gram(i..i+k-1) = (P[i+k-1] - P[i-1] * B^k) mod m — identical
-    # VALUES to the old fold (each P is the mod'd prefix, and the
-    # identity holds under mod), so the oracle SQL and every pinned
-    # hash are unchanged. B^k mod m is a Python-precomputed literal;
-    # P < 2^31 and B^k mod m < 2^31, so the product stays inside int64.
+    # 1. Gram hashes by HASH DOUBLING instead of re-folding
+    #    poly_hash_expr(substring(i, k)) at every position (k multiply-
+    #    adds + a k-char substring + char split per gram — ~16x the
+    #    expression work at k=16). h_w[i] = poly hash of chars
+    #    i..i+w-1; levels combine as h_{2w}[i] = (h_w[i] * B^w +
+    #    h_w[i+w]) mod m — log2(k) cheap array transforms per doc,
+    #    O(n log k) total, no quadratic array building (an
+    #    array_append prefix fold was measured at 3.7s of the 5s
+    #    runtime — Catalyst copies the accumulator array per element).
+    #    Values are identical to the direct fold (the polynomial
+    #    decomposition holds under mod), so the oracle SQL and every
+    #    pinned hash are unchanged. B^w mod m are Python literals;
+    #    h < 2^31 and B^w mod m < 2^31 keep every product in int64.
+    # 2. The per-window minimum uses the same sparse-table doubling on
+    #    least() (RMQ): min levels m_{2^j}, then any window w is
+    #    least(m_{2^J}[i], m_{2^J}[i + w - 2^J]) with J = floor(log2
+    #    (w)) — overlap is harmless for min. Dedup per doc with
+    #    array_distinct. This replaces the r7 shape's explode of every
+    #    gram into a row + corpus-sized shuffle + per-doc window sort
+    #    + distinct shuffle: (doc_id, fp) pairs are unique after the
+    #    per-doc dedup, so the ONLY exchange left is the output
+    #    orderBy on the small fingerprint set.
+    #
     # Scale note: fingerprints are LOCAL (a window of `window` grams
     # spans window+k-1 chars), so very long documents shard into
-    # overlapping segments with identical output; the per-doc prefix
-    # array is fine at this corpus's ~600-char docs and the fold is
-    # linear in doc length.
+    # overlapping segments with identical output; per-doc arrays are
+    # fine at this corpus's ~600-char docs, O(n log k) per doc.
     text = F.trim(F.col("text"))
     n_grams = F.length(text) - F.lit(k) + 1
     chars = F.filter(F.split(text, ""), lambda ch: ch != F.lit(""))
-    # prefix[1] = P_0 = 0 (empty prefix); prefix[t+1] = P_t
-    prefix = F.aggregate(
-        chars,
-        F.array(F.lit(0).cast("long")),
-        lambda acc, ch: F.array_append(
-            acc,
-            (F.element_at(acc, -1) * F.lit(POLY_BASE) + F.ascii(ch)) % F.lit(POLY_MOD),
-        ),
+    base = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.transform(chars, lambda ch: F.ascii(ch).cast("long")).alias("h"),
     )
-    bk = pow(POLY_BASE, k, POLY_MOD)
-    # materialize the prefix array behind a projection boundary so the
-    # per-gram transform references a COLUMN (CollapseProject won't
-    # inline a non-cheap expression referenced twice per lambda — the
-    # fold runs once per doc, not once per gram)
-    staged = docs.select("doc_id", n_grams.alias("n_grams"), prefix.alias("pfx"))
-    gram_hashes = F.when(
-        F.col("n_grams") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_grams")),
-            lambda i: F.pmod(
-                F.element_at(F.col("pfx"), (i + F.lit(k)).cast("int"))
-                - F.element_at(F.col("pfx"), i.cast("int")) * F.lit(bk),
-                F.lit(POLY_MOD),
+
+    def _combine(df, col_a, col_b, off: int, mult: int, out: str):
+        """out[i] = (a[i] * mult + b[i + off]) % m over the valid
+        range — one materialized transform level."""
+        n_out = F.size(F.col(col_b)) - F.lit(off)
+        lv = F.when(
+            n_out >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_out),
+                lambda i: (
+                    F.element_at(F.col(col_a), i.cast("int")) * F.lit(mult)
+                    + F.element_at(F.col(col_b), (i + F.lit(off)).cast("int"))
+                )
+                % F.lit(POLY_MOD),
             ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    grams = staged.select(
-        "doc_id",
-        "n_grams",
-        F.posexplode(gram_hashes).alias("i0", "h"),
+        ).otherwise(F.array().cast("array<long>"))
+        return df.select("doc_id", "n_grams", lv.alias(out))
+
+    # power-of-two k (every call site: k = 16): doubling levels
+    # h_1 -> h_2 -> ... -> h_k. Non-power-of-two k: one per-position
+    # fold over the INT codes array (O(n*k) scalar ops — still no
+    # per-position substring/char-split and no quadratic array build).
+    if k & (k - 1) == 0:
+        w_, df = 1, base
+        while w_ < k:
+            df = _combine(df, "h", "h", w_, pow(POLY_BASE, w_, POLY_MOD), "h")
+            w_ *= 2
+    else:
+        gh = F.when(
+            F.col("n_grams") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_grams")),
+                lambda i: F.aggregate(
+                    F.slice(F.col("h"), i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * F.lit(POLY_BASE) + c) % F.lit(POLY_MOD),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        df = base.select("doc_id", "n_grams", gh.alias("h"))
+    hashed = df.select("doc_id", "n_grams", F.col("h").alias("gh"))
+
+    # sparse-table min levels to window width
+    def _min_at(o: int):
+        return lambda i: F.least(
+            F.element_at(F.col("m"), i.cast("int")),
+            F.element_at(F.col("m"), (i + F.lit(o)).cast("int")),
+        )
+
+    big_j = 1
+    mdf = hashed.select("doc_id", "n_grams", F.col("gh").alias("m"))
+    while big_j * 2 <= window:
+        n_out = F.size(F.col("m")) - F.lit(big_j)
+        lv = F.when(
+            n_out >= 1,
+            F.transform(F.sequence(F.lit(1), n_out), _min_at(big_j)),
+        ).otherwise(F.array().cast("array<long>"))
+        mdf = mdf.select("doc_id", "n_grams", lv.alias("m"))
+        big_j *= 2
+    off = window - big_j  # 0 when window is a power of two
+    n_win = F.col("n_grams") - F.lit(window) + 1
+    pick = (
+        _min_at(off) if off else (lambda i: F.element_at(F.col("m"), i.cast("int")))
     )
-    w = W.partitionBy("doc_id").orderBy("i0").rowsBetween(0, window - 1)
-    mins = grams.select(
-        "doc_id",
-        "i0",
-        "n_grams",
-        F.min("h").over(w).alias("win_min"),
-    ).filter(F.col("i0") + 1 <= F.col("n_grams") - F.lit(window) + 1)
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick)),
+    ).otherwise(F.array().cast("array<long>"))
     return (
-        mins.select("doc_id", F.col("win_min").alias("fp"))
-        .distinct()
+        mdf.select("doc_id", F.explode(fps).alias("fp"))
         .orderBy("doc_id", "fp")
     )
 

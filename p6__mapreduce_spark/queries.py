@@ -8875,6 +8875,89 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return durbin_watson_daily(load_table(spark, sf_dir, "orders"))
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch (5 queries, registered AFTER the verification debt hit
+# zero; queued for the r9 driver window per the <=44/batch policy — all
+# four carry committed 3-SF local oracle evidence from registration day)
+# ---------------------------------------------------------------------------
+
+
+@register("int8_quant_audit")
+def q_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension absmax int8 scalar-quantization audit of the
+    embedding corpus (scale, saturation count, exact reconstruction
+    error) — the pre-flight check before shipping vectors to an int8
+    ANN index; dimension-wise complement of pq_codes."""
+    from p6__mapreduce_spark.similarity.quantize import int8_quant_audit
+
+    return int8_quant_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("skipgram_pmi")
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-context (skip-gram, window 3) collocations by scaled
+    lift — the word2vec-style statistic beside ngram_pmi's
+    adjacent-only pairs; pair construction entirely map-side."""
+    from p6__mapreduce_spark.operators.collocations import skipgram_pmi
+
+    return skipgram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register("spearman_activity_value")
+def q_spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-correct Spearman (beside Pearson) between per-user
+    event count and total value — monotone-association screen whose
+    midranks come from bounded distinct-value tables, never a corpus
+    sort."""
+    from p6__mapreduce_spark.operators.rankcorr import spearman_user_activity_value
+
+    return spearman_user_activity_value(load_table(spark, sf_dir, "events"))
+
+
+@register("markov_removal_attribution")
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution: first-order Markov episode
+    chain, 12-round integer fixed-point absorption probabilities, and
+    each channel's removal effect — completes the attribution family
+    (linear, U-shaped, Markov)."""
+    from p6__mapreduce_spark.operators.attribution_markov import (
+        markov_removal_attribution,
+    )
+
+    return markov_removal_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("kmv_audience_overlap")
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types from K=256
+    bottom-k (KMV/theta) sketches — the set-ALGEBRA sketch family
+    (intersection, not just union) that HLL cannot provide; exact
+    overlap reported beside the estimate."""
+    from p6__mapreduce_spark.operators.kmv import kmv_audience_overlap
+
+    return kmv_audience_overlap(load_table(spark, sf_dir, "events"))
+
+
+def _register_round8_batch_oracles() -> None:
+    from p6__mapreduce_spark.operators.attribution_markov import (
+        markov_removal_oracle_sql,
+    )
+    from p6__mapreduce_spark.operators.collocations import skipgram_pmi_oracle_sql
+    from p6__mapreduce_spark.operators.rankcorr import SPEARMAN_ORACLE_SQL
+    from p6__mapreduce_spark.similarity.quantize import INT8_QUANT_AUDIT_ORACLE_SQL
+
+    from p6__mapreduce_spark.operators.kmv import kmv_overlap_oracle_sql
+
+    ORACLE_SQL["int8_quant_audit"] = INT8_QUANT_AUDIT_ORACLE_SQL
+    ORACLE_SQL["skipgram_pmi"] = skipgram_pmi_oracle_sql()
+    ORACLE_SQL["spearman_activity_value"] = SPEARMAN_ORACLE_SQL
+    ORACLE_SQL["markov_removal_attribution"] = markov_removal_oracle_sql()
+    ORACLE_SQL["kmv_audience_overlap"] = kmv_overlap_oracle_sql()
+
+
+_register_round8_batch_oracles()
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining
@@ -8973,8 +9056,11 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     rows-only row; sketch_weekly_users collects its FIRST
 #     hash-verified row next time it rotates in (its r8 oracle is in
 #     the full local gate at 3 SFs regardless).
-# Registry growth stays frozen this round; future batches sized
-# <= 44/batch so never-verified backlog cannot exceed one window.
+# With the debt at zero, registration resumed with a FIVE-query batch
+# (int8_quant_audit, skipgram_pmi, spearman_activity_value,
+# markov_removal_attribution, kmv_audience_overlap — see the Round-8
+# batch section above), well under the <= 44/batch bound, queued for
+# the r9 window so the never-verified backlog stays below one rotation.
 VERIFIED_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",

@@ -123,3 +123,29 @@ def test_winnow_prefix_rewrite_matches_direct_fold_model(spark, texts):
     for i, t in enumerate(texts):
         want = _py_winnow(t)
         assert got.get(i, set()) == want, (i, t, got.get(i), want)
+
+
+def test_winnow_non_power_of_two_k_and_window(spark):
+    """The doubling fast path needs k a power of two and the RMQ
+    overlap trick covers any window — exercise the general fallback
+    (k=5) and a non-power window (w=6) against the Python model."""
+    from p6__mapreduce_spark.operators.text_analysis import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabcabcabcabc",
+        "tiny",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=5, window=6).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    def model(text, k=5, window=6):
+        text = text.strip()
+        n = len(text) - k + 1
+        hashes = [_py_poly(text[i : i + k]) for i in range(max(n, 0))]
+        return {min(hashes[i : i + window]) for i in range(0, n - window + 1)}
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == model(t), (i, t)

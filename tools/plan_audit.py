@@ -170,6 +170,15 @@ CARTESIAN_EXEMPT = {
     # params, q-hat) into day-bounded relations — the Q22 scalar
     # shape; windows land on the |days| calibration fold only
     "conformal_interval_daily",
+    # 1-row total-tokens scalar broadcast into the surviving
+    # collocation rows — identical shape to ngram_pmi
+    "skipgram_pmi",
+    # 1-row base-chain conversion probability broadcast into the
+    # 4-row removal table — the Q22 scalar shape
+    "markov_removal_attribution",
+    # |event types|^2 inequality grid over the 5-row per-type sketch
+    # summary — bounded category-domain grid, lang_source_chisq class
+    "kmv_audience_overlap",
 }
 
 

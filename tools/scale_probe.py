@@ -141,8 +141,27 @@ def main() -> None:
     li = load_table(spark, sf_dir, "lineitem")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    from p6__mapreduce_spark.operators.attribution_markov import (
+        markov_removal_attribution as _markov,
+    )
+    from p6__mapreduce_spark.operators.collocations import skipgram_pmi as _skipgram
+    from p6__mapreduce_spark.operators.rankcorr import (
+        spearman_user_activity_value as _spearman,
+    )
+    from p6__mapreduce_spark.operators.text_analysis import (
+        winnow_fingerprints as _winnow,
+    )
+    from p6__mapreduce_spark.operators.kmv import kmv_audience_overlap as _kmv
+    from p6__mapreduce_spark.similarity.quantize import int8_quant_audit as _int8
+
     ops = {
         "tpch_q1": (lambda d: pricing_summary(d), li, inflate_lineitem),
+        # r8 doubling rewrite: per-doc O(n log k) arrays, no shuffle
+        # before the output sort — must scale with doc count
+        "winnow_fingerprints": (lambda d: _winnow(d), docs, inflate_documents),
+        # r8 batch
+        "skipgram_pmi": (lambda d: _skipgram(d), docs, inflate_documents),
+        "int8_quant_audit": (lambda d: _int8(d), emb, inflate_embeddings),
         "repetition_stats": (lambda d: repetition_stats(d), docs, inflate_documents),
         "dedup_minhash_lsh": (lambda d: minhash_lsh_pairs(d), docs, inflate_documents),
         "doc_chunks": (lambda d: doc_chunks(d), docs, inflate_documents),
@@ -242,6 +261,13 @@ def main() -> None:
             # k x disjoint user populations: window state per task is
             # base-sized, matrix output stays |types|^2
             "event_transition_matrix": (lambda d: _transition(d), events, inflate_events),
+            # r8 batch, events side: one per-user window + bounded
+            # fixed-point rounds / bounded distinct-value rank tables
+            "markov_removal_attribution": (lambda d: _markov(d), events, inflate_events),
+            "spearman_activity_value": (lambda d: _spearman(d), events, inflate_events),
+            # bottom-K rank over per-type distinct-hash tables; the
+            # pairwise stage is K-row sketches only
+            "kmv_audience_overlap": (lambda d: _kmv(d), events, inflate_events),
         }
     )
 
