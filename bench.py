@@ -345,6 +345,8 @@ HEADLINE = [
     "spearman_activity_value",
     "markov_removal_attribution",
     "kmv_audience_overlap",
+    "wasserstein_purchase_vs_click",
+    "pca_top_component",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.
@@ -419,6 +421,8 @@ STEADY_SET = frozenset(
         # r8: 12 fixed-point rounds of tiny jobs (one localCheckpoint
         # each) — the bpe/dsir scheduler-latency profile
         "markov_removal_attribution",
+        # r8: 15 power-iteration rounds, same profile
+        "pca_top_component",
     }
 )
 

@@ -163,3 +163,90 @@ SELECT n_pos, n_neg,
        (ranksum2 - n_pos * (n_pos + 1)) * 1.0e0 / (2 * n_pos * n_neg) AS auc
 FROM agg
 """
+
+
+def wasserstein1(
+    df: DataFrame, value: Column, in_group1: Column, in_group2: Column
+) -> DataFrame:
+    """One row: (n1, n2, w1_num, w1) — the exact two-sample 1-Wasserstein
+    (earth-mover) distance between ``value``'s distributions in two row
+    populations: W1 = integral |F1 - F2| dx, the INTEGRAL companion of
+    ks_statistic's sup |F1 - F2|. KS sees only the single worst
+    vertical gap; W1 weighs every gap by how long (in value units) it
+    persists — the drift metric that moves when a distribution's tail
+    slides, which KS barely registers and PSI hides inside bin choice.
+
+    Exactness: over the sorted distinct values, the ECDF difference is
+    piecewise constant, so W1 = sum over consecutive distinct values v
+    of |F1(v) - F2(v)| * (next(v) - v). Cross-multiplying by n1*n2
+    keeps everything integer: w1_num = sum |c1*n2 - c2*n1| * gap is an
+    exact int64 sum, and w1 = w1_num / (n1*n2) is the single final
+    division (in value units). int64 headroom: |c*n| <= n1*n2 and the
+    total collapses to n1*n2 * (max-min) in the worst case — fine to
+    ~10^9 x 10^9 value-unit products; past that the sum casts to
+    decimal(38,0) (same plan).
+
+    Plan shape (shared with ks_statistic): one (value) aggregation of
+    the tagged corpus, a cumulative window over the BOUNDED
+    distinct-value table, a 1-row totals broadcast, one final 1-row
+    aggregation. Caller contract: both populations non-empty
+    (ks_statistic's documented NULL/NaN divergence class otherwise).
+    """
+    tagged = df.select(
+        value.alias("v"),
+        in_group1.cast("int").alias("g1"),
+        in_group2.cast("int").alias("g2"),
+    ).filter((F.col("g1") == 1) | (F.col("g2") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"), F.sum("g2").cast("long").alias("c2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("v")
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.lead("v").over(w_next).alias("v_next"),
+    ).crossJoin(F.broadcast(totals))  # 1-row scalar broadcast (labeled)
+    terms = cum.filter(F.col("v_next").isNotNull()).select(
+        "n1",
+        "n2",
+        (
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            * (F.col("v_next") - F.col("v"))
+        ).alias("t"),
+    )
+    return terms.groupBy("n1", "n2").agg(
+        F.sum("t").cast("long").alias("w1_num"),
+        (F.sum("t").cast("double") / (F.col("n1") * F.col("n2"))).alias("w1"),
+    )
+
+
+W1_EVENTS_ORACLE_SQL = """
+WITH tagged AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('purchase', 'click')
+), per_v AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+  FROM tagged GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM per_v
+), terms AS (
+  SELECT n1, n2, abs(f1 * n2 - f2 * n1) * (v_next - v) AS t
+  FROM cum CROSS JOIN totals WHERE v_next IS NOT NULL
+)
+SELECT n1, n2, CAST(SUM(t) AS BIGINT) AS w1_num,
+       CAST(SUM(t) AS BIGINT) * 1.0e0 / (n1 * n2) AS w1
+FROM terms GROUP BY n1, n2
+"""

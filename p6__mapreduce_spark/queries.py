@@ -8876,7 +8876,7 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-8 batch (5 queries, registered AFTER the verification debt hit
+# Round-8 batch (7 queries, registered AFTER the verification debt hit
 # zero; queued for the r9 driver window per the <=44/batch policy — all
 # four carry committed 3-SF local oracle evidence from registration day)
 # ---------------------------------------------------------------------------
@@ -8927,6 +8927,43 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_attribution(load_table(spark, sf_dir, "events"))
 
 
+@register("pca_top_component")
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by a
+    15-round integer-renormalized power iteration over the exact
+    d x d scatter matrix (one corpus pass; rounds run on the bounded
+    matrix relation) — the anisotropy/whitening diagnostic
+    (explained-variance ratio of the top direction); chained-CTE
+    oracle replays every round."""
+    from p6__mapreduce_spark.similarity.pca import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def _w1_oracle() -> str:
+    from p6__mapreduce_spark.operators.evaluate import W1_EVENTS_ORACLE_SQL
+
+    return W1_EVENTS_ORACLE_SQL
+
+
+@register("wasserstein_purchase_vs_click", oracle=_w1_oracle())
+def q_wasserstein_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between purchase and
+    click value distributions — the INTEGRAL companion of the KS sup
+    statistic (completes the drift family: KS=sup, PSI=binned,
+    JSD=distributional, W1=integral); cross-multiplied integer ECDF
+    areas, one final division."""
+    from p6__mapreduce_spark.operators.evaluate import wasserstein1
+
+    events = load_table(spark, sf_dir, "events")
+    return wasserstein1(
+        events.filter(F.col("event_type").isin("purchase", "click")),
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
 @register("kmv_audience_overlap")
 def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise distinct-user overlap between event types from K=256
@@ -8953,6 +8990,9 @@ def _register_round8_batch_oracles() -> None:
     ORACLE_SQL["spearman_activity_value"] = SPEARMAN_ORACLE_SQL
     ORACLE_SQL["markov_removal_attribution"] = markov_removal_oracle_sql()
     ORACLE_SQL["kmv_audience_overlap"] = kmv_overlap_oracle_sql()
+    from p6__mapreduce_spark.similarity.pca import pca_oracle_sql
+
+    ORACLE_SQL["pca_top_component"] = pca_oracle_sql()
 
 
 _register_round8_batch_oracles()
@@ -9056,9 +9096,10 @@ _register_round8_batch_oracles()
 #     rows-only row; sketch_weekly_users collects its FIRST
 #     hash-verified row next time it rotates in (its r8 oracle is in
 #     the full local gate at 3 SFs regardless).
-# With the debt at zero, registration resumed with a FIVE-query batch
+# With the debt at zero, registration resumed with a SEVEN-query batch
 # (int8_quant_audit, skipgram_pmi, spearman_activity_value,
-# markov_removal_attribution, kmv_audience_overlap — see the Round-8
+# markov_removal_attribution, kmv_audience_overlap,
+# wasserstein_purchase_vs_click, pca_top_component — see the Round-8
 # batch section above), well under the <= 44/batch bound, queued for
 # the r9 window so the never-verified backlog stays below one rotation.
 VERIFIED_WINDOW: tuple[str, ...] = (

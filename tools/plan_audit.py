@@ -117,6 +117,9 @@ CARTESIAN_EXEMPT = {
     # 1-row (n1, n2) totals broadcast into the ECDF difference —
     # same scalar shape as value_drift_psi
     "ks_purchase_vs_click",
+    # identical 1-row totals broadcast into the ECDF gap terms — the
+    # ks_purchase_vs_click shape (W1 = integral, KS = sup)
+    "wasserstein_purchase_vs_click",
     # 1-row digit-total scalar broadcast into the 9-row literal grid
     "benford_price_digits",
     # 1-row (n_days, total_cents) scalar broadcast into the |days|
@@ -179,6 +182,10 @@ CARTESIAN_EXEMPT = {
     # |event types|^2 inequality grid over the 5-row per-type sketch
     # summary — bounded category-domain grid, lang_source_chisq class
     "kmv_audience_overlap",
+    # chain of 1-row scalar broadcasts (vector count, scatter max,
+    # per-round renormalizers, Rayleigh terms) into the <= d^2-row
+    # matrix/vector relations — the nation_trade_pagerank class
+    "pca_top_component",
 }
 
 

@@ -151,7 +151,9 @@ def main() -> None:
     from p6__mapreduce_spark.operators.text_analysis import (
         winnow_fingerprints as _winnow,
     )
+    from p6__mapreduce_spark.operators.evaluate import wasserstein1 as _w1
     from p6__mapreduce_spark.operators.kmv import kmv_audience_overlap as _kmv
+    from p6__mapreduce_spark.similarity.pca import pca_top_component as _pca
     from p6__mapreduce_spark.similarity.quantize import int8_quant_audit as _int8
 
     ops = {
@@ -268,6 +270,19 @@ def main() -> None:
             # bottom-K rank over per-type distinct-hash tables; the
             # pairwise stage is K-row sketches only
             "kmv_audience_overlap": (lambda d: _kmv(d), events, inflate_events),
+            # one (value) agg + bounded distinct-value window
+            "wasserstein_purchase_vs_click": (
+                lambda d: _w1(
+                    d.filter(F.col("event_type").isin("purchase", "click")),
+                    F.round(F.col("value") * 100).cast("long"),
+                    F.col("event_type") == "purchase",
+                    F.col("event_type") == "click",
+                ),
+                events,
+                inflate_events,
+            ),
+            # one d^2-moments pass; 15 rounds on the bounded matrix
+            "pca_top_component": (lambda d: _pca(d), emb, inflate_embeddings),
         }
     )
 
