@@ -212,16 +212,19 @@ def wasserstein1(
         F.lead("v").over(w_next).alias("v_next"),
     ).crossJoin(F.broadcast(totals))  # 1-row scalar broadcast (labeled)
     terms = cum.filter(F.col("v_next").isNotNull()).select(
-        "n1",
-        "n2",
         (
             F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
             * (F.col("v_next") - F.col("v"))
         ).alias("t"),
     )
-    return terms.groupBy("n1", "n2").agg(
-        F.sum("t").cast("long").alias("w1_num"),
-        (F.sum("t").cast("double") / (F.col("n1") * F.col("n2"))).alias("w1"),
+    # global agg (not groupBy) so a degenerate input with ONE distinct
+    # value — no consecutive-value gaps — still yields the W1 = 0 row
+    s = terms.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("w1_num"))
+    return s.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        "w1_num",
+        (F.col("w1_num").cast("double") / (F.col("n1") * F.col("n2"))).alias("w1"),
     )
 
 
@@ -243,10 +246,12 @@ WITH tagged AS (
          LEAD(v) OVER (ORDER BY v) AS v_next
   FROM per_v
 ), terms AS (
-  SELECT n1, n2, abs(f1 * n2 - f2 * n1) * (v_next - v) AS t
+  SELECT abs(f1 * n2 - f2 * n1) * (v_next - v) AS t
   FROM cum CROSS JOIN totals WHERE v_next IS NOT NULL
+), s AS (
+  SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS w1_num FROM terms
 )
-SELECT n1, n2, CAST(SUM(t) AS BIGINT) AS w1_num,
-       CAST(SUM(t) AS BIGINT) * 1.0e0 / (n1 * n2) AS w1
-FROM terms GROUP BY n1, n2
+SELECT n1, n2, w1_num,
+       CAST(w1_num AS DOUBLE) / (n1 * n2) AS w1
+FROM s CROSS JOIN totals
 """
