@@ -246,3 +246,121 @@ SELECT bin, n, purchases,
        CAST(purchases AS DOUBLE) / CAST(n AS DOUBLE) AS purchase_rate
 FROM agg ORDER BY bin
 """
+
+
+def isotonic_calibration(events: DataFrame, *, max_bin: int = 12) -> DataFrame:
+    """Exact isotonic (PAV) calibration of purchase propensity against
+    same-day click activity: the monotone regression a reliability
+    diagram (``calibration_bins``) motivates.
+
+    The unit is a (user, day) exposure: score = clicks that day
+    (capped), label = purchased that day — a unit with real rate
+    variation (per-user lifetime labels saturate at 1 on this schema).
+
+    Instead of the sequential pool-adjacent-violators sweep (a
+    driver-side loop), the fit uses PAV's minimax closed form
+    (Robertson-Wright-Dykstra 1988, eq. 1.9):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k)
+
+    which is pure relational algebra ON THE BOUNDED BIN TABLE: one
+    corpus-sized user aggregation, a <= (max_bin+1)-row bin relation,
+    then prefix sums + an O(B^3) triangle join over B bins (~30k tiny
+    rows at B = 31, constant in the corpus size). Pooled means are
+    int64-sum ratios — one division per (j,k) pair, identical in both
+    engines, so min/max comparisons see bit-identical doubles.
+
+    Scale shape: the only corpus-sized stage is the per-user groupBy;
+    everything after runs on B rows regardless of corpus size. The
+    monotone fit itself is what a quality-score -> keep-rate policy
+    ships: iso_rate is the calibrated P(purchase | activity >= never
+    decreasing), immune to the empirical rate's bin noise."""
+    per_ud = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.least(
+            F.sum((F.col("event_type") == "click").cast("long")), F.lit(int(max_bin))
+        ).alias("b"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    bins = (
+        per_ud.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("s"))
+        .localCheckpoint(eager=True)  # the triangle join fans out of this tiny relation
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "b",
+        "n",
+        "s",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    )
+    j = pre.select(
+        F.col("b").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+    )
+    k = pre.select(F.col("b").alias("kb"), "cn", "cs")
+    pair_avg = (F.col("cs") - F.col("cs0")) * F.lit(1.0) / (F.col("cn") - F.col("cn0"))
+    pairs = j.crossJoin(k).filter(F.col("jb") <= F.col("kb")).select(
+        "jb", "kb", pair_avg.alias("avg_jk")
+    )
+    i = bins.select(F.col("b").alias("ib"))
+    iso = (
+        pairs.crossJoin(i)
+        .filter((F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")))
+        .groupBy("ib", "jb")
+        .agg(F.min("avg_jk").alias("m"))
+        .groupBy("ib")
+        .agg(F.max("m").alias("iso_rate"))
+    )
+    return (
+        bins.join(iso, bins["b"] == iso["ib"])
+        .select(
+            "b",
+            F.col("n").alias("n_users"),
+            F.col("s").alias("n_purchasers"),
+            (F.col("s") * F.lit(1.0) / F.col("n")).alias("emp_rate"),
+            "iso_rate",
+        )
+        .orderBy("b")
+    )
+
+
+ISOTONIC_ORACLE_SQL = """
+WITH per_ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         LEAST(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+               {max_bin}) AS b,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2
+), bins AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM per_ud GROUP BY 1
+), pre AS (
+  SELECT b, n, s,
+         CAST(SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+  FROM bins
+), pairs AS (
+  SELECT j.b AS jb, k.b AS kb,
+         (k.cs - (j.cs - j.s)) * 1.0e0 / (k.cn - (j.cn - j.n)) AS avg_jk
+  FROM pre j CROSS JOIN pre k WHERE j.b <= k.b
+), iso AS (
+  SELECT ib, MAX(m) AS iso_rate FROM (
+    SELECT i.b AS ib, p.jb, MIN(p.avg_jk) AS m
+    FROM pairs p CROSS JOIN bins i
+    WHERE p.jb <= i.b AND p.kb >= i.b
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT bins.b, bins.n AS n_users, bins.s AS n_purchasers,
+       bins.s * 1.0e0 / bins.n AS emp_rate, iso.iso_rate
+FROM bins JOIN iso ON bins.b = iso.ib
+ORDER BY bins.b
+"""
+
+
+def isotonic_oracle_sql(max_bin: int = 12) -> str:
+    return ISOTONIC_ORACLE_SQL.format(max_bin=max_bin)

@@ -111,3 +111,88 @@ ORDER BY p.w1, p.w2
 
 def kneser_ney_oracle_sql(min_pair_count: int = 2) -> str:
     return KNESER_NEY_ORACLE_SQL.format(min_pair_count=min_pair_count)
+
+
+def good_turing_unigrams(docs: DataFrame) -> DataFrame:
+    """Turing/Katz adjusted counts from the unigram count-of-counts
+    table: for each observed frequency r, the frequency-of-frequency
+    N_r and the adjusted count r* = (r+1) * N_{r+1} / N_r (Good 1953;
+    the Katz-backoff ingredient — NULL where N_{r+1} = 0, exactly
+    where Katz falls back to the raw count). `p_star` divides by the
+    corpus token total, and the r = 1 row's raw mass N_1/N is the
+    classic Good-Turing estimate of the UNSEEN-type probability — the
+    number a vocab-coverage audit wants before shipping a tokenizer.
+
+    Kneser-Ney (`kneser_ney_bigram`) is the production smoother; this
+    is the diagnostic it replaced, kept exact: every quantity on the
+    right of r* is an int64 COUNT, so both engines agree bit-for-bit
+    through the one final division.
+
+    Scale shape: one corpus-sized explode into token counts (vocab-
+    bounded aggregate with map-side partials), then count-of-counts —
+    a second aggregate over the VOCAB table, bounded by |distinct
+    frequency| (~hundreds at any corpus size). The r -> r+1 self-join
+    and the token-total scalar both run on that bounded table."""
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    counts = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    foff = counts.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    foff = foff.localCheckpoint(eager=True)  # 3 derived relations fan out
+    nxt = foff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    total = foff.agg(F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"))
+    r_star = F.when(
+        F.col("n_r1") > 0,
+        ((F.col("r") + 1) * F.col("n_r1")) * F.lit(1.0) / F.col("n_r"),
+    )
+    return (
+        foff.join(nxt, "r", "left")
+        .na.fill({"n_r1": 0})
+        .crossJoin(F.broadcast(total))  # 1-row scalar broadcast (labeled)
+        .select(
+            "r",
+            "n_r",
+            "n_r1",
+            "n_tokens",
+            r_star.alias("r_star"),
+            F.when(
+                F.col("n_r1") > 0,
+                ((F.col("r") + 1) * F.col("n_r1"))
+                * F.lit(1.0)
+                / F.col("n_r")
+                / F.col("n_tokens"),
+            ).alias("p_star"),
+            (F.col("r") * F.col("n_r") * F.lit(1.0) / F.col("n_tokens")).alias(
+                "raw_mass"
+            ),
+        )
+        .orderBy("r")
+    )
+
+
+GOOD_TURING_ORACLE_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+), foff AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM foff
+)
+SELECT f.r, f.n_r, COALESCE(x.n_r, 0) AS n_r1, t.n_tokens,
+       CASE WHEN COALESCE(x.n_r, 0) > 0
+            THEN ((f.r + 1) * x.n_r) * 1.0e0 / f.n_r END AS r_star,
+       CASE WHEN COALESCE(x.n_r, 0) > 0
+            THEN ((f.r + 1) * x.n_r) * 1.0e0 / f.n_r / t.n_tokens END AS p_star,
+       f.r * f.n_r * 1.0e0 / t.n_tokens AS raw_mass
+FROM foff f
+LEFT JOIN foff x ON x.r = f.r + 1
+CROSS JOIN total t
+ORDER BY f.r
+"""

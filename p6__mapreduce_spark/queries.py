@@ -8998,6 +8998,49 @@ def _register_round8_batch_oracles() -> None:
 _register_round8_batch_oracles()
 
 
+# ---------------------------------------------------------------------------
+# Round-8 continuation batch: LM smoothing diagnostics, a libm-free
+# logistic-regression quality classifier, exact isotonic calibration,
+# graph link prediction, and Hilbert-curve layout keys.
+# ---------------------------------------------------------------------------
+
+
+def _good_turing_oracle() -> str:
+    from p6__mapreduce_spark.operators.lm import GOOD_TURING_ORACLE_SQL
+
+    return GOOD_TURING_ORACLE_SQL
+
+
+@register("good_turing_unigrams", oracle=_good_turing_oracle())
+def q_good_turing_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* = (r+1) N_{r+1}/N_r over the
+    unigram count-of-counts table, plus each frequency's raw
+    probability mass (the r = 1 row's raw mass is the classic
+    unseen-type estimate) — the smoothing diagnostic Kneser-Ney
+    replaced, kept exact (int64 counts, one final division)."""
+    from p6__mapreduce_spark.operators.lm import good_turing_unigrams
+
+    return good_turing_unigrams(load_table(spark, sf_dir, "documents"))
+
+
+def _isotonic_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import isotonic_oracle_sql
+
+    return isotonic_oracle_sql()
+
+
+@register("isotonic_calibration", oracle=_isotonic_oracle())
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic (PAV) calibration of purchase propensity vs
+    same-day click activity via the minimax closed form max-min of
+    pooled bin means — the monotone fit on top of calibration_bins'
+    reliability diagram; corpus touched once, the O(B^3) fit runs on
+    the bounded bin relation."""
+    from p6__mapreduce_spark.operators.causal import isotonic_calibration
+
+    return isotonic_calibration(load_table(spark, sf_dir, "events"))
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining
