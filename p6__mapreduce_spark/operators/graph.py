@@ -375,3 +375,105 @@ JOIN h{iters} h ON h.node = n.n_nationkey
 JOIN a{iters} a ON a.node = n.n_nationkey
 ORDER BY hub_q6 DESC, nation_key"""
     )
+
+
+RA_SCALE = 1_000_000_000_000  # resource-allocation fixed-point scale (1e12)
+
+
+def part_link_prediction(lineitem: DataFrame, *, min_common: int = 2, k: int = 100) -> DataFrame:
+    """Link-prediction scores over the part co-purchase graph — the
+    four classic neighborhood indices (Liben-Nowell & Kleinberg 2003)
+    computed on the BIPARTITE order-part incidence, which is the only
+    scale-safe route: a neighbor-of-neighbor join on the projected
+    part-part graph costs sum_z deg(z)^2 (~120-degree hubs here make
+    that O(1e8) at sf0.1 and unbounded at 100 TB), while pair
+    generation through shared ORDERS is bounded by max-basket-size^2
+    per order row.
+
+    Per candidate pair (p1, p2) with >= ``min_common`` shared orders:
+      - cn: common-neighbor count (shared orders);
+      - jaccard: cn / (deg1 + deg2 - cn);
+      - cosine: cn / sqrt(deg1 * deg2);
+      - ra: resource-allocation index sum_{o ∋ p1,p2} 1/|parts(o)|
+        (Zhou-Lu-Zhang 2007 — the bipartite form that beats plain CN
+        for recommendation), kept partition-order independent by
+        quantizing EACH order's 1/|o| to int64 at 1e12 per row and
+        summing integers (a float sum would depend on shuffle order).
+
+    Top-``k`` pairs by the exact integer (ra_x1e12, cn) key — the
+    float columns are derived for reporting, never compared.
+
+    Scale shape: one distinct + one order-keyed self-join (pair count
+    = sum_o |o|^2, |o| <= ~7 on TPC-H), one pair aggregation, two
+    degree joins (broadcast while small, AQE otherwise), TakeOrdered
+    for the global top-k."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    osize = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    w = F.round(F.lit(float(RA_SCALE)) / F.col("sz").cast("double")).cast("long")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(osize.withColumnRenamed("l_orderkey", "o"), "o")
+        .groupBy("p1", "p2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(w).cast("long").alias("ra_x1e12"),
+        )
+        .filter(F.col("cn") >= int(min_common))
+    )
+    d1 = deg.select(F.col("l_partkey").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("l_partkey").alias("p2"), F.col("deg").alias("deg2"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "cn",
+            "deg1",
+            "deg2",
+            "ra_x1e12",
+            (dd("cn") / (dd("deg1") + dd("deg2") - dd("cn"))).alias("jaccard"),
+            (dd("cn") / F.sqrt(dd("deg1") * dd("deg2"))).alias("cosine"),
+            (dd("ra_x1e12") / F.lit(float(RA_SCALE))).alias("ra"),
+        )
+        .orderBy(F.col("ra_x1e12").desc(), F.col("cn").desc(), "p1", "p2")
+        .limit(int(k))
+    )
+
+
+LINK_PREDICTION_ORACLE_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), osize AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz FROM op GROUP BY 1
+), deg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS deg FROM op GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(round(1.0e12 / CAST(s.sz AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ra_x1e12
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN osize s ON s.l_orderkey = a.l_orderkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_common}
+)
+SELECT p.p1, p.p2, p.cn, d1.deg AS deg1, d2.deg AS deg2, p.ra_x1e12,
+       CAST(p.cn AS DOUBLE) / (CAST(d1.deg AS DOUBLE) + CAST(d2.deg AS DOUBLE) - CAST(p.cn AS DOUBLE)) AS jaccard,
+       CAST(p.cn AS DOUBLE) / sqrt(CAST(d1.deg AS DOUBLE) * CAST(d2.deg AS DOUBLE)) AS cosine,
+       CAST(p.ra_x1e12 AS DOUBLE) / 1.0e12 AS ra
+FROM pairs p
+JOIN deg d1 ON d1.l_partkey = p.p1
+JOIN deg d2 ON d2.l_partkey = p.p2
+ORDER BY p.ra_x1e12 DESC, p.cn DESC, p.p1, p.p2
+LIMIT {k}
+"""
+
+
+def link_prediction_oracle_sql(*, min_common: int = 2, k: int = 100) -> str:
+    return LINK_PREDICTION_ORACLE_SQL.format(min_common=min_common, k=k)

@@ -9041,6 +9041,44 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(load_table(spark, sf_dir, "events"))
 
 
+def _link_prediction_oracle() -> str:
+    from p6__mapreduce_spark.operators.graph import link_prediction_oracle_sql
+
+    return link_prediction_oracle_sql()
+
+
+@register("link_prediction_scores", oracle=_link_prediction_oracle())
+def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part pairs by the four classic link-prediction indices
+    (common neighbors, Jaccard, cosine, resource allocation) computed
+    on the bipartite order-part incidence — pair space bounded by
+    basket-size^2 per order, never the projected graph's deg^2; RA
+    summed as per-order 1e12 fixed-point integers."""
+    from p6__mapreduce_spark.operators.graph import part_link_prediction
+
+    return part_link_prediction(load_table(spark, sf_dir, "lineitem"))
+
+
+def _hilbert_oracle() -> str:
+    from p6__mapreduce_spark.functions.hilbert import hilbert_oracle_sql
+
+    return hilbert_oracle_sql("orders", "o_orderkey", "o_custkey", "o_orderkey")
+
+
+@register("hilbert_codes", oracle=_hilbert_oracle())
+def q_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index of (custkey, orderkey) — the locality-
+    preserving upgrade of zorder_codes (consecutive codes are always
+    grid-adjacent; no Z-seam jumps), computed by LEVELS chained
+    integer projections whose expression TEXT is shared verbatim
+    between Spark and the DuckDB oracle — no twin implementation to
+    drift. One codegen-fused map pass, no shuffle."""
+    from p6__mapreduce_spark.functions.hilbert import hilbert_df
+
+    o = load_table(spark, sf_dir, "orders")
+    return hilbert_df(o, "o_orderkey", "o_custkey", "o_orderkey").orderBy("o_orderkey")
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining
