@@ -9079,6 +9079,25 @@ def q_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_df(o, "o_orderkey", "o_custkey", "o_orderkey").orderBy("o_orderkey")
 
 
+def _logreg_oracle() -> str:
+    from p6__mapreduce_spark.operators.logreg import logreg_oracle_sql
+
+    return logreg_oracle_sql()
+
+
+@register("logreg_quality_irls", oracle=_logreg_oracle())
+def q_logreg_quality_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression propensity fit (6 ridge-damped Newton/IRLS
+    rounds) of same-day purchase on (user, day) activity features —
+    the quality-classifier primitive, exactly oracle-checkable via a
+    libm-free repeated-squaring sigmoid, per-row integer-quantized
+    moments, and ONE generated expression text executed verbatim by
+    both engines; chained-CTE oracle replays every round."""
+    from p6__mapreduce_spark.operators.logreg import logreg_quality_irls
+
+    return logreg_quality_irls(load_table(spark, sf_dir, "events"))
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining
