@@ -347,6 +347,13 @@ HEADLINE = [
     "kmv_audience_overlap",
     "wasserstein_purchase_vs_click",
     "pca_top_component",
+    # r8 continuation batch: smoothing diagnostics, IRLS propensity
+    # fit, PAV calibration, bipartite link prediction, Hilbert codes
+    "good_turing_unigrams",
+    "logreg_quality_irls",
+    "isotonic_calibration",
+    "link_prediction_scores",
+    "hilbert_codes",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.
@@ -416,6 +423,7 @@ STEADY_SET = frozenset(
         # are readable
         "bpe_learn_merges",
         "dsir_weights",
+        "logreg_quality_irls",
         "dsir_resample_topk",
         "winnow_fingerprints",
         # r8: 12 fixed-point rounds of tiny jobs (one localCheckpoint

@@ -68,10 +68,13 @@ def _levels() -> list[int]:
     return [SIDE >> k for k in range(1, LEVELS + 1)]  # n/2 .. 1
 
 
-def hilbert_code_py(x: int, y: int) -> int:
-    """Pure-Python reference (test model): same walk, same collapse."""
+def hilbert_code_py(x: int, y: int, levels: int = LEVELS) -> int:
+    """Pure-Python reference (test model): same walk, same collapse.
+    ``levels`` < LEVELS runs the same curve on a smaller grid (the
+    walk is self-similar, so the property tests can afford the full
+    bijection/adjacency proof)."""
     d = 0
-    for s in _levels():
+    for s in [(1 << levels) >> k for k in range(1, levels + 1)]:
         rx = 1 if (x & s) > 0 else 0
         ry = 1 if (y & s) > 0 else 0
         d += s * s * (3 * rx + ry - 2 * rx * ry)

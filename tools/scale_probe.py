@@ -286,6 +286,46 @@ def main() -> None:
         }
     )
 
+    # round-8 continuation batch
+    from p6__mapreduce_spark.functions.hilbert import hilbert_df as _hilbert
+    from p6__mapreduce_spark.operators.causal import isotonic_calibration as _iso
+    from p6__mapreduce_spark.operators.graph import part_link_prediction as _linkpred
+    from p6__mapreduce_spark.operators.lm import good_turing_unigrams as _gt
+    from p6__mapreduce_spark.operators.logreg import logreg_quality_irls as _logreg
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def inflate_orders(o, kk):
+        out = None
+        for i in range(kk):
+            copy = o.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+            )
+            out = copy if out is None else out.unionAll(copy)
+        return out
+
+    ops.update(
+        {
+            # vocab k x (disjoint suffixed words); count-of-counts stays
+            # a bounded table, so time must track the explode scan
+            "good_turing_unigrams": (lambda d: _gt(d), docs, inflate_documents),
+            # ROUNDS+1 scans of the (user, day) relation; moments are 10
+            # int64s/round regardless of k
+            "logreg_quality_irls": (lambda d: _logreg(d), events, inflate_events),
+            # one (user, day) agg; the O(B^3) fit is k-invariant
+            "isotonic_calibration": (lambda d: _iso(d), events, inflate_events),
+            # pair volume exactly k x (disjoint order keys per copy);
+            # degree joins stay part-vocabulary-sized per copy
+            "link_prediction_scores": (lambda d: _linkpred(d), li, inflate_lineitem),
+            # pure map: 10 fused projections, no shuffle
+            "hilbert_codes": (
+                lambda d: _hilbert(d, "o_orderkey", "o_custkey", "o_orderkey"),
+                orders,
+                inflate_orders,
+            ),
+        }
+    )
+
     # round-5 ops
     from p6__mapreduce_spark.operators.quality_filters import (
         c4_quality_filters as _c4,
