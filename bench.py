@@ -354,6 +354,9 @@ HEADLINE = [
     "isotonic_calibration",
     "link_prediction_scores",
     "hilbert_codes",
+    "als_factorization",
+    "logrank_test_conversion",
+    "phrase_search",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.
@@ -424,6 +427,7 @@ STEADY_SET = frozenset(
         "bpe_learn_merges",
         "dsir_weights",
         "logreg_quality_irls",
+        "als_factorization",
         "dsir_resample_topk",
         "winnow_fingerprints",
         # r8: 12 fixed-point rounds of tiny jobs (one localCheckpoint

@@ -364,3 +364,233 @@ ORDER BY bins.b
 
 def isotonic_oracle_sql(max_bin: int = 12) -> str:
     return ISOTONIC_ORACLE_SQL.format(max_bin=max_bin)
+
+
+def logrank_test_conversion(events: DataFrame) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox 1966): do high-value
+    users (per-user total event value above the at-risk population
+    mean — an exact integer cross-multiplied compare, no float mean)
+    convert (first view -> first purchase) on a different survival
+    curve than the rest? The hypothesis test that belongs ON TOP of
+    `kaplan_meier_conversion`'s curve — KM describes, log-rank
+    decides. (A "has event X" grouping saturates on this schema —
+    every active user has every type — so the split is a value
+    scalar.)
+
+    Same censoring frame as the KM query (never-converting users
+    right-censored at the observation end). At each distinct event
+    time t the observed group-1 events O1 accumulate exactly (int64),
+    while the hypergeometric expectation and variance terms
+
+        E1_t = d_t * n1_t / n_t
+        V_t  = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)
+
+    are ratios of exact int64 risk-set counts, quantized to 1e-9 ints
+    PER TERM and integer-summed (the KM ln-q9 discipline), so both
+    engines agree bit-for-bit; chi2 = (O1 - E1)^2 / V and the
+    Mantel-Haenszel hazard ratio (O1/E1)/((D - O1)/(D - E1)) are final
+    fixed-shape double expressions.
+
+    Scale shape: the corpus collapses to one row per user, then one
+    row per (duration, group) — every window runs over a days-bounded
+    relation."""
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("tot_cents"),
+    )
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") >= F.col("first_view")
+    )
+    dur0 = per_user.filter(F.col("first_view").isNotNull()).select(
+        F.when(
+            converted,
+            F.datediff(
+                F.col("first_purchase").cast("date"), F.col("first_view").cast("date")
+            ),
+        )
+        .otherwise(
+            F.datediff(
+                F.lit("2024-02-01").cast("date"), F.col("first_view").cast("date")
+            )
+        )
+        .alias("t_days"),
+        converted.cast("long").alias("converted"),
+        "tot_cents",
+    )
+    pop = dur0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum("tot_cents").cast("long").alias("s_cents"),
+    )
+    durations = dur0.crossJoin(F.broadcast(pop)).select(
+        "t_days",
+        "converted",
+        (F.col("tot_cents") * F.col("n_u") > F.col("s_cents"))
+        .cast("long")
+        .alias("g"),
+    )
+    steps = durations.groupBy("t_days", "g").agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    # a group with no departures at time t still has members AT RISK
+    # there — expand to the full (distinct time) x (group) grid before
+    # the cumulative windows (bounded: |days| x 2)
+    grid = (
+        steps.select("t_days")
+        .distinct()
+        .crossJoin(steps.select("g").distinct())
+        .join(steps, ["t_days", "g"], "left")
+        .na.fill({"d": 0, "leaving": 0})
+    )
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_g = Window.partitionBy("g")
+    risk_g = grid.select(
+        "t_days",
+        "g",
+        "d",
+        (
+            F.sum("leaving").over(tot_g)
+            - F.coalesce(F.sum("leaving").over(wg), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_g"),
+    )
+    # group-1 side joined against the per-time totals (both bounded)
+    tots = risk_g.groupBy("t_days").agg(
+        F.sum("d").cast("long").alias("d_t"), F.sum("n_g").cast("long").alias("n_t")
+    )
+    g1 = risk_g.filter(F.col("g") == 1).select(
+        "t_days", F.col("d").alias("d1"), F.col("n_g").alias("n1")
+    )
+    terms = (
+        tots.join(g1, "t_days", "left")
+        .na.fill({"d1": 0, "n1": 0})
+        .filter((F.col("d_t") > 0) & (F.col("n_t") > 1))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    e1_term = dd("d_t") * dd("n1") / dd("n_t")
+    v_term = (
+        dd("d_t")
+        * (dd("n1") / dd("n_t"))
+        * (F.lit(1.0) - dd("n1") / dd("n_t"))
+        * ((dd("n_t") - dd("d_t")) / (dd("n_t") - F.lit(1.0)))
+    )
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    m = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d_t").cast("long").alias("d_tot"),
+        F.sum(q9(e1_term)).cast("long").alias("e1_q9"),
+        F.sum(q9(v_term)).cast("long").alias("v_q9"),
+    )
+    sizes = durations.groupBy().agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n_users_g0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n_users_g1"),
+    )
+    e1 = dd("e1_q9") / F.lit(1.0e9)
+    v = dd("v_q9") / F.lit(1.0e9)
+    # degenerate-split guards (one group empty): both engines emit NULL
+    # instead of Spark ANSI div-by-zero vs DuckDB NaN
+    chi2 = F.when(
+        F.col("v_q9") > 0, (dd("o1") - e1) * (dd("o1") - e1) / v
+    )
+    hr = F.when(
+        (F.col("e1_q9") > 0)
+        & (F.col("o1") < F.col("d_tot"))
+        & (F.col("e1_q9") < F.col("d_tot") * F.lit(1000000000)),
+        (dd("o1") / e1) / ((dd("d_tot") - dd("o1")) / (dd("d_tot") - e1)),
+    )
+    return m.crossJoin(F.broadcast(sizes)).select(
+        "n_users_g0",
+        "n_users_g1",
+        "o1",
+        "d_tot",
+        "e1_q9",
+        "v_q9",
+        e1.alias("e1"),
+        chi2.alias("chi2"),
+        hr.alias("hazard_ratio"),
+    )
+
+
+LOGRANK_ORACLE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot_cents
+  FROM events GROUP BY 1
+), dur0 AS (
+  SELECT CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+              THEN date_diff('day', first_view, first_purchase)
+              ELSE date_diff('day', first_view, TIMESTAMP '2024-02-01') END AS t_days,
+         CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_view
+              THEN 1 ELSE 0 END AS converted,
+         tot_cents
+  FROM per_user WHERE first_view IS NOT NULL
+), pop AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_u, CAST(SUM(tot_cents) AS BIGINT) AS s_cents
+  FROM dur0
+), durations AS (
+  SELECT t_days, converted,
+         CASE WHEN tot_cents * n_u > s_cents THEN 1 ELSE 0 END AS g
+  FROM dur0 CROSS JOIN pop
+), steps AS (
+  SELECT t_days, g, CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM durations GROUP BY 1, 2
+), grid AS (
+  SELECT tt.t_days, gg.g, COALESCE(s.d, 0) AS d, COALESCE(s.leaving, 0) AS leaving
+  FROM (SELECT DISTINCT t_days FROM steps) tt
+  CROSS JOIN (SELECT DISTINCT g FROM steps) gg
+  LEFT JOIN steps s ON s.t_days = tt.t_days AND s.g = gg.g
+), risk_g AS (
+  SELECT t_days, g, d,
+         CAST(SUM(leaving) OVER (PARTITION BY g)
+              - COALESCE(SUM(leaving) OVER (PARTITION BY g ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_g
+  FROM grid
+), tots AS (
+  SELECT t_days, CAST(SUM(d) AS BIGINT) AS d_t, CAST(SUM(n_g) AS BIGINT) AS n_t
+  FROM risk_g GROUP BY 1
+), terms AS (
+  SELECT t.t_days, t.d_t, t.n_t,
+         COALESCE(g1.d, 0) AS d1, COALESCE(g1.n_g, 0) AS n1
+  FROM tots t LEFT JOIN (SELECT t_days, d, n_g FROM risk_g WHERE g = 1) g1
+    ON g1.t_days = t.t_days
+  WHERE t.d_t > 0 AND t.n_t > 1
+), m AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d_t) AS BIGINT) AS d_tot,
+         CAST(SUM(CAST(floor(CAST(d_t AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n_t AS DOUBLE)
+               * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS e1_q9,
+         CAST(SUM(CAST(floor(CAST(d_t AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n_t AS DOUBLE))
+               * (1.0e0 - CAST(n1 AS DOUBLE) / CAST(n_t AS DOUBLE))
+               * ((CAST(n_t AS DOUBLE) - CAST(d_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0e0))
+               * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS v_q9
+  FROM terms
+), sizes AS (
+  SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_g0,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_g1
+  FROM durations
+)
+SELECT s.n_users_g0, s.n_users_g1, m.o1, m.d_tot, m.e1_q9, m.v_q9,
+       CAST(m.e1_q9 AS DOUBLE) / 1.0e9 AS e1,
+       CASE WHEN m.v_q9 > 0 THEN
+         (CAST(m.o1 AS DOUBLE) - CAST(m.e1_q9 AS DOUBLE) / 1.0e9)
+           * (CAST(m.o1 AS DOUBLE) - CAST(m.e1_q9 AS DOUBLE) / 1.0e9)
+           / (CAST(m.v_q9 AS DOUBLE) / 1.0e9) END AS chi2,
+       CASE WHEN m.e1_q9 > 0 AND m.o1 < m.d_tot AND m.e1_q9 < m.d_tot * 1000000000 THEN
+         (CAST(m.o1 AS DOUBLE) / (CAST(m.e1_q9 AS DOUBLE) / 1.0e9))
+           / ((CAST(m.d_tot AS DOUBLE) - CAST(m.o1 AS DOUBLE))
+              / (CAST(m.d_tot AS DOUBLE) - CAST(m.e1_q9 AS DOUBLE) / 1.0e9)) END AS hazard_ratio
+FROM m CROSS JOIN sizes s
+"""

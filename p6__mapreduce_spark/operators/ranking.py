@@ -607,3 +607,100 @@ w AS (
 SELECT doc_a, doc_b, cos_sim, rank FROM ranked
 WHERE rank <= {{k}} ORDER BY doc_a, rank
 """
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...] = ("big", "order", "scan")) -> DataFrame:
+    """Exact-phrase retrieval via a positional index — the IR
+    capability bag-of-words scoring (tfidf/bm25) cannot express:
+    "these tokens, CONSECUTIVELY". The classic positional-postings
+    plan (Manning-Raghavan-Schütze IR ch. 2): explode tokens WITH
+    POSITIONS, filter the postings to the query terms FIRST (the
+    selectivity step — at 100 TB only |postings(term)| rows survive
+    the scan, never the corpus), group the survivors into per-doc
+    position arrays, and verify adjacency inside the row. The oracle
+    keeps the textbook (doc_id, pos + offset) equi-join formulation —
+    same result, independent plan.
+
+    Returns (doc_id, n_occurrences, first_pos) for matching docs,
+    deterministically ordered (count desc, doc_id) and limited —
+    integer-only output, trivially hash-stable.
+
+    Scale shape: the corpus-sized stage is the single tokenize +
+    posexplode projection; the term filter reduces it to the query
+    terms' postings (pushdown-friendly: a lexicon-partitioned posting
+    store would prune files here); joins run on those bounded lists
+    keyed by (doc_id, pos), which AQE broadcasts when one side is a
+    rare term — exactly how a distributed phrase query should run."""
+    import functools
+
+    from p6__mapreduce_spark.functions.text import tokens_expr
+
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens_expr("text")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok").isin(*phrase))
+    )
+    # one corpus scan, one shuffle of the FILTERED postings: per-doc
+    # position arrays per term (collect_list drops the when()-nulls),
+    # then adjacency matching runs inside the row with higher-order
+    # functions — no n-way self-join re-tokenizing the corpus per leg
+    arrs = pos.groupBy("doc_id").agg(
+        *[
+            F.collect_list(F.when(F.col("tok") == t, F.col("pos"))).alias(f"a{i}")
+            for i, t in enumerate(phrase)
+        ]
+    )
+    hits = F.filter(
+        F.col("a0"),
+        lambda x: functools.reduce(
+            lambda acc, i: acc & F.array_contains(F.col(f"a{i}"), x + i),
+            range(1, len(phrase)),
+            F.lit(True),
+        ),
+    )
+    return (
+        arrs.select(
+            "doc_id",
+            F.size(hits).cast("long").alias("n_occurrences"),
+            F.array_min(hits).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+PHRASE_SEARCH_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+  WHERE w[i] IN ({terms})
+), m AS (
+  SELECT p0.doc_id, p0.pos
+  FROM (SELECT doc_id, pos FROM pos WHERE tok = {t0}) p0
+  {joins}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY 1
+ORDER BY n_occurrences DESC, doc_id
+LIMIT 50
+"""
+
+
+def phrase_search_oracle_sql(phrase: tuple[str, ...] = ("big", "order", "scan")) -> str:
+    def q(t: str) -> str:
+        return "'" + t + "'"
+
+    joins = "\n  ".join(
+        f"JOIN (SELECT doc_id, pos - {off} AS pos FROM pos WHERE tok = {q(t)}) p{off}"
+        f" ON p{off}.doc_id = p0.doc_id AND p{off}.pos = p0.pos"
+        for off, t in enumerate(phrase[1:], start=1)
+    )
+    return PHRASE_SEARCH_ORACLE_SQL.format(
+        terms=", ".join(q(t) for t in phrase), t0=q(phrase[0]), joins=joins
+    )

@@ -9098,6 +9098,66 @@ def q_logreg_quality_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_quality_irls(load_table(spark, sf_dir, "events"))
 
 
+def _als_oracle() -> str:
+    from p6__mapreduce_spark.similarity.als import als_oracle_sql
+
+    return als_oracle_sql()
+
+
+@register("als_factorization", oracle=_als_oracle())
+def q_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS matrix factorization of the customer x part purchase
+    matrix (2 alternating sweeps) — the collaborative-filtering
+    primitive, exactly reproducible: int64-quantized factor relations
+    between half-steps, per-rating integer moment contributions, and
+    per-entity 2x2 Cramer solves as shared expression text; the
+    iteration state is two bounded RELATIONS (nothing collected), and
+    the chained-CTE oracle replays all four half-steps."""
+    from p6__mapreduce_spark.similarity.als import als_factorization
+
+    return als_factorization(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _logrank_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import LOGRANK_ORACLE_SQL
+
+    return LOGRANK_ORACLE_SQL
+
+
+@register("logrank_test_conversion", oracle=_logrank_oracle())
+def q_logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test: do high-value users
+    (above the at-risk population mean, an exact integer cross-
+    multiplied split) convert on a different survival curve? The
+    hypothesis test on top of kaplan_meier_conversion — O1 exact
+    int64, hypergeometric E1/V terms 1e-9-quantized per event time
+    (the KM ln-q9 discipline), chi2 and the Mantel-Haenszel hazard
+    ratio as final fixed-shape doubles."""
+    from p6__mapreduce_spark.operators.causal import logrank_test_conversion
+
+    return logrank_test_conversion(load_table(spark, sf_dir, "events"))
+
+
+def _phrase_oracle() -> str:
+    from p6__mapreduce_spark.operators.ranking import phrase_search_oracle_sql
+
+    return phrase_search_oracle_sql()
+
+
+@register("phrase_search", oracle=_phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("big order scan") via a positional
+    index — the consecutive-tokens capability bag-of-words scoring
+    cannot express: postings filtered to the query terms BEFORE any
+    join, then one (doc_id, pos+offset) equi-join per adjacency;
+    integer-only output."""
+    from p6__mapreduce_spark.operators.ranking import phrase_search
+
+    return phrase_search(load_table(spark, sf_dir, "documents"))
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining

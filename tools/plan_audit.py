@@ -186,6 +186,19 @@ CARTESIAN_EXEMPT = {
     # per-round renormalizers, Rayleigh terms) into the <= d^2-row
     # matrix/vector relations — the nation_trade_pagerank class
     "pca_top_component",
+    # 1-row token-total scalar broadcast into the bounded
+    # count-of-counts table — the unigram_surprise scalar shape
+    "good_turing_unigrams",
+    # <=13-row bin relation: inequality triangle joins (j<=k, j<=i<=k)
+    # over the bounded bin table — the ewma/lang_source_chisq
+    # bounded-grid class (the corpus itself is touched once)
+    "isotonic_calibration",
+    # two 1-row scalar broadcasts (at-risk population mean split +
+    # group sizes) into day-bounded relations — the Q22 scalar shape
+    "logrank_test_conversion",
+    # 1-row fit-summary scalar broadcast beside the TOPN factor rows
+    # — the Q22 scalar shape
+    "als_factorization",
 }
 
 

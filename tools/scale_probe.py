@@ -326,6 +326,52 @@ def main() -> None:
         }
     )
 
+    from p6__mapreduce_spark.operators.causal import (
+        logrank_test_conversion as _logrank,
+    )
+    from p6__mapreduce_spark.operators.ranking import phrase_search as _phrase
+    from p6__mapreduce_spark.similarity.als import als_factorization as _als
+
+    ops.update(
+        {
+            # 4 half-steps: ratings join vs bounded factor relations.
+            # Inflate the PART dimension (offset l_partkey, orderkeys
+            # intact so the orders join holds): k x ratings and k x
+            # items, same users — the item-embedding-table growth axis
+            "als_factorization": (
+                lambda d: _als(orders, d),
+                li,
+                lambda b, kk: __import__("functools").reduce(
+                    lambda a, c: a.unionAll(c),
+                    [
+                        b.withColumn(
+                            "l_partkey", F.col("l_partkey") + F.lit(i * 100_000_000)
+                        )
+                        for i in range(kk)
+                    ],
+                ),
+            ),
+            # corpus collapses to per-user rows then day-bounded terms
+            "logrank_test_conversion": (lambda d: _logrank(d), events, inflate_events),
+            # postings filtered to 3 terms before the adjacency joins;
+            # copies keep the TEXT (doc_id offsets only) so the query
+            # phrase's posting volume grows exactly k x
+            "phrase_search": (
+                lambda d: _phrase(d),
+                docs,
+                lambda b, kk: __import__("functools").reduce(
+                    lambda a, c: a.unionAll(c),
+                    [
+                        b.withColumn(
+                            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                        )
+                        for i in range(kk)
+                    ],
+                ),
+            ),
+        }
+    )
+
     # round-5 ops
     from p6__mapreduce_spark.operators.quality_filters import (
         c4_quality_filters as _c4,
