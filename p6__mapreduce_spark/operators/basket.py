@@ -102,3 +102,136 @@ ORDER BY p.part1, p.part2
 
 def basket_oracle_sql(min_pair_support: int = 3) -> str:
     return BASKET_ORACLE_SQL.format(min_pair_support=min_pair_support)
+
+
+def apriori_triples(lineitem: DataFrame, *, minsup: int = 2, k: int = 100) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori level-wise sweep (Agrawal &
+    Srikant 1994) — the step past `basket_part_pairs`' pair counts,
+    and the classic demonstration of ANTI-MONOTONE pruning at scale:
+    a triple can only be frequent if all three of its pairs are, so
+    each level's candidate space is cut by the level below BEFORE the
+    expensive count.
+
+    Plan: L1 (frequent items) prunes the baskets; L2 (frequent pairs)
+    is counted on the pruned baskets; the triple count then
+    semi-joins each of its three constituent pairs against L2 — the
+    (a, b) prefix is pruned BEFORE the third explode, so the raw
+    Sigma |basket|^3 space never materializes for prefixes the pair
+    level already killed. The report is the top-``k`` candidate
+    triples by exact support (a hard triple-support cut goes empty on
+    sparse baskets at scale); all counts exact int64, lift3 =
+    s * n_baskets^2 / (s_a * s_b * s_c) one final double ratio.
+
+    Scale shape: every explode is bounded by the (pruned) basket size
+    per order row; L1/L2/L3 relations are item-vocabulary bounded;
+    the L2 semi-joins broadcast while small (AQE) — the textbook
+    distributed Apriori (= the SON/PFP family's per-level shape)."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_baskets = op.select(F.count_distinct("o").alias("nb"))
+    l1 = (
+        op.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("s1"))
+        .filter(F.col("s1") >= int(minsup))
+    )
+    pruned = op.join(l1, "p").select("o", "p", "s1")
+    a, b, c = (pruned.alias(x) for x in "abc")
+    col = F.col
+    l2 = (
+        a.join(b, col("a.o") == col("b.o"))
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").alias("x"), col("b.p").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("s2"))
+        .filter(F.col("s2") >= int(minsup))
+        .localCheckpoint(eager=True)  # three semi-joins fan out
+    )
+    # prune (a, b) against L2 BEFORE extending with c — the level-wise
+    # point: the third explode only runs on surviving pair prefixes
+    ab = (
+        a.join(b, col("a.o") == col("b.o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(
+            col("a.o").alias("o"),
+            col("a.p").alias("pa"),
+            col("b.p").alias("pb"),
+            col("a.s1").alias("sa"),
+            col("b.s1").alias("sb"),
+        )
+        .join(
+            l2.select(col("x").alias("pa"), col("y").alias("pb")),
+            ["pa", "pb"],
+            "left_semi",
+        )
+    )
+    triples = (
+        ab.alias("ab").join(c, col("ab.o") == col("c.o"))
+        .filter(col("ab.pb") < col("c.p"))
+        .select(
+            "pa", "pb", col("c.p").alias("pc"), "sa", "sb", col("c.s1").alias("sc")
+        )
+    )
+    for x, y in (("pa", "pc"), ("pb", "pc")):
+        triples = triples.join(
+            l2.select(col("x").alias(x), col("y").alias(y)), [x, y], "left_semi"
+        )
+    dd = lambda cc: F.col(cc).cast("double")  # noqa: E731
+    return (
+        triples.groupBy("pa", "pb", "pc", "sa", "sb", "sc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "pa",
+            "pb",
+            "pc",
+            "support",
+            "sa",
+            "sb",
+            "sc",
+            (
+                dd("support")
+                * dd("nb")
+                * dd("nb")
+                / (dd("sa") * dd("sb") * dd("sc"))
+            ).alias("lift3"),
+        )
+        .orderBy(F.col("support").desc(), "pa", "pb", "pc")
+        .limit(int(k))
+    )
+
+
+APRIORI_ORACLE_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nb FROM op
+), l1 AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS s1 FROM op GROUP BY 1
+  HAVING COUNT(*) >= {minsup}
+), pruned AS (
+  SELECT op.o, op.p, l1.s1 FROM op JOIN l1 ON l1.p = op.p
+), l2 AS (
+  SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS s2
+  FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {minsup}
+), tri AS (
+  SELECT a.p AS pa, b.p AS pb, c.p AS pc, a.s1 AS sa, b.s1 AS sb, c.s1 AS sc
+  FROM pruned a
+  JOIN pruned b ON a.o = b.o AND a.p < b.p
+  JOIN pruned c ON a.o = c.o AND b.p < c.p
+  JOIN l2 ab ON ab.x = a.p AND ab.y = b.p
+  JOIN l2 ac ON ac.x = a.p AND ac.y = c.p
+  JOIN l2 bc ON bc.x = b.p AND bc.y = c.p
+)
+SELECT pa, pb, pc, CAST(COUNT(*) AS BIGINT) AS support, sa, sb, sc,
+       CAST(COUNT(*) AS DOUBLE) * CAST(nb.nb AS DOUBLE) * CAST(nb.nb AS DOUBLE)
+         / (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE)) AS lift3
+FROM tri CROSS JOIN nb
+GROUP BY pa, pb, pc, sa, sb, sc, nb.nb
+ORDER BY support DESC, pa, pb, pc
+LIMIT {k}
+"""
+
+
+def apriori_oracle_sql(minsup: int = 2, k: int = 100) -> str:
+    return APRIORI_ORACLE_SQL.format(minsup=minsup, k=k)

@@ -255,3 +255,112 @@ SELECT n1, n2, w1_num,
        CAST(w1_num AS DOUBLE) / (n1 * n2) AS w1
 FROM s CROSS JOIN totals
 """
+
+
+def roc_curve_points(
+    df: DataFrame, score, positive, *, max_points: int = 200
+) -> DataFrame:
+    """The full ROC curve of an integer score ranking a binary label —
+    the curve whose area `mann_whitney_auc` reports as one scalar
+    (AUC answers "is the score any good"; the CURVE answers "where do
+    I put the keep/drop threshold", which is what a quality-filter
+    rollout actually needs).
+
+    At each distinct score value t (predicting positive when
+    score >= t): exact integer TP/FP/FN/TN from ONE cumulative window
+    over the bounded distinct-value relation (the Spearman midrank
+    discipline — the corpus is aggregated once, never sorted), then
+    tpr/fpr/precision as final ratio doubles. When the score domain
+    exceeds ``max_points`` distinct values, thresholds are decimated
+    deterministically (every ceil(D/max_points)-th in rank order) so
+    the output stays bounded at any scale; nothing else changes.
+
+    Scale shape: one groupBy over the corpus to the value table,
+    windows + ratios on that bounded relation."""
+    from pyspark.sql import Window
+
+    vt = (
+        df.select(score.alias("thr"), positive.cast("long").alias("y"))
+        .groupBy("thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("thr").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = vt.select(
+        "thr",
+        F.sum("pos").over(w_desc).cast("long").alias("tp"),
+        (F.sum("n").over(w_desc) - F.sum("pos").over(w_desc))
+        .cast("long")
+        .alias("fp"),
+        F.sum("pos").over(w_all).cast("long").alias("p_tot"),
+        (F.sum("n").over(w_all) - F.sum("pos").over(w_all))
+        .cast("long")
+        .alias("n_tot"),
+        F.row_number()
+        .over(Window.orderBy(F.col("thr").desc()))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_thr"),
+    )
+    step = F.expr(f"CAST(ceil(CAST(n_thr AS DOUBLE) / {int(max_points)}.0e0) AS BIGINT)")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        cum.withColumn("step", step)
+        .filter((F.col("rk") % F.col("step")) == 0)
+        .select(
+            "thr",
+            "tp",
+            "fp",
+            (F.col("p_tot") - F.col("tp")).alias("fn"),
+            (F.col("n_tot") - F.col("fp")).alias("tn"),
+            (dd("tp") / dd("p_tot")).alias("tpr"),
+            (dd("fp") / dd("n_tot")).alias("fpr"),
+            F.when(
+                (F.col("tp") + F.col("fp")) > 0,
+                dd("tp") / (dd("tp") + dd("fp")),
+            ).alias("precision"),
+        )
+        .orderBy(F.col("thr").desc())
+    )
+
+
+ROC_ORACLE_SQL = """
+WITH vt AS (
+  SELECT {score} AS thr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {positive} THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM {table} GROUP BY 1
+), cum AS (
+  SELECT thr,
+         CAST(SUM(pos) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(SUM(n) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - SUM(pos) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         CAST(SUM(pos) OVER () AS BIGINT) AS p_tot,
+         CAST(SUM(n) OVER () - SUM(pos) OVER () AS BIGINT) AS n_tot,
+         CAST(ROW_NUMBER() OVER (ORDER BY thr DESC) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_thr
+  FROM vt
+)
+SELECT thr, tp, fp, p_tot - tp AS fn, n_tot - fp AS tn,
+       CAST(tp AS DOUBLE) / CAST(p_tot AS DOUBLE) AS tpr,
+       CAST(fp AS DOUBLE) / CAST(n_tot AS DOUBLE) AS fpr,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END AS precision
+FROM (SELECT *, CAST(ceil(CAST(n_thr AS DOUBLE) / {max_points}.0e0) AS BIGINT) AS step FROM cum)
+WHERE rk % step = 0
+ORDER BY thr DESC
+"""
+
+
+def roc_oracle_sql(
+    table: str = "documents",
+    score: str = "n_chars",
+    positive: str = "lang = 'en'",
+    max_points: int = 200,
+) -> str:
+    return ROC_ORACLE_SQL.format(
+        table=table, score=score, positive=positive, max_points=max_points
+    )

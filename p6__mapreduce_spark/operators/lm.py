@@ -196,3 +196,95 @@ LEFT JOIN foff x ON x.r = f.r + 1
 CROSS JOIN total t
 ORDER BY f.r
 """
+
+
+GEN_STEPS = 15
+
+
+def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM: start at the most
+    frequent unigram, then repeatedly take the argmax-count successor
+    — the deterministic generation loop that turns the count tables
+    (`bigram_lm`, `kneser_ney_bigram`) into an actual text rollout,
+    and the simplest member of the decode family (greedy = beam
+    width 1; ties break lexicographically, so both engines walk the
+    identical path, cycles included — greedy LOOPS are the honest
+    behavior of argmax decoding and exactly why sampling/beam exist).
+
+    Fully relational iteration (the ALS discipline): the decode state
+    is a 1-row relation; each step joins it against the vocab-bounded
+    bigram relation and keeps the (count DESC, token ASC) head — no
+    driver round-trips; the chained-CTE oracle replays every step.
+
+    Scale shape: ONE corpus-sized explode builds the bigram counts
+    (localCheckpoint-pinned); all ``steps`` rounds run on that
+    bounded relation. Output: (step, token, in_count) where in_count
+    is the bigram count that selected this token (NULL for the seed's
+    unigram start — its count is reported instead)."""
+    from p6__mapreduce_spark.dedup.jaccard import shingle_postings
+
+    arr = F.split("shingle", " ")
+    pairs = (
+        shingle_postings(docs, 2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(arr[0].alias("w1"), arr[1].alias("w2"), "c")
+        .localCheckpoint(eager=True)  # steps rounds fan out
+    )
+    uni = pairs.groupBy("w1").agg(F.sum("c").cast("long").alias("c"))
+    state = (
+        uni.orderBy(F.desc("c"), F.asc("w1"))
+        .limit(1)
+        .select(
+            F.lit(0).cast("long").alias("step"),
+            F.col("w1").alias("token"),
+            F.col("c").cast("long").alias("in_count"),
+        )
+    )
+    out = state
+    for k in range(1, int(steps) + 1):
+        nxt = (
+            pairs.join(state.select(F.col("token").alias("w1")), "w1")
+            .orderBy(F.desc("c"), F.asc("w2"))
+            .limit(1)
+            .select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("w2").alias("token"),
+                F.col("c").cast("long").alias("in_count"),
+            )
+        )
+        out = out.unionAll(nxt)
+        state = nxt
+    return out.orderBy("step")
+
+
+def lm_generation_oracle_sql(steps: int = GEN_STEPS) -> str:
+    ctes = [
+        """toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+), pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+), s_0 AS (
+  SELECT CAST(0 AS BIGINT) AS step, w1 AS token, CAST(SUM(c) AS BIGINT) AS in_count
+  FROM pairs GROUP BY w1
+  ORDER BY in_count DESC, token ASC LIMIT 1
+)"""
+    ]
+    for k in range(1, int(steps) + 1):
+        ctes.append(
+            f"""s_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS step, p.w2 AS token, CAST(p.c AS BIGINT) AS in_count
+  FROM pairs p JOIN s_{k - 1} s ON p.w1 = s.token
+  ORDER BY p.c DESC, p.w2 ASC LIMIT 1
+)"""
+        )
+    chain = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, token, in_count FROM s_{k}" for k in range(int(steps) + 1)
+    )
+    return f"WITH {chain}\n{union}\nORDER BY step"

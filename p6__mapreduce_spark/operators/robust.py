@@ -347,3 +347,150 @@ SELECT n_days, s_stat, var_num,
             ELSE 'no_trend' END AS trend
 FROM j
 """
+
+
+def binseg_changepoints_daily(orders: DataFrame) -> DataFrame:
+    """Binary segmentation (Scott & Knott 1974; the ruptures-style
+    default) one level past `cusum_changepoint_daily`: find the best
+    level-shift day, SPLIT there, and re-run the CUSUM argmax inside
+    each side — three candidate changepoints with exact segment
+    evidence, where single-CUSUM only sees the dominant one.
+
+    Segment-local deviations come from GLOBAL prefix sums and the
+    1-row split scalars only (no per-segment rescan):
+
+        left  (i < k):      D_i = k * P_i - i * P_k
+        right (k < i < n):  D_i = (n-k)(P_i - P_k) - (i-k)(T - P_k)
+
+    Every operand is an exact int64; each D is a fixed-shape double
+    product-difference (the cusum discipline), so argmax comparisons
+    are bit-identical cross-engine; ties break to the earliest day.
+
+    Scale shape: the corpus collapses once to |days| rows; both
+    levels run on that bounded relation with two 1-row scalar
+    broadcasts (the Q22 shape). Returns <= 3 rows: (level, side,
+    cp_day_idx, cp_pos, stat, seg_start_pos, seg_end_pos)."""
+    daily = _daily_revenue(orders)
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "day_idx",
+        F.sum("cents").over(w).cast("long").alias("p"),
+        F.row_number().over(Window.orderBy("day_idx")).cast("long").alias("i"),
+    ).localCheckpoint(eager=True)  # both levels + the split scalar fan out
+    scalar = pref.agg(
+        F.max("i").cast("long").alias("n"), F.max("p").cast("long").alias("t")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    lvl0 = (
+        pref.crossJoin(F.broadcast(scalar))  # 1-row scalar broadcast (labeled)
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "day_idx",
+            "i",
+            "p",
+            "n",
+            "t",
+            F.abs(dd("p") * dd("n") - dd("i") * dd("t")).alias("stat"),
+        )
+        .orderBy(F.desc("stat"), F.asc("day_idx"))
+        .limit(1)
+    )
+    split = lvl0.select(
+        F.col("i").alias("k"), F.col("p").alias("pk"), "n", "t"
+    )
+    sides = pref.crossJoin(F.broadcast(split))  # 1-row split broadcast (labeled)
+    left = (
+        sides.filter(F.col("i") < F.col("k"))
+        .select(
+            "day_idx",
+            "i",
+            F.lit("left").alias("side"),
+            F.abs(dd("p") * dd("k") - dd("i") * dd("pk")).alias("stat"),
+            F.lit(1).cast("long").alias("seg_start_pos"),
+            F.col("k").alias("seg_end_pos"),
+        )
+        .orderBy(F.desc("stat"), F.asc("day_idx"))
+        .limit(1)
+    )
+    right = (
+        sides.filter((F.col("i") > F.col("k")) & (F.col("i") < F.col("n")))
+        .select(
+            "day_idx",
+            "i",
+            F.lit("right").alias("side"),
+            F.abs(
+                (dd("p") - dd("pk")) * (dd("n") - dd("k"))
+                - (dd("i") - dd("k")) * (dd("t") - dd("pk"))
+            ).alias("stat"),
+            (F.col("k") + 1).cast("long").alias("seg_start_pos"),
+            F.col("n").alias("seg_end_pos"),
+        )
+        .orderBy(F.desc("stat"), F.asc("day_idx"))
+        .limit(1)
+    )
+    top = lvl0.select(
+        F.lit(0).cast("long").alias("level"),
+        F.lit("all").alias("side"),
+        F.col("day_idx").alias("cp_day_idx"),
+        F.col("i").alias("cp_pos"),
+        "stat",
+        F.lit(1).cast("long").alias("seg_start_pos"),
+        F.col("n").alias("seg_end_pos"),
+    )
+    kids = left.unionAll(right).select(
+        F.lit(1).cast("long").alias("level"),
+        "side",
+        F.col("day_idx").alias("cp_day_idx"),
+        F.col("i").alias("cp_pos"),
+        "stat",
+        "seg_start_pos",
+        "seg_end_pos",
+    )
+    return top.unionAll(kids).orderBy("level", "side")
+
+
+BINSEG_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), pref AS (
+  SELECT day_idx,
+         CAST(SUM(cents) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+         CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS i
+  FROM daily
+), scalar AS (
+  SELECT CAST(MAX(i) AS BIGINT) AS n, CAST(MAX(p) AS BIGINT) AS t FROM pref
+), lvl0 AS (
+  SELECT day_idx, i, p, n, t,
+         abs(CAST(p AS DOUBLE) * CAST(n AS DOUBLE) - CAST(i AS DOUBLE) * CAST(t AS DOUBLE)) AS stat
+  FROM pref CROSS JOIN scalar
+  WHERE i < n
+  ORDER BY stat DESC, day_idx ASC LIMIT 1
+), split AS (
+  SELECT i AS k, p AS pk, n, t FROM lvl0
+), lft AS (
+  SELECT day_idx, i, 'left' AS side,
+         abs(CAST(p AS DOUBLE) * CAST(k AS DOUBLE) - CAST(i AS DOUBLE) * CAST(pk AS DOUBLE)) AS stat,
+         CAST(1 AS BIGINT) AS seg_start_pos, k AS seg_end_pos
+  FROM pref CROSS JOIN split
+  WHERE i < k
+  ORDER BY stat DESC, day_idx ASC LIMIT 1
+), rgt AS (
+  SELECT day_idx, i, 'right' AS side,
+         abs((CAST(p AS DOUBLE) - CAST(pk AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+             - (CAST(i AS DOUBLE) - CAST(k AS DOUBLE)) * (CAST(t AS DOUBLE) - CAST(pk AS DOUBLE))) AS stat,
+         CAST(k + 1 AS BIGINT) AS seg_start_pos, n AS seg_end_pos
+  FROM pref CROSS JOIN split
+  WHERE i > k AND i < n
+  ORDER BY stat DESC, day_idx ASC LIMIT 1
+)
+SELECT CAST(0 AS BIGINT) AS level, 'all' AS side, day_idx AS cp_day_idx, i AS cp_pos,
+       stat, CAST(1 AS BIGINT) AS seg_start_pos, n AS seg_end_pos
+FROM lvl0
+UNION ALL
+SELECT CAST(1 AS BIGINT), side, day_idx, i, stat, seg_start_pos, seg_end_pos FROM lft
+UNION ALL
+SELECT CAST(1 AS BIGINT), side, day_idx, i, stat, seg_start_pos, seg_end_pos FROM rgt
+ORDER BY level, side
+"""
