@@ -357,6 +357,13 @@ HEADLINE = [
     "als_factorization",
     "logrank_test_conversion",
     "phrase_search",
+    # r8 continuation batch 3
+    "mmd_embedding_drift",
+    "roc_curve_points",
+    "apriori_triples",
+    "binseg_changepoints",
+    "lm_greedy_generation",
+    "k_anon_generalization",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.

@@ -9158,6 +9158,117 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(load_table(spark, sf_dir, "documents"))
 
 
+def _mmd_oracle() -> str:
+    from p6__mapreduce_spark.similarity.mmd import MMD_ORACLE_SQL
+
+    return MMD_ORACLE_SQL
+
+
+@register("mmd_embedding_drift", oracle=_mmd_oracle())
+def q_mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample (MMD) drift between embedding label groups —
+    the representation-space member of the drift family: poly-2 MMD^2
+    = Frobenius distance of second-moment matrices, linear = mean-gap
+    norm; one corpus pass to bounded d^2 moment relations (never the
+    O(n^2) kernel matrix), per-term 1e-12 integer quantization."""
+    from p6__mapreduce_spark.similarity.mmd import mmd_embedding_drift
+
+    return mmd_embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+def _roc_oracle() -> str:
+    from p6__mapreduce_spark.operators.evaluate import roc_oracle_sql
+
+    return roc_oracle_sql()
+
+
+@register("roc_curve_points", oracle=_roc_oracle())
+def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ROC curve (exact TP/FP/FN/TN + tpr/fpr/precision per
+    distinct threshold, deterministically decimated past 200 points)
+    of document length ranking lang='en' — the threshold-choosing
+    companion of doc_length_lang_auc's scalar; one cumulative window
+    over the bounded distinct-score relation."""
+    from p6__mapreduce_spark.operators.evaluate import roc_curve_points
+
+    docs = load_table(spark, sf_dir, "documents")
+    return roc_curve_points(
+        docs, F.col("n_chars").cast("long"), F.col("lang") == "en"
+    )
+
+
+def _apriori_oracle() -> str:
+    from p6__mapreduce_spark.operators.basket import apriori_oracle_sql
+
+    return apriori_oracle_sql()
+
+
+@register("apriori_triples", oracle=_apriori_oracle())
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 frequent 3-itemsets by the Apriori level-wise sweep —
+    anti-monotone pruning made visible: the (a, b) prefix is
+    semi-joined against the frequent-pair level BEFORE the third
+    explode, so the Sigma|basket|^3 space never materializes for
+    killed prefixes; exact supports + lift3."""
+    from p6__mapreduce_spark.operators.basket import apriori_triples
+
+    return apriori_triples(load_table(spark, sf_dir, "lineitem"))
+
+
+def _binseg_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import BINSEG_ORACLE_SQL
+
+    return BINSEG_ORACLE_SQL
+
+
+@register("binseg_changepoints", oracle=_binseg_oracle())
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation one recursion level past
+    cusum_changepoint_daily: split at the dominant CUSUM argmax, then
+    re-run the argmax inside each side using segment-local deviations
+    derived from GLOBAL prefix sums + 1-row split scalars (no
+    rescan); <= 3 exact candidate changepoints."""
+    from p6__mapreduce_spark.operators.robust import binseg_changepoints_daily
+
+    return binseg_changepoints_daily(load_table(spark, sf_dir, "orders"))
+
+
+def _lmgen_oracle() -> str:
+    from p6__mapreduce_spark.operators.lm import lm_generation_oracle_sql
+
+    return lm_generation_oracle_sql()
+
+
+@register("lm_greedy_generation", oracle=_lmgen_oracle())
+def q_lm_greedy_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM (argmax successor
+    chain from the most frequent unigram, lexicographic tie-break) —
+    the deterministic generation loop over the count tables, run as a
+    fully relational 15-step chain on the vocab-bounded bigram
+    relation; chained-CTE oracle replays every step."""
+    from p6__mapreduce_spark.operators.lm import lm_greedy_generation
+
+    return lm_greedy_generation(load_table(spark, sf_dir, "documents"))
+
+
+def _kanon_gen_oracle() -> str:
+    from p6__mapreduce_spark.operators.pii import kanon_gen_oracle_sql
+
+    return kanon_gen_oracle_sql()
+
+
+@register("k_anon_generalization", oracle=_kanon_gen_oracle())
+def q_k_anon_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder search for the coarsest-necessary
+    quasi-identifier: k_anonymity_audit measures one bucketing, this
+    walks 8 balance-bucket widths on the bounded finest-class
+    relation (floor-division composition, corpus touched once) and
+    flags the finest width whose every class reaches k."""
+    from p6__mapreduce_spark.operators.pii import k_anon_generalization
+
+    return k_anon_generalization(load_table(spark, sf_dir, "customer"))
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining

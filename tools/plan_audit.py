@@ -199,6 +199,17 @@ CARTESIAN_EXEMPT = {
     # 1-row fit-summary scalar broadcast beside the TOPN factor rows
     # — the Q22 scalar shape
     "als_factorization",
+    # 1-row CUSUM-split scalar broadcast into the |days| prefix
+    # relation (both levels) — the cusum_changepoint_daily shape
+    "binseg_changepoints",
+    # 15 chained 1-row decode-state scalar joins against the bounded
+    # bigram relation — the nation_trade_pagerank scalar-round class
+    "lm_greedy_generation",
+    # 1-row chosen-width scalar broadcast beside the 8-row ladder
+    "k_anon_generalization",
+    # 1-row basket-count scalar broadcast feeding lift3 — the
+    # basket_part_pairs scalar shape
+    "apriori_triples",
 }
 
 

@@ -326,9 +326,12 @@ def main() -> None:
         }
     )
 
+    from p6__mapreduce_spark.operators.basket import apriori_triples as _apriori
     from p6__mapreduce_spark.operators.causal import (
         logrank_test_conversion as _logrank,
     )
+    from p6__mapreduce_spark.operators.evaluate import roc_curve_points as _roc
+    from p6__mapreduce_spark.similarity.mmd import mmd_embedding_drift as _mmd
     from p6__mapreduce_spark.operators.ranking import phrase_search as _phrase
     from p6__mapreduce_spark.similarity.als import als_factorization as _als
 
@@ -353,6 +356,23 @@ def main() -> None:
             ),
             # corpus collapses to per-user rows then day-bounded terms
             "logrank_test_conversion": (lambda d: _logrank(d), events, inflate_events),
+            # one pass to per-(label, i, j) moment relations; k x
+            # identical vectors per label -> moments scale, matrices
+            # and the 45-pair compare are k-invariant
+            "mmd_embedding_drift": (lambda d: _mmd(d), emb, inflate_embeddings),
+            # corpus collapses to the distinct-score relation
+            "roc_curve_points": (
+                lambda d: _roc(
+                    d.withColumn("n_chars", F.length("text")),
+                    F.col("n_chars").cast("long"),
+                    F.col("lang") == "en",
+                ),
+                docs_lang,
+                inflate_documents_lang,
+            ),
+            # L1/L2 prune before the triple explode; k x disjoint
+            # order keys -> k x baskets over the same part vocabulary
+            "apriori_triples": (lambda d: _apriori(d), li, inflate_lineitem),
             # postings filtered to 3 terms before the adjacency joins;
             # copies keep the TEXT (doc_id offsets only) so the query
             # phrase's posting volume grows exactly k x
