@@ -364,6 +364,10 @@ HEADLINE = [
     "binseg_changepoints",
     "lm_greedy_generation",
     "k_anon_generalization",
+    # r8 continuation batch 4
+    "vocab_growth_curve",
+    "ab_power_mde",
+    "huber_regression_daily",
 ]
 
 # r7 scope widening, part 2: the remaining streaming protocol runners.
@@ -435,6 +439,7 @@ STEADY_SET = frozenset(
         "dsir_weights",
         "logreg_quality_irls",
         "als_factorization",
+        "huber_regression_daily",
         "dsir_resample_topk",
         "winnow_fingerprints",
         # r8: 12 fixed-point rounds of tiny jobs (one localCheckpoint

@@ -594,3 +594,107 @@ SELECT s.n_users_g0, s.n_users_g1, m.o1, m.d_tot, m.e1_q9, m.v_q9,
               / (CAST(m.d_tot AS DOUBLE) - CAST(m.e1_q9 AS DOUBLE) / 1.0e9)) END AS hazard_ratio
 FROM m CROSS JOIN sizes s
 """
+
+
+Z_ALPHA = "1.959963984540054e0"  # Phi^-1(0.975) — two-sided alpha 0.05
+Z_POWER = "0.8416212335729143e0"  # Phi^-1(0.8) — power 0.8
+REL_MDE = "5.0e-2"  # sizing target: detect a 5% relative lift
+
+
+def ab_power_mde(events: DataFrame) -> DataFrame:
+    """Experiment power analysis over the (user, day) exposure unit:
+    for each event type as the primary conversion metric, the minimal
+    detectable ABSOLUTE and RELATIVE effect at the observed sample
+    size (two-sided alpha = 0.05, power = 0.8, 50/50 split), and the
+    per-arm sample size a 5%-relative-lift experiment would need —
+    the pre-registration numbers the uplift suite (ipw/cuped/wilson)
+    assumes someone computed:
+
+        MDE_abs = (z_a + z_b) * sqrt(2 p (1-p) / n_arm)
+        n_arm   = 2 (z_a + z_b)^2 p (1-p) / (rel * p)^2
+
+    The z quantiles are fixed public constants embedded as identical
+    literals in both engines; p and n are exact int64 counts from ONE
+    corpus aggregation, so every output is a fixed-shape double over
+    exact ints.
+
+    Scale shape: one (user, day) collapse (the corpus-sized stage),
+    one 5-row per-type aggregate, map-side expressions after."""
+    per_ud = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        *[
+            F.max((F.col("event_type") == t).cast("long")).alias(f"has_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ]
+    )
+    rows = None
+    for t in ("view", "click", "purchase", "signup", "error"):
+        r = per_ud.agg(
+            F.lit(t).alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(f"has_{t}").cast("long").alias("n_hits"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    p = F.col("n_hits").cast("double") / F.col("n_units").cast("double")
+    z = F.expr(Z_ALPHA) + F.expr(Z_POWER)
+    n_arm = F.col("n_units").cast("double") / F.lit(2.0)
+    mde_abs = z * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / n_arm)
+    n_needed = (
+        F.lit(2.0)
+        * z
+        * z
+        * p
+        * (F.lit(1.0) - p)
+        / ((F.expr(REL_MDE) * p) * (F.expr(REL_MDE) * p))
+    )
+    # zero-rate guard (a metric with no hits has no relative scale):
+    # both engines emit NULL instead of Spark ANSI divide-by-zero
+    has = F.col("n_hits") > 0
+    return rows.select(
+        "metric",
+        "n_units",
+        "n_hits",
+        p.alias("p_base"),
+        mde_abs.alias("mde_abs"),
+        F.when(has, mde_abs / p).alias("mde_rel"),
+        F.when(has, F.ceil(n_needed).cast("long")).alias("n_arm_for_5pct_rel"),
+    ).orderBy("metric")
+
+
+AB_POWER_ORACLE_SQL = f"""
+WITH per_ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT 'view' AS metric, CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(has_view) AS BIGINT) AS n_hits FROM per_ud
+  UNION ALL
+  SELECT 'click', CAST(COUNT(*) AS BIGINT), CAST(SUM(has_click) AS BIGINT) FROM per_ud
+  UNION ALL
+  SELECT 'purchase', CAST(COUNT(*) AS BIGINT), CAST(SUM(has_purchase) AS BIGINT) FROM per_ud
+  UNION ALL
+  SELECT 'signup', CAST(COUNT(*) AS BIGINT), CAST(SUM(has_signup) AS BIGINT) FROM per_ud
+  UNION ALL
+  SELECT 'error', CAST(COUNT(*) AS BIGINT), CAST(SUM(has_error) AS BIGINT) FROM per_ud
+)
+SELECT metric, n_units, n_hits,
+       CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE) AS p_base,
+       ({Z_ALPHA} + {Z_POWER}) * sqrt(2.0e0 * (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+         * (1.0e0 - CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+         / (CAST(n_units AS DOUBLE) / 2.0e0)) AS mde_abs,
+       CASE WHEN n_hits > 0 THEN
+         ({Z_ALPHA} + {Z_POWER}) * sqrt(2.0e0 * (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+           * (1.0e0 - CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+           / (CAST(n_units AS DOUBLE) / 2.0e0))
+           / (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE)) END AS mde_rel,
+       CASE WHEN n_hits > 0 THEN
+         CAST(ceil(2.0e0 * ({Z_ALPHA} + {Z_POWER}) * ({Z_ALPHA} + {Z_POWER})
+           * (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+           * (1.0e0 - CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))
+           / (({REL_MDE} * (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE)))
+              * ({REL_MDE} * (CAST(n_hits AS DOUBLE) / CAST(n_units AS DOUBLE))))) AS BIGINT) END AS n_arm_for_5pct_rel
+FROM m ORDER BY metric
+"""

@@ -494,3 +494,212 @@ UNION ALL
 SELECT CAST(1 AS BIGINT), side, day_idx, i, stat, seg_start_pos, seg_end_pos FROM rgt
 ORDER BY level, side
 """
+
+
+HUBER_ROUNDS = 6
+HQ_W = "1.0e6"  # weight-term contribution scale (w, wx, wxx)
+HQ_Y = "1.0e2"  # y-term contribution scale (wy, wxy) — int64 headroom
+HQ_B = "1.0e4"  # coefficient fixed-point scale between rounds
+
+
+def _huber_row_stages(a: str, b: str) -> list[list[tuple[str, str]]]:
+    """Shared per-row stage text (Spark selectExpr == oracle CTEs):
+    residual against the current fit, the Huber weight with
+    delta = 10% of mean daily revenue (an exact-int-derived double
+    carried as (tt, nn) columns), and the mixed-scale quantized
+    normal-equation contributions."""
+    return [
+        [("r", f"y - ({a} + {b} * x)")],
+        [("absr", "abs(r)")],
+        [("delta", "1.0e-1 * (CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))")],
+        [("w", "CASE WHEN absr <= delta THEN 1.0e0 ELSE delta / absr END")],
+        [
+            ("c0", f"CAST(floor((w) * {HQ_W} + 0.5e0) AS BIGINT)"),
+            ("c1", f"CAST(floor((w * x) * {HQ_W} + 0.5e0) AS BIGINT)"),
+            ("c2", f"CAST(floor((w * x * x) * {HQ_W} + 0.5e0) AS BIGINT)"),
+            ("c3", f"CAST(floor((w * y) * {HQ_Y} + 0.5e0) AS BIGINT)"),
+            ("c4", f"CAST(floor((w * x * y) * {HQ_Y} + 0.5e0) AS BIGINT)"),
+        ],
+    ]
+
+
+HUBER_MOMENTS = [
+    ("m0", "CAST(SUM(c0) AS BIGINT)"),
+    ("m1", "CAST(SUM(c1) AS BIGINT)"),
+    ("m2", "CAST(SUM(c2) AS BIGINT)"),
+    ("m3", "CAST(SUM(c3) AS BIGINT)"),
+    ("m4", "CAST(SUM(c4) AS BIGINT)"),
+]
+
+
+def _huber_update_stages(a: str, b: str) -> list[list[tuple[str, str]]]:
+    """Weighted 2x2 normal-equation solve on the descaled moments; new
+    coefficients re-quantized to int64 at 1e-4. ``a``/``b`` are unused
+    (the solve is closed-form, not a delta step) but kept for
+    signature symmetry with the logreg machinery."""
+    return [
+        [
+            ("sw", f"CAST(m0 AS DOUBLE) / {HQ_W}"),
+            ("swx", f"CAST(m1 AS DOUBLE) / {HQ_W}"),
+            ("swxx", f"CAST(m2 AS DOUBLE) / {HQ_W}"),
+            ("swy", f"CAST(m3 AS DOUBLE) / {HQ_Y}"),
+            ("swxy", f"CAST(m4 AS DOUBLE) / {HQ_Y}"),
+        ],
+        [("det", "sw * swxx - swx * swx")],
+        [
+            ("na", "(swxx * swy - swx * swxy) / det"),
+            ("nb", "(sw * swxy - swx * swy) / det"),
+        ],
+        [
+            ("aq", f"CAST(floor((na) * {HQ_B} + 0.5e0) AS BIGINT)"),
+            ("bq", f"CAST(floor((nb) * {HQ_B} + 0.5e0) AS BIGINT)"),
+        ],
+    ]
+
+
+HUBER_FINAL = [
+    ("n_days", "CAST(COUNT(*) AS BIGINT)"),
+    ("w_mass_q6", "CAST(SUM(c0) AS BIGINT)"),
+    # exact-int OLS moments for the robust-vs-OLS comparison
+    ("sx", "CAST(SUM(CAST(x AS BIGINT)) AS BIGINT)"),
+    ("sxx", "CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT)"),
+    ("sy", "CAST(SUM(CAST(y AS BIGINT)) AS BIGINT)"),
+    ("sxy", "CAST(SUM(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS BIGINT)"),
+]
+
+
+def _bref_h(q: int) -> str:
+    return f"(CAST({int(q)} AS DOUBLE) / {HQ_B})"
+
+
+def huber_regression_daily(orders: DataFrame) -> DataFrame:
+    """Robust (Huber 1964) linear fit of daily revenue on the day
+    index by IRLS — the missing member of the robust-trend family:
+    `ols_daily_trend` is efficient but outlier-owned, `theil_sen` is
+    robust but slope-only; Huber keeps the full linear model and
+    downweights outlier days smoothly (w = 1 inside delta, delta/|r|
+    outside; delta = 10% of mean daily revenue, an exact-int-derived
+    constant).
+
+    Exactness is the `operators/logreg.py` construction: per-row
+    contributions quantize to int64 at mixed scales (1e-6 for the
+    weight terms, 1e-2 for the cents-scaled y terms — int64 headroom
+    to ~1e5 days x 1e10 cents/day; past that the casts move to
+    decimal(38,0)), coefficients re-quantize to 1e-4 between rounds,
+    and every arithmetic stage is ONE generated expression text run
+    verbatim by both engines.
+
+    Output row: (n_days, a_huber, b_huber, a_ols, b_ols,
+    eff_weight = mean final Huber weight — the fraction of the data
+    the robust fit effectively kept).
+
+    Scale shape: the corpus collapses once to |days| rows
+    (localCheckpoint-pinned); ROUNDS passes + the final stats pass run
+    on that bounded relation; driver traffic is 2 int64s per round."""
+    daily = _daily_revenue(orders)
+    scal = daily.agg(
+        F.min("day_idx").cast("long").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("cents").cast("long").alias("tt"),
+    )
+    feat = (
+        daily.crossJoin(F.broadcast(scal))  # 1-row scalar broadcast (labeled)
+        .selectExpr(
+            "CAST(day_idx - d0 AS DOUBLE) AS x",
+            "CAST(cents AS DOUBLE) AS y",
+            "tt",
+            "nn",
+        )
+        .localCheckpoint(eager=True)  # ROUNDS + 1 passes fan out
+    )
+    q = (0, 0)
+    for _ in range(HUBER_ROUNDS):
+        refs = (_bref_h(q[0]), _bref_h(q[1]))
+        cur = feat
+        for stage in _huber_row_stages(*refs):
+            cur = cur.selectExpr("*", *[f"({e}) AS {a2}" for a2, e in stage])
+        cur = cur.selectExpr(*[f"({e}) AS {a2}" for a2, e in HUBER_MOMENTS])
+        for stage in _huber_update_stages(*refs):
+            cur = cur.selectExpr("*", *[f"({e}) AS {a2}" for a2, e in stage])
+        row = cur.selectExpr("aq", "bq").first()
+        q = (row["aq"], row["bq"])
+    refs = (_bref_h(q[0]), _bref_h(q[1]))
+    cur = feat
+    for stage in _huber_row_stages(*refs):
+        cur = cur.selectExpr("*", *[f"({e}) AS {a2}" for a2, e in stage])
+    cur = cur.selectExpr(*[f"({e}) AS {a2}" for a2, e in HUBER_FINAL])
+    dd = "CAST({} AS DOUBLE)"
+    n, sx, sxx, sy, sxy = (dd.format(c) for c in ("n_days", "sx", "sxx", "sy", "sxy"))
+    det_ols = f"({n} * {sxx} - {sx} * {sx})"
+    return cur.selectExpr(
+        "n_days",
+        f"{refs[0]} AS a_huber",
+        f"{refs[1]} AS b_huber",
+        f"({sxx} * {sy} - {sx} * {sxy}) / {det_ols} AS a_ols",
+        f"({n} * {sxy} - {sx} * {sy}) / {det_ols} AS b_ols",
+        f"CAST(w_mass_q6 AS DOUBLE) / {HQ_W} / {n} AS eff_weight",
+    )
+
+
+def huber_oracle_sql() -> str:
+    """Chained-CTE replica: same stage texts, coefficients carried as
+    pbq columns between round CTEs (equal ints -> equal doubles)."""
+    oref = (f"(CAST(pbq0 AS DOUBLE) / {HQ_B})", f"(CAST(pbq1 AS DOUBLE) / {HQ_B})")
+    ctes = [
+        """daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)""",
+        """scal AS (
+  SELECT CAST(MIN(day_idx) AS BIGINT) AS d0, CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(cents) AS BIGINT) AS tt FROM daily
+)""",
+        """feat AS (
+  SELECT CAST(day_idx - d0 AS DOUBLE) AS x, CAST(cents AS DOUBLE) AS y, tt, nn
+  FROM daily CROSS JOIN scal
+)""",
+        "beta_0 AS (SELECT CAST(0 AS BIGINT) AS aq, CAST(0 AS BIGINT) AS bq)",
+    ]
+    for k in range(1, HUBER_ROUNDS + 1):
+        base = f"h{k}_base"
+        ctes.append(
+            f"{base} AS (SELECT f.*, b.aq AS pbq0, b.bq AS pbq1"
+            f" FROM feat f CROSS JOIN beta_{k - 1} b)"
+        )
+        prev = base
+        for si, stage in enumerate(_huber_row_stages(*oref)):
+            cols = ", ".join(f"({e}) AS {a2}" for a2, e in stage)
+            ctes.append(f"h{k}_r{si} AS (SELECT *, {cols} FROM {prev})")
+            prev = f"h{k}_r{si}"
+        moments = ", ".join(f"({e}) AS {a2}" for a2, e in HUBER_MOMENTS)
+        ctes.append(f"h{k}_m AS (SELECT {moments} FROM {prev})")
+        prev = f"h{k}_m"
+        for si, stage in enumerate(_huber_update_stages(*oref)):
+            cols = ", ".join(f"({e}) AS {a2}" for a2, e in stage)
+            ctes.append(f"h{k}_u{si} AS (SELECT *, {cols} FROM {prev})")
+            prev = f"h{k}_u{si}"
+        ctes.append(f"beta_{k} AS (SELECT aq, bq FROM {prev})")
+    ctes.append(
+        f"fin_base AS (SELECT f.*, b.aq AS pbq0, b.bq AS pbq1"
+        f" FROM feat f CROSS JOIN beta_{HUBER_ROUNDS} b)"
+    )
+    prev = "fin_base"
+    for si, stage in enumerate(_huber_row_stages(*oref)):
+        cols = ", ".join(f"({e}) AS {a2}" for a2, e in stage)
+        ctes.append(f"fin_r{si} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"fin_r{si}"
+    final = ", ".join(f"({e}) AS {a2}" for a2, e in HUBER_FINAL)
+    ctes.append(f"fin_s AS (SELECT {final} FROM {prev})")
+    dd = "CAST({} AS DOUBLE)"
+    n, sx, sxx, sy, sxy = (dd.format(c) for c in ("n_days", "sx", "sxx", "sy", "sxy"))
+    det_ols = f"({n} * {sxx} - {sx} * {sx})"
+    chain = ",\n".join(ctes)
+    return f"""WITH {chain}
+SELECT s.n_days,
+       (CAST(b.aq AS DOUBLE) / {HQ_B}) AS a_huber,
+       (CAST(b.bq AS DOUBLE) / {HQ_B}) AS b_huber,
+       ({sxx} * {sy} - {sx} * {sxy}) / {det_ols} AS a_ols,
+       ({n} * {sxy} - {sx} * {sy}) / {det_ols} AS b_ols,
+       CAST(s.w_mass_q6 AS DOUBLE) / {HQ_W} / {n} AS eff_weight
+FROM fin_s s CROSS JOIN beta_{HUBER_ROUNDS} b"""

@@ -495,3 +495,133 @@ def quantile_normalize_tokens(docs: DataFrame) -> DataFrame:
         .select("doc_id", "source", "n_tokens", F.col("v").alias("norm_tokens"))
         .orderBy("doc_id")
     )
+
+
+def vocab_growth_curve(docs: DataFrame, *, n_checkpoints: int = 20) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: cumulative distinct token
+    types after each checkpoint of the corpus, in doc_id order — the
+    saturation diagnostic behind "will more crawl add vocabulary or
+    just tokens?" (`vocab_coverage` asks what a FIXED vocab covers;
+    this asks how the vocab itself grows).
+
+    The classic trap is that "distinct types among the first t docs"
+    looks inherently sequential; it collapses to one aggregation
+    because a type is new exactly at its MINIMUM doc_id: explode to
+    (token, min(doc_id)), bucket those first-sight positions into
+    ``n_checkpoints`` equal doc-count checkpoints (exact integer rank
+    arithmetic, no percentile), and take one cumulative sum over the
+    bounded checkpoint relation. Token totals per checkpoint ride the
+    same shape.
+
+    Output per checkpoint: (checkpoint, docs_through, new_types,
+    cum_types, cum_tokens, type_token_ratio) — exact ints + one final
+    ratio.
+
+    Scale shape: one corpus explode -> vocab-bounded (token, min_doc,
+    n_occurrences) aggregate; everything after runs on |vocab| rows
+    then ``n_checkpoints`` rows."""
+    from p6__mapreduce_spark.functions.text import tokens_expr
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.count(F.lit(1)).cast("long").alias("occ"),
+    )
+    # dense doc rank (1..n_docs) for exact equal-count checkpoints
+    doc_rank = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rk"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ck = (
+        F.ceil(
+            F.col("rk").cast("double")
+            * F.lit(float(n_checkpoints))
+            / F.col("nd").cast("double")
+        )
+        .cast("long")
+        .alias("checkpoint")
+    )
+    per_doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    doc_ck = (
+        doc_rank.crossJoin(F.broadcast(n_docs))  # 1-row scalar broadcast (labeled)
+        .select("doc_id", "rk", ck)
+        .localCheckpoint(eager=True)  # feeds both the type and token rollups
+    )
+    new_types = (
+        vocab.join(doc_ck.select(F.col("doc_id").alias("first_doc"), "checkpoint"), "first_doc")
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    tokens_per_ck = (
+        per_doc_tokens.join(doc_ck, "doc_id")
+        .groupBy("checkpoint")
+        .agg(F.sum("n_tok").cast("long").alias("ck_tokens"))
+    )
+    docs_per_ck = doc_ck.groupBy("checkpoint").agg(
+        F.count(F.lit(1)).cast("long").alias("ck_docs")
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per_ck.join(new_types, "checkpoint", "left")
+        .join(tokens_per_ck, "checkpoint", "left")
+        .na.fill({"new_types": 0, "ck_tokens": 0})
+        .select(
+            "checkpoint",
+            F.sum("ck_docs").over(w).cast("long").alias("docs_through"),
+            "new_types",
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+            F.sum("ck_tokens").over(w).cast("long").alias("cum_tokens"),
+            (
+                F.sum("new_types").over(w).cast("double")
+                / F.sum("ck_tokens").over(w).cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+VOCAB_GROWTH_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM toks GROUP BY 1
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+), doc_ck AS (
+  SELECT doc_id, rk,
+         CAST(ceil(CAST(rk AS DOUBLE) * {ckf} / CAST(nd AS DOUBLE)) AS BIGINT) AS checkpoint
+  FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk FROM documents)
+  CROSS JOIN nd
+), per_doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+), new_types AS (
+  SELECT d.checkpoint, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM vocab v JOIN doc_ck d ON d.doc_id = v.first_doc GROUP BY 1
+), tokens_per_ck AS (
+  SELECT d.checkpoint, CAST(SUM(p.n_tok) AS BIGINT) AS ck_tokens
+  FROM per_doc_tokens p JOIN doc_ck d ON d.doc_id = p.doc_id GROUP BY 1
+), docs_per_ck AS (
+  SELECT checkpoint, CAST(COUNT(*) AS BIGINT) AS ck_docs FROM doc_ck GROUP BY 1
+)
+SELECT dc.checkpoint,
+       CAST(SUM(dc.ck_docs) OVER (ORDER BY dc.checkpoint ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_through,
+       COALESCE(nt.new_types, 0) AS new_types,
+       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY dc.checkpoint ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+       CAST(SUM(COALESCE(tc.ck_tokens, 0)) OVER (ORDER BY dc.checkpoint ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY dc.checkpoint ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(SUM(COALESCE(tc.ck_tokens, 0)) OVER (ORDER BY dc.checkpoint ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS type_token_ratio
+FROM docs_per_ck dc
+LEFT JOIN new_types nt ON nt.checkpoint = dc.checkpoint
+LEFT JOIN tokens_per_ck tc ON tc.checkpoint = dc.checkpoint
+ORDER BY dc.checkpoint
+"""
+
+
+def vocab_growth_oracle_sql(n_checkpoints: int = 20) -> str:
+    return VOCAB_GROWTH_ORACLE_SQL.format(ckf=f"{float(n_checkpoints)}")

@@ -9269,6 +9269,63 @@ def q_k_anon_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anon_generalization(load_table(spark, sf_dir, "customer"))
 
 
+def _vocab_growth_oracle() -> str:
+    from p6__mapreduce_spark.operators.text_analysis import vocab_growth_oracle_sql
+
+    return vocab_growth_oracle_sql()
+
+
+@register("vocab_growth_curve", oracle=_vocab_growth_oracle())
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct types at
+    20 equal doc-count checkpoints — "will more crawl add vocabulary
+    or just tokens?". The sequential-looking prefix-distinct collapses
+    to one aggregation because a type is new exactly at its MIN
+    doc_id; everything after runs on |vocab| then 20 rows."""
+    from p6__mapreduce_spark.operators.text_analysis import vocab_growth_curve
+
+    return vocab_growth_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _ab_power_oracle() -> str:
+    from p6__mapreduce_spark.operators.causal import AB_POWER_ORACLE_SQL
+
+    return AB_POWER_ORACLE_SQL
+
+
+@register("ab_power_mde", oracle=_ab_power_oracle())
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis per candidate conversion metric:
+    minimal detectable absolute/relative effect at the observed
+    (user, day) sample size and the per-arm n a 5%-relative-lift test
+    needs (alpha 0.05 two-sided, power 0.8; z quantiles as identical
+    public literals in both engines) — the pre-registration numbers
+    the uplift suite assumes exist."""
+    from p6__mapreduce_spark.operators.causal import ab_power_mde
+
+    return ab_power_mde(load_table(spark, sf_dir, "events"))
+
+
+def _huber_oracle() -> str:
+    from p6__mapreduce_spark.operators.robust import huber_oracle_sql
+
+    return huber_oracle_sql()
+
+
+@register("huber_regression_daily", oracle=_huber_oracle())
+def q_huber_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust linear fit of daily revenue by 6 IRLS rounds —
+    completes the robust-trend family (OLS = efficient, Theil-Sen =
+    slope-only, Huber = full model with smooth outlier downweighting);
+    logreg's shared-expression-text construction (mixed-scale integer
+    contributions, 1e-4 quantized coefficients, chained-CTE oracle
+    replaying every round); reports the OLS fit and the effective
+    weight mass beside it."""
+    from p6__mapreduce_spark.operators.robust import huber_regression_daily
+
+    return huber_regression_daily(load_table(spark, sf_dir, "orders"))
+
+
 # ROUND-6 ROTATION PLAN (EXECUTED in r6 — see VERIFIED_WINDOW below,
 # which supersedes this planning note; kept for the audit trail):
 # after CORRECTNESS_r05 lands, the remaining

@@ -210,6 +210,11 @@ CARTESIAN_EXEMPT = {
     # 1-row basket-count scalar broadcast feeding lift3 — the
     # basket_part_pairs scalar shape
     "apriori_triples",
+    # 1-row (n_docs) scalar broadcast into the doc-rank checkpoint map
+    "vocab_growth_curve",
+    # 1-row (min-day, n, total) scalar broadcast centering the feature
+    # relation — the ols_daily_trend shape
+    "huber_regression_daily",
 }
 
 

@@ -327,6 +327,13 @@ def main() -> None:
     )
 
     from p6__mapreduce_spark.operators.basket import apriori_triples as _apriori
+    from p6__mapreduce_spark.operators.causal import ab_power_mde as _abpow
+    from p6__mapreduce_spark.operators.robust import (
+        huber_regression_daily as _huber,
+    )
+    from p6__mapreduce_spark.operators.text_analysis import (
+        vocab_growth_curve as _vgrowth,
+    )
     from p6__mapreduce_spark.operators.causal import (
         logrank_test_conversion as _logrank,
     )
@@ -356,6 +363,14 @@ def main() -> None:
             ),
             # corpus collapses to per-user rows then day-bounded terms
             "logrank_test_conversion": (lambda d: _logrank(d), events, inflate_events),
+            # explode -> vocab-bounded MIN-doc aggregate; suffixed
+            # copies grow the vocab k x, checkpoints stay 20 rows
+            "vocab_growth_curve": (lambda d: _vgrowth(d), docs, inflate_documents),
+            # one (user, day) collapse; 5-row metric table after
+            "ab_power_mde": (lambda d: _abpow(d), events, inflate_events),
+            # 7 passes over the |days| relation (k x orders share the
+            # same day domain -> day rows constant, cents k x)
+            "huber_regression_daily": (lambda d: _huber(d), orders, inflate_orders),
             # one pass to per-(label, i, j) moment relations; k x
             # identical vectors per label -> moments scale, matrices
             # and the 45-pair compare are k-invariant
