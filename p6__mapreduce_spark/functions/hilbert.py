@@ -92,6 +92,11 @@ def hilbert_df(df: DataFrame, key: str, a: str, b: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     amin, amax, bmin, bmax = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+    if amin is None or bmin is None:
+        # Empty input: MIN/MAX are NULL — return the empty (key, hcode)
+        # frame the DuckDB oracle produces instead of a driver TypeError
+        # (r8 ADVICE; an engine-divergent crash on the degenerate input).
+        return df.selectExpr(key, "CAST(0 AS BIGINT) AS hcode").limit(0)
     sa = f"CAST(floor(({a} - {int(amin)}) * {SIDE - 1}.0 / {max(1, int(amax - amin))}) AS BIGINT)"
     sb = f"CAST(floor(({b} - {int(bmin)}) * {SIDE - 1}.0 / {max(1, int(bmax - bmin))}) AS BIGINT)"
     out = df.selectExpr(key, f"{sa} AS hx", f"{sb} AS hy", "CAST(0 AS BIGINT) AS hd")

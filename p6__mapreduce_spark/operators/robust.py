@@ -523,12 +523,19 @@ def _huber_row_stages(a: str, b: str) -> list[list[tuple[str, str]]]:
     ]
 
 
+# m3/m4 sums accumulate in DECIMAL(38,0): the per-row contribution c4
+# is bounded by x*y*1e2 but the SUM over n_days rows is ~n^2/2 * ybar
+# * 1e2 (r8 ADVICE) — quadratic in the day span, past int64 near
+# sf50-100 on the 2.4k-day TPC-H domain. The weight moments m0..m2
+# stay int64 (w <= 1, x <= n: worst case n^3/3 * 1e6 is covered to
+# ~3e4 days). The descale step (CAST(mK AS DOUBLE)) is unchanged —
+# decimal->double is the same exact conversion in both engines.
 HUBER_MOMENTS = [
     ("m0", "CAST(SUM(c0) AS BIGINT)"),
     ("m1", "CAST(SUM(c1) AS BIGINT)"),
     ("m2", "CAST(SUM(c2) AS BIGINT)"),
-    ("m3", "CAST(SUM(c3) AS BIGINT)"),
-    ("m4", "CAST(SUM(c4) AS BIGINT)"),
+    ("m3", "CAST(SUM(CAST(c3 AS DECIMAL(38,0))) AS DECIMAL(38,0))"),
+    ("m4", "CAST(SUM(CAST(c4 AS DECIMAL(38,0))) AS DECIMAL(38,0))"),
 ]
 
 
@@ -564,7 +571,8 @@ HUBER_FINAL = [
     ("sx", "CAST(SUM(CAST(x AS BIGINT)) AS BIGINT)"),
     ("sxx", "CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT)"),
     ("sy", "CAST(SUM(CAST(y AS BIGINT)) AS BIGINT)"),
-    ("sxy", "CAST(SUM(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS BIGINT)"),
+    # sxy has the same quadratic-in-day-span shape as m4 -> decimal
+    ("sxy", "CAST(SUM(CAST(CAST(x AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(y AS BIGINT) AS DECIMAL(18,0))) AS DECIMAL(38,0))"),
 ]
 
 
@@ -583,11 +591,13 @@ def huber_regression_daily(orders: DataFrame) -> DataFrame:
 
     Exactness is the `operators/logreg.py` construction: per-row
     contributions quantize to int64 at mixed scales (1e-6 for the
-    weight terms, 1e-2 for the cents-scaled y terms — int64 headroom
-    to ~1e5 days x 1e10 cents/day; past that the casts move to
-    decimal(38,0)), coefficients re-quantize to 1e-4 between rounds,
-    and every arithmetic stage is ONE generated expression text run
-    verbatim by both engines.
+    weight terms, 1e-2 for the cents-scaled y terms); the y-moment
+    SUMS (m3/m4, and the OLS sxy) accumulate in DECIMAL(38,0) because
+    the aggregated x*y mass is quadratic in the day span (~n^2/2 *
+    ybar * 1e2 — past int64 near sf50-100 on the 2.4k-day TPC-H
+    domain; r8 ADVICE), coefficients re-quantize to 1e-4 between
+    rounds, and every arithmetic stage is ONE generated expression
+    text run verbatim by both engines.
 
     Output row: (n_days, a_huber, b_huber, a_ols, b_ols,
     eff_weight = mean final Huber weight — the fraction of the data

@@ -518,8 +518,12 @@ def vocab_growth_curve(docs: DataFrame, *, n_checkpoints: int = 20) -> DataFrame
     ratio.
 
     Scale shape: one corpus explode -> vocab-bounded (token, min_doc,
-    n_occurrences) aggregate; everything after runs on |vocab| rows
-    then ``n_checkpoints`` rows."""
+    n_occurrences) aggregate; the doc rank behind the checkpoints is a
+    distributed ``two_phase_rank`` (range-repartition + local
+    row_number + bounded offset join — NOT an unpartitioned window; r8
+    ADVICE), so everything after the explode runs on |vocab| rows then
+    ``n_checkpoints`` rows with no corpus-sized single-task sort."""
+    from p6__mapreduce_spark.functions.ranks import two_phase_rank
     from p6__mapreduce_spark.functions.text import tokens_expr
     from pyspark.sql import Window
 
@@ -528,11 +532,11 @@ def vocab_growth_curve(docs: DataFrame, *, n_checkpoints: int = 20) -> DataFrame
         F.min("doc_id").cast("long").alias("first_doc"),
         F.count(F.lit(1)).cast("long").alias("occ"),
     )
-    # dense doc rank (1..n_docs) for exact equal-count checkpoints
-    doc_rank = docs.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rk"),
-    )
+    # dense doc rank (1..n_docs) for exact equal-count checkpoints;
+    # doc_id is the documents primary key, so it is its own tiebreak
+    doc_rank = two_phase_rank(
+        docs.select("doc_id"), ["doc_id"], rank_col="rk"
+    ).select("doc_id", "rk")
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     ck = (
         F.ceil(

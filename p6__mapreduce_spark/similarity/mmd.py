@@ -21,10 +21,13 @@ cannot.
 
 Exactness: coordinates quantize to 1e-3 int64 per row, so every
 moment is an exact integer sum; each (i, j) comparison term
-((S_a*n_b - S_b*n_a) / (Q^2 n_a n_b))^2 is a fixed-shape double from
-exact ints, re-quantized to 1e-12 int64 PER TERM before the final
-(bounded, but still order-independent by construction) sum. int64
-headroom: S <= n * (Q |x|)^2 ~ 1e14 at 1e9 rows with |x| <= 0.5 —
+((S_a*n_b - S_b*n_a) / (Q^2 n_a n_b))^2 is a fixed-shape double, with
+S and n cast to DOUBLE BEFORE the cross-multiply (the int64 product
+S*n would overflow near 1e7 vectors/group for poly-2 moments — r8
+ADVICE; the rounding of the product does not matter because the term
+is re-quantized to 1e-12 int64 PER TERM right after, identically in
+both engines). int64 headroom now only has to cover the moments
+themselves: S <= n * (Q |x|)^2 ~ 1e14 at 1e9 rows with |x| <= 0.5 —
 past that the moment casts move to decimal(38,0), same plan.
 
 Scale shape: one posexplode + self-join on vec_id emits d^2 products
@@ -85,7 +88,14 @@ def mmd_embedding_drift(emb: DataFrame, *, vec_col: str = "embedding") -> DataFr
             "label_b",
         )
         j = a.join(b, keys).filter(F.col("label_a") < F.col("label_b"))
-        num = (F.col("sa") * F.col("n_b") - F.col("sb") * F.col("n_a")).cast("double")
+        # Cast BEFORE the multiply: sa*n_b in int64 overflows near 1e7
+        # vectors/group for poly-2 moments (s2 <= (Q|x|)^2 * d * n). The
+        # double product is bit-identical in both engines (one IEEE
+        # multiply each, same operands), and the term is re-quantized
+        # afterward, so int64 exactness of the product is not needed.
+        num = F.col("sa").cast("double") * F.col("n_b").cast("double") - F.col(
+            "sb"
+        ).cast("double") * F.col("n_a").cast("double")
         den = (
             F.lit(float(scale))
             * F.col("n_a").cast("double")
@@ -134,9 +144,11 @@ WITH e AS (
 ), lin AS (
   SELECT a.label AS label_a, b.label AS label_b, ca.n AS n_a, cb.n AS n_b,
          CAST(SUM(CAST(floor(
-           (CAST(a.s * cb.n - b.s * ca.n AS DOUBLE)
+           ((CAST(a.s AS DOUBLE) * CAST(cb.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) * CAST(ca.n AS DOUBLE))
               / ({float(Q)} * CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)))
-           * (CAST(a.s * cb.n - b.s * ca.n AS DOUBLE)
+           * ((CAST(a.s AS DOUBLE) * CAST(cb.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) * CAST(ca.n AS DOUBLE))
               / ({float(Q)} * CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)))
            * {TQ} + 0.5e0) AS BIGINT)) AS BIGINT) AS lin_q12
   FROM means a JOIN means b ON a.dim = b.dim AND a.label < b.label
@@ -146,9 +158,11 @@ WITH e AS (
 ), poly AS (
   SELECT a.label AS label_a, b.label AS label_b, ca.n AS n_a, cb.n AS n_b,
          CAST(SUM(CAST(floor(
-           (CAST(a.s2 * cb.n - b.s2 * ca.n AS DOUBLE)
+           ((CAST(a.s2 AS DOUBLE) * CAST(cb.n AS DOUBLE)
+              - CAST(b.s2 AS DOUBLE) * CAST(ca.n AS DOUBLE))
               / ({float(Q * Q)} * CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)))
-           * (CAST(a.s2 * cb.n - b.s2 * ca.n AS DOUBLE)
+           * ((CAST(a.s2 AS DOUBLE) * CAST(cb.n AS DOUBLE)
+              - CAST(b.s2 AS DOUBLE) * CAST(ca.n AS DOUBLE))
               / ({float(Q * Q)} * CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)))
            * {TQ} + 0.5e0) AS BIGINT)) AS BIGINT) AS poly_q12
   FROM moments a JOIN moments b ON a.i = b.i AND a.j = b.j AND a.label < b.label

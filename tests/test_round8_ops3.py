@@ -38,6 +38,19 @@ def test_hilbert_spark_matches_python_model(spark):
     assert got == expect
 
 
+def test_hilbert_empty_input_returns_empty_frame(spark):
+    """Degenerate input: MIN/MAX are NULL — hilbert_df must return the
+    empty (key, hcode) frame the DuckDB oracle produces, not raise a
+    driver TypeError (r8 ADVICE)."""
+    from p6__mapreduce_spark.functions.hilbert import hilbert_df
+
+    df = spark.createDataFrame([], "k long, a long, b long")
+    out = hilbert_df(df, "k", "a", "b")
+    assert out.columns == ["k", "hcode"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+    assert out.count() == 0
+
+
 def test_hilbert_model_is_a_bijection_with_adjacent_steps():
     """The walk is a true Hilbert curve (the same self-similar
     recurrence at every grid size): bijective on the 32x32 grid with
