@@ -138,31 +138,19 @@ def asof_last_event(events: DataFrame, event_type: str = "signup") -> DataFrame:
 
 
 def approx_stats(lineitem: DataFrame) -> DataFrame:
-    """Approximate aggregates: HLL++ distinct counts and approximate
-    quantiles — the sketches a 100 TB profile pass uses instead of
-    exact DISTINCT/percentile (no full shuffle of the key space).
-    Engine-specific estimators -> rows-only correctness check; exact
-    counterparts are covered by distinct_sorted / tpch_q1.
-    """
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            q.alias("_q"),
-        )
-        # Scalar projections (not one array column): array cells are
-        # unsortable/unhashable downstream of a pandas round-trip.
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            "approx_parts",
-            F.element_at("_q", 1).alias("price_p50"),
-            F.element_at("_q", 2).alias("price_p95"),
-        )
-        .orderBy("l_returnflag")
-    )
+    """Approximate aggregates: HLL distinct-count estimates and
+    grid-histogram quantile estimates — the sketches a 100 TB profile
+    pass uses instead of exact DISTINCT/percentile (no full shuffle of
+    the key space). Hash-verified since r9: the Spark-internal
+    HLL++/approx_percentile estimators (engine-private register
+    layouts -> rows-only check only) are replaced by the portable
+    register sketch + fixed $32 price grid of ``operators/hll.py``,
+    which replay bit-for-bit in DuckDB. Exact counterparts are covered
+    by distinct_sorted / tpch_q1; estimate-vs-exact error is asserted
+    in tests."""
+    from p6__mapreduce_spark.operators.hll import approx_stats_portable
+
+    return approx_stats_portable(lineitem)
 
 
 def event_json_stats(events: DataFrame) -> DataFrame:

@@ -313,3 +313,228 @@ def weekly_rollup_oracle_sql() -> str:
            CAST(s_q AS BIGINT) AS s_q
     FROM fin ORDER BY week
     """
+
+
+# ---------------------------------------------------------------------------
+# Portable approx_stats (r9: replaces the rows-only Spark HLL++ /
+# approx_percentile version — the LAST rows-only query in the registry
+# — with the same portable-register + fixed-grid machinery that made
+# sketch_weekly_users hash-verifiable in r8)
+# ---------------------------------------------------------------------------
+
+# Price grid: l_extendedprice is DOMAIN-bounded (quantity <= 50 x
+# retail price <= ~2101 => < ~105,100 at EVERY scale factor — a TPC-H
+# schema property, not a data-size property), so a $32-wide fixed grid
+# needs <= ~3300 bins: bounded sketch state at any corpus size.
+PRICE_BIN_W = 32.0
+
+
+def approx_stats_portable(lineitem: DataFrame) -> DataFrame:
+    """(l_returnflag, approx_orders, approx_parts, price_p50,
+    price_p95): the approximate profile pass — HLL distinct-count
+    estimates and grid-histogram quantile estimates — with every
+    estimator replayable bit-for-bit in DuckDB.
+
+    - ``approx_orders`` / ``approx_parts``: the m=1024 portable HLL of
+      ``weekly_users_sketch_rollup`` (lowbias32 mixer, rho via a
+      powers-of-two count, exact integer harmonic numerator,
+      linear-counting small-range branch through the embedded integer
+      ln table), rounded to BIGINT with floor(est + 0.5) — identical
+      doubles in, identical longs out. Both key columns ride ONE
+      corpus pass (a 2-struct explode), and the register shuffle is
+      bounded at |flags| x 2 x 1024 rows. 32-bit hash ceiling ~4e9
+      distinct keys per group — past that, widen the mixer to 64-bit.
+    - ``price_p50`` / ``price_p95``: lower bin edge of the first
+      $32-grid bin whose cumulative count reaches the positional
+      target (integer arithmetic: ceil(q*n) = (q_num*n + q_den - 1)
+      div q_den) — the ``grid_quantile_sketch`` estimator inlined on
+      the bounded (flag, bin) relation. Estimates are within one grid
+      step of exact; the grid is mergeable state like every sketch
+      here.
+
+    Plan: two corpus scans (one for keys, one for prices — each with
+    map-side partial agg into bounded state), then everything runs on
+    <= |flags| x (2048 + 3300) rows. No driver state; no floats before
+    the final fixed-shape estimate expressions.
+    """
+    keyed = lineitem.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders").alias("src"), F.col("l_orderkey").alias("key")
+                ),
+                F.struct(F.lit("parts").alias("src"), F.col("l_partkey").alias("key")),
+            )
+        ).alias("sk"),
+    ).select("l_returnflag", F.col("sk.src").alias("src"), F.col("sk.key").alias("key"))
+    w = _mix32(F.col("key"))
+    regs = (
+        keyed.select(
+            "l_returnflag",
+            "src",
+            w.bitwiseAND(F.lit(M_W - 1)).alias("idx"),
+            _rho_expr(F.shiftright(w, P_W), VBITS_W).alias("rho"),
+        )
+        .groupBy("l_returnflag", "src", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    top = VBITS_W + 1  # 23
+    pows = F.lit([1 << i for i in range(top + 1)])
+    sk = regs.groupBy("l_returnflag", "src").agg(
+        F.count(F.lit(1)).alias("n_hit_regs"),
+        F.sum(F.element_at(pows, (F.lit(top + 1) - F.col("r")).cast("int"))).alias(
+            "s_hit"
+        ),
+    )
+    s_q = F.col("s_hit") + (F.lit(M_W) - F.col("n_hit_regs")) * F.lit(1 << top)
+    raw = F.lit(ALPHA_W) * F.lit(float(M_W * M_W)) * F.lit(float(1 << top)) / s_q
+    v_empty = (F.lit(M_W) - F.col("n_hit_regs")).cast("int")
+    lc = (
+        F.element_at(F.lit(LN_NANO_W), v_empty).cast("double")
+        * F.lit(float(M_W))
+        / F.lit(1e9)
+    )
+    est = F.when((v_empty > F.lit(0)) & (raw <= F.lit(2.5 * M_W)), lc).otherwise(raw)
+    hll = (
+        sk.select(
+            "l_returnflag",
+            "src",
+            F.floor(est + F.lit(0.5)).cast("long").alias("est_l"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("src") == "orders", F.col("est_l"))).alias(
+                "approx_orders"
+            ),
+            F.max(F.when(F.col("src") == "parts", F.col("est_l"))).alias(
+                "approx_parts"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    bins = (
+        lineitem.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / F.lit(PRICE_BIN_W))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # bounded relation (<= |flags| x ~3300 rows): per-flag cumulative
+    # counts + totals are cheap windows here, never corpus-sized
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = bins.select(
+        "l_returnflag",
+        "bin",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    qs = c.groupBy("l_returnflag").agg(
+        (
+            F.min(
+                F.when(F.col("cum") >= F.expr("(1 * n + 1) div 2"), F.col("bin"))
+            ).cast("double")
+            * F.lit(PRICE_BIN_W)
+        ).alias("price_p50"),
+        (
+            F.min(
+                F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("bin"))
+            ).cast("double")
+            * F.lit(PRICE_BIN_W)
+        ).alias("price_p95"),
+    )
+    return (
+        hll.join(qs, "l_returnflag")
+        .select(
+            "l_returnflag", "approx_orders", "approx_parts", "price_p50", "price_p95"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def approx_stats_oracle_sql() -> str:
+    """DuckDB replica of ``approx_stats_portable``: identical mixer,
+    rho-via-powers-count, register maxima, branch condition, embedded
+    ln table, floor(est + 0.5) rounding, and the identical $32-grid
+    positional quantile arithmetic."""
+    powers = ", ".join(str(1 << i) for i in range(VBITS_W))
+    pows = ", ".join(str(1 << i) for i in range(VBITS_W + 2))
+    ln_tab = ", ".join(str(x) for x in LN_NANO_W)
+    top = VBITS_W + 1
+    est = f"""CASE WHEN ({M_W} - n_hit_regs) > 0
+                 AND (CAST({ALPHA_W!r} AS DOUBLE) * {float(M_W * M_W):.1f}e0
+                      * {float(1 << top):.1f}e0 / s_q)
+                     <= {2.5 * M_W:.1f}e0
+                THEN CAST(list_extract([{ln_tab}],
+                          CAST({M_W} - n_hit_regs AS INTEGER)) AS DOUBLE)
+                     * {float(M_W):.1f}e0 / 1e9
+                ELSE CAST({ALPHA_W!r} AS DOUBLE) * {float(M_W * M_W):.1f}e0
+                     * {float(1 << top):.1f}e0 / s_q
+           END"""
+    return f"""
+    WITH k AS (
+      SELECT l_returnflag, 'orders' AS src, l_orderkey AS key FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'parts', l_partkey FROM lineitem
+    ), m0 AS (
+      SELECT l_returnflag, src, key & {MASK32} AS h0 FROM k
+    ), m1 AS (
+      SELECT l_returnflag, src, (xor(h0, h0 >> 16) * {C1}) & {MASK32} AS h1 FROM m0
+    ), m2 AS (
+      SELECT l_returnflag, src, (xor(h1, h1 >> 15) * {C2}) & {MASK32} AS h2 FROM m1
+    ), mh AS (
+      SELECT l_returnflag, src, xor(h2, h2 >> 16) AS h FROM m2
+    ), hh AS (
+      SELECT l_returnflag, src, h & {M_W - 1} AS idx,
+             {VBITS_W + 1} - len(list_filter([{powers}], p -> p <= (h >> {P_W}))) AS rho
+      FROM mh
+    ), regs AS (
+      SELECT l_returnflag, src, idx, MAX(rho) AS r FROM hh GROUP BY 1, 2, 3
+    ), sk AS (
+      SELECT l_returnflag, src, CAST(COUNT(*) AS BIGINT) AS n_hit_regs,
+             CAST(SUM(list_extract([{pows}], {top + 1} - r)) AS BIGINT) AS s_hit
+      FROM regs GROUP BY 1, 2
+    ), sq AS (
+      SELECT l_returnflag, src, n_hit_regs,
+             s_hit + ({M_W} - n_hit_regs) * {1 << top} AS s_q
+      FROM sk
+    ), ests AS (
+      SELECT l_returnflag, src,
+             CAST(floor(({est}) + 0.5e0) AS BIGINT) AS est_l
+      FROM sq
+    ), hll AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN src = 'orders' THEN est_l END) AS approx_orders,
+             MAX(CASE WHEN src = 'parts' THEN est_l END) AS approx_parts
+      FROM ests GROUP BY 1
+    ), b AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / {PRICE_BIN_W!r}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bin,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM b
+    ), qs AS (
+      SELECT l_returnflag,
+             CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN bin END) AS DOUBLE)
+               * {PRICE_BIN_W!r} AS price_p50,
+             CAST(MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bin END) AS DOUBLE)
+               * {PRICE_BIN_W!r} AS price_p95
+      FROM c GROUP BY 1
+    )
+    SELECT hll.l_returnflag, hll.approx_orders, hll.approx_parts,
+           qs.price_p50, qs.price_p95
+    FROM hll JOIN qs USING (l_returnflag)
+    ORDER BY l_returnflag
+    """

@@ -110,21 +110,36 @@ def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
 def test_verified_window_spends_all_50_slots_on_oracles():
     """The driver verifies the first 50 registered queries, in
     registration order — the window head must match VERIFIED_WINDOW
-    exactly. r8 policy (COVERAGE.md "Round 8"): the six reference-
-    parity queries are BACK IN THE PINNED HEAD SLOTS (the r7 unpin was
-    a one-round exception, reverted here as committed), and the other
-    44 slots refresh the oldest driver-verified queries (r2/r3-era
-    rows). Every window entry is oracle-backed except approx_stats —
-    the one inherently rows-only estimator (engine-private HLL++ /
-    approx-quantile layouts), which refreshes its rows-only row."""
+    exactly. r9 policy (COVERAGE.md "Round-9 rotation plan"): the six
+    reference-parity pins at the head, ALL 24 never-driver-verified
+    queries (the r8 batch + continuation), and the 20
+    oldest-driver-verified refresh slots (the r3-era cohort +
+    ann_recall_audit) — draining the driver-verification debt to zero
+    at the frozen 275 registry. Every window entry is oracle-backed:
+    approx_stats — the last rows-only estimator — moved to the
+    portable register sketch + fixed price grid in r9."""
     from p6__mapreduce_spark.queries import QUERIES, VERIFIED_WINDOW, get_oracle_sql
 
     keys = list(QUERIES)
     assert keys[: len(VERIFIED_WINDOW)] == list(VERIFIED_WINDOW)
     assert len(VERIFIED_WINDOW) == 50
     oracles = get_oracle_sql()
-    missing = [k for k in VERIFIED_WINDOW if k not in oracles and k != "approx_stats"]
+    missing = [k for k in VERIFIED_WINDOW if k not in oracles]
     assert not missing, missing
+    # the 24-query never-driver-verified queue (r8 verdict #1) is all in
+    never_verified = {
+        "int8_quant_audit", "skipgram_pmi", "spearman_activity_value",
+        "markov_removal_attribution", "kmv_audience_overlap",
+        "wasserstein_purchase_vs_click", "pca_top_component",
+        "good_turing_unigrams", "logreg_quality_irls",
+        "isotonic_calibration", "link_prediction_scores", "hilbert_codes",
+        "als_factorization", "logrank_test_conversion", "phrase_search",
+        "mmd_embedding_drift", "roc_curve_points", "apriori_triples",
+        "binseg_changepoints", "lm_greedy_generation",
+        "k_anon_generalization", "vocab_growth_curve", "ab_power_mde",
+        "huber_regression_daily",
+    }
+    assert never_verified <= set(VERIFIED_WINDOW)
     # pinned mode restored (r7's one-round disjoint assertion flipped
     # back — reference-parity regressions are driver-visible again)
     parity = {
@@ -133,9 +148,10 @@ def test_verified_window_spends_all_50_slots_on_oracles():
     }
     assert parity <= set(VERIFIED_WINDOW[:6])
     # sketch_weekly_users gained a real oracle in r8 (portable HLL +
-    # embedded-ln-table linear counting) — it must never again be
-    # exempted from the hash compare
+    # embedded-ln-table linear counting) and approx_stats in r9 —
+    # neither must ever again be exempted from the hash compare
     assert "sketch_weekly_users" in oracles
+    assert "approx_stats" in oracles
 
 
 def test_bench_scope_covers_registry_except_documented_exclusions():

@@ -74,8 +74,9 @@ RESOLUTIONS: list[dict] = [
         "match": "conflates 'oracle generated per sf-dir' with 'inherently rows-only'",
         "status": "fixed",
         # explicit allowlist split; sketch_weekly_users left _GENERATED
-        # entirely (it has a real static oracle since r8)
-        "must_match": r"_ROWS_ONLY = \{\"approx_stats\"\}",
+        # entirely (real static oracle since r8); approx_stats moved to
+        # the portable sketch in r9, so _ROWS_ONLY is now empty
+        "must_match": r"_ROWS_ONLY: set\[str\] = set\(\)",
         "must_not_match": None,
     },
     {
@@ -85,6 +86,44 @@ RESOLUTIONS: list[dict] = [
         "status": "fixed",
         # session-scoped root + previous-invocation reclaim + lifetime doc
         "must_match": r"def _next_target\(",
+        "must_not_match": None,
+    },
+    # ---- round-8 ADVICE (fixed at the round-9 open) ----
+    {
+        "name": "r8-mmd-int64-cross-product-overflow",
+        "file": "p6__mapreduce_spark/similarity/mmd.py",
+        "match": "computed in int64 before the cast to double",
+        "status": "fixed",
+        # S and n are cast to DOUBLE before the cross-multiply in BOTH
+        # engines; the old int64-product-then-cast shape is gone
+        "must_match": r"CAST\(a\.s AS DOUBLE\) \* CAST\(cb\.n AS DOUBLE\)",
+        "must_not_match": r"CAST\(a\.s2? \* cb\.n - b\.s2? \* ca\.n AS DOUBLE\)",
+    },
+    {
+        "name": "r8-vocab-growth-unpartitioned-window",
+        "file": "p6__mapreduce_spark/operators/text_analysis.py",
+        "match": "row_number() over an unpartitioned Window.orderBy(doc_id)",
+        "status": "fixed",
+        # doc rank now comes from the distributed two_phase_rank helper
+        "must_match": r"two_phase_rank\(\s*docs\.select\(\"doc_id\"\), \[\"doc_id\"\], rank_col=\"rk\"",
+        "must_not_match": r"row_number\(\)\.over\(Window\.orderBy\(\"doc_id\"\)\)",
+    },
+    {
+        "name": "r8-huber-y-moment-sum-overflow",
+        "file": "p6__mapreduce_spark/operators/robust.py",
+        "match": "only bounds the per-row contribution c4",
+        "status": "fixed",
+        # m3/m4 (and the same-shaped OLS sxy) accumulate in decimal(38,0)
+        "must_match": r"\(\"m4\", \"CAST\(SUM\(CAST\(c4 AS DECIMAL\(38,0\)\)\)",
+        "must_not_match": r"\(\"m4\", \"CAST\(SUM\(c4\) AS BIGINT\)\"\)",
+    },
+    {
+        "name": "r8-hilbert-empty-input-crash",
+        "file": "p6__mapreduce_spark/functions/hilbert.py",
+        "match": "calls int(amin) on the driver",
+        "status": "fixed",
+        # NULL-aggregate guard returns the oracle's empty frame
+        "must_match": r"if amin is None or bmin is None:",
         "must_not_match": None,
     },
 ]
