@@ -313,14 +313,12 @@ HEADLINE = [
     "markov_entropy_rate",
     "rolling_7d_active_users",
     "tfidf_cosine_topk",
-    "foreachbatch_idempotent_upsert",
     "overdispersion_by_type",
     "decision_stump_value",
     "durbin_watson_daily",
     "char_bigram_entropy",
     "xcorr_count_value_daily",
     "wow_revenue_change",
-    "clicks_full_outer_streaming",
     "token_budget_pack",
     "tukey_outlier_fences",
     # r7 scope widening (r6 verdict gap #6), part 1: the ten
@@ -379,9 +377,13 @@ HEADLINE = [
 # timed EVERY round and reported in the JSON line under
 # "protocol_runners" / "protocol_total", but kept OUT of the headline
 # total so round-over-round regression comparison stays readable.
-# (clicks_full_outer_streaming and foreachbatch_idempotent_upsert
-# predate r7 in the headline set and stay there for r5/r6
-# comparability.)
+# r9 (r8 verdict #4): clicks_full_outer_streaming and
+# foreachbatch_idempotent_upsert — the last two state-store-noise-
+# dominated queries in the headline set, kept there through r8 "for
+# r5/r6 comparability" — moved here with the rest of their family.
+# This is a ONE-TIME comparability break in the headline total
+# (-~21.5s at r8's timings), recorded in BENCH_NOTES_r9.md and
+# self-adjudicated by the expected-regressions ledger below.
 PROTOCOL_RUNNERS = [
     "events_window_streaming",
     "events_dedup_streaming",
@@ -390,7 +392,30 @@ PROTOCOL_RUNNERS = [
     "stateful_running_totals",
     "append_finalized_windows_streaming",
     "session_windows_streaming",
+    "clicks_full_outer_streaming",
+    "foreachbatch_idempotent_upsert",
 ]
+
+# Expected-regressions ledger (r8 verdict #5): when a round
+# DELIBERATELY replaces a query's plan, a round-over-round slowdown on
+# it is the cost of the replacement, not a defect — the verdict should
+# say so machine-readably instead of "investigate" (r8's
+# sketch_weekly_users rewrite showed up as an unadjudicated flag).
+# Entries are pruned the round AFTER they land (the new plan becomes
+# the new baseline). Flagged queries in this ledger skip the
+# steady-state recheck and get verdict "expected" + the reason.
+EXPECTED_REGRESSIONS: dict[str, str] = {
+    "approx_stats": (
+        "plan replacement (r9): portable m=1024 register HLL + fixed "
+        "$32 price grid replaces the rows-only Spark "
+        "HLL++/approx_percentile internals so the query is "
+        "hash-verifiable (r8 verdict #3)"
+    ),
+    "vocab_growth_curve": (
+        "plan replacement (r9): distributed two_phase_rank replaces "
+        "the corpus-sized unpartitioned row_number window (r8 ADVICE)"
+    ),
+}
 
 
 # Iterative training / pair-generation / literal-matrix queries whose
@@ -643,6 +668,12 @@ def main() -> None:
             out["shuffle_ratio"] = shuffle_ratio
             drift_ratio = max(drift_ratio, shuffle_ratio)
         for n, entry in out["regressions"].items():
+            if n in EXPECTED_REGRESSIONS:
+                # self-adjudicating ledger entry: this round replaced
+                # the plan on purpose — no recheck, no "investigate"
+                entry["verdict"] = "expected"
+                entry["expected_reason"] = EXPECTED_REGRESSIONS[n]
+                continue
             t0 = time.time()
             QUERIES[n](spark, sf_dir).count()
             entry["recheck_steady"] = round(time.time() - t0, 3)
