@@ -328,7 +328,9 @@ def main() -> None:
 
     from p6__mapreduce_spark.operators.basket import apriori_triples as _apriori
     from p6__mapreduce_spark.operators.causal import ab_power_mde as _abpow
+    from p6__mapreduce_spark.operators.lm import lm_greedy_generation as _lmgen
     from p6__mapreduce_spark.operators.robust import (
+        binseg_changepoints_daily as _binseg,
         huber_regression_daily as _huber,
     )
     from p6__mapreduce_spark.operators.text_analysis import (
@@ -371,6 +373,15 @@ def main() -> None:
             # 7 passes over the |days| relation (k x orders share the
             # same day domain -> day rows constant, cents k x)
             "huber_regression_daily": (lambda d: _huber(d), orders, inflate_orders),
+            # corpus collapses once to the |days| prefix relation;
+            # the 2-level split search runs on that bounded table, so
+            # k x orders (same day domain) only grows the collapse
+            "binseg_changepoints": (lambda d: _binseg(d), orders, inflate_orders),
+            # corpus collapses once to the vocab-bounded bigram count
+            # relation; the 15 limit(1) decode steps are corpus-size
+            # independent (suffixed copies grow vocab k x, step count
+            # fixed)
+            "lm_greedy_generation": (lambda d: _lmgen(d), docs, inflate_documents),
             # one pass to per-(label, i, j) moment relations; k x
             # identical vectors per label -> moments scale, matrices
             # and the 45-pair compare are k-invariant
