@@ -718,10 +718,29 @@ def _summary_line(out: dict, artifact: str | None) -> dict:
         "delta_total",
         "machine_ratio",
         "shuffle_ratio",
-        "regressions",
         "errors",
     )
     summary = {k: out[k] for k in keep if k in out}
+    # The regressions block must not unbound the line: a noisy session
+    # can flag 30+ queries, and each full entry carries recheck + both
+    # probe ratios + ledger reasons (~180 bytes) — a real r9 run hit
+    # 6.4 KB, past the 4 KB tail-capture bound. The summary carries a
+    # COMPACT verdict per flagged query ({prev, now, verdict}, the 12
+    # worst by absolute slowdown); every full entry stays in the local
+    # artifact.
+    if "regressions" in out:
+        ranked = sorted(
+            out["regressions"].items(),
+            key=lambda kv: -(kv[1]["now"] - kv[1]["prev"]),
+        )
+        summary["regressions"] = {
+            n: {"prev": e["prev"], "now": e["now"], "verdict": e.get("verdict")}
+            for n, e in ranked[:12]
+        }
+        if len(ranked) > 12:
+            summary["regressions_note"] = (
+                f"12 worst of {len(ranked)} flags; full entries in queries_full_in"
+            )
     timings = out.get("queries", {})
     summary["n_queries"] = len(timings)
     summary["queries"] = dict(

@@ -58,7 +58,21 @@ def test_bench_summary_line_is_bounded_and_complete():
         "delta_total": -10.0,
         "machine_ratio": 1.01,
         "shuffle_ratio": 0.99,
-        "regressions": {},
+        # a NOISY session: 40 flagged queries with full verdict entries
+        # (recheck + both probe ratios + a long ledger reason) — the
+        # r9 condition that pushed the uncompacted line to 6.4 KB
+        "regressions": {
+            f"q{i:03d}": {
+                "prev": 1.0,
+                "now": 1.0 + i,
+                "recheck_steady": 1.1,
+                "machine_ratio": 1.01,
+                "shuffle_ratio": 0.99,
+                "verdict": "expected" if i % 2 else "investigate",
+                "expected_reason": "plan replacement (r9): " + "x" * 120,
+            }
+            for i in range(40)
+        },
     }
     s = _summary_line(out, "/root/repo/BENCH_LOCAL_r8.json")
     line = json.dumps(s)
@@ -68,6 +82,12 @@ def test_bench_summary_line_is_bounded_and_complete():
                 "queries", "queries_full_in"):
         assert key in s, key
     assert s["n_queries"] == 241
+    # compact regression entries: 12 worst by absolute slowdown, each
+    # {prev, now, verdict} only; the truncation is announced
+    assert len(s["regressions"]) == 12
+    assert "q039" in s["regressions"] and "q000" not in s["regressions"]
+    assert set(s["regressions"]["q039"]) == {"prev", "now", "verdict"}
+    assert "regressions_note" in s
     assert len(s["queries"]) == 15
     # the 15 kept are the slowest
     assert min(s["queries"].values()) >= 226.0
