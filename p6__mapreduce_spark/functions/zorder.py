@@ -59,6 +59,12 @@ def scaled_morton(df: DataFrame, a: str, b: str) -> Column:
     amin, amax, bmin, bmax = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
+    if amin is None or bmin is None:
+        # empty input: MIN/MAX are NULL — any expression maps zero
+        # rows, so return a typed zero instead of crashing at
+        # int(None) (r9 degenerate-input audit; the DuckDB oracle
+        # yields an empty result here)
+        return F.lit(0).cast("long")
     sa = (F.col(a) - F.lit(int(amin))) * F.lit(65535) / F.lit(max(1, int(amax - amin)))
     sb = (F.col(b) - F.lit(int(bmin))) * F.lit(65535) / F.lit(max(1, int(bmax - bmin)))
     return morton_code(F.floor(sa).cast("long"), F.floor(sb).cast("long"))

@@ -171,11 +171,17 @@ STATS_EXPRS = [
 ]
 
 
-def _bref(bq: int) -> str:
+def _bref(bq: int | None) -> str:
     """Spark-side beta reference: the collected int64 spliced back as a
     literal, descaled by the same two ops the oracle uses on its CTE
     column (cast to double, one division) — identical value, identical
-    tree."""
+    tree. On EMPTY input the moment sums are NULL and so is the
+    collected coefficient — splice a typed NULL, which propagates
+    through every downstream expression exactly like the oracle's NULL
+    CTE column does (r9 degenerate-input audit; NULL/0 is NULL under
+    ANSI, no throw)."""
+    if bq is None:
+        return f"(CAST(NULL AS DOUBLE) / {BQ})"
     return f"(CAST({int(bq)} AS DOUBLE) / {BQ})"
 
 

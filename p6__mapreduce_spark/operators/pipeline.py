@@ -471,14 +471,21 @@ def stable_dense_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    # empty input: create_map() with no entries is map<void,void> and
+    # map()[_pid] fails ANALYSIS — a typed zero maps the zero rows the
+    # same way the DuckDB oracle's empty result does (r9 audit)
+    off_expr = (
+        F.create_map(*[F.lit(x) for pid_off in offsets.items() for x in pid_off])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("_pid").orderBy("_sha", id_col)
     return (
         d.withColumn(
             "stable_id",
-            (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+            (off_expr + F.row_number().over(w)).cast("long"),
         )
         .select(id_col, "stable_id")
         .orderBy(id_col)

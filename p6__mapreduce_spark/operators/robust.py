@@ -576,7 +576,12 @@ HUBER_FINAL = [
 ]
 
 
-def _bref_h(q: int) -> str:
+def _bref_h(q: int | None) -> str:
+    # None = empty input (NULL moment sums): splice a typed NULL so the
+    # final row matches the oracle's NULL coefficients instead of
+    # crashing at int(None) — the logreg._bref discipline (r9 audit)
+    if q is None:
+        return f"(CAST(NULL AS DOUBLE) / {HQ_B})"
     return f"(CAST({int(q)} AS DOUBLE) / {HQ_B})"
 
 

@@ -5284,8 +5284,12 @@ def _poisson_cdf_thresholds(max_k: int = 8) -> list[float]:
       SELECT b, CAST(SUM(w * cents) AS BIGINT) * 1.0e0 / CAST(SUM(w) AS BIGINT)
                AS mean_cents
       FROM weighted GROUP BY b
-    ), sorted AS (SELECT array_agg(mean_cents ORDER BY mean_cents) AS m FROM replicas)
-    SELECT CAST(64 AS BIGINT) AS n_replicas,
+    ), sorted AS (SELECT array_agg(mean_cents ORDER BY mean_cents) AS m,
+                         COUNT(mean_cents) AS n FROM replicas)
+    -- n_replicas counts the realized replicas (64 on any non-empty
+    -- input, 0 on an empty table — matching Spark's COUNT instead of
+    -- a literal that would diverge on the degenerate input; r9 audit)
+    SELECT CAST(n AS BIGINT) AS n_replicas,
            m[2] AS lo_mean, m[32] AS med_mean, m[63] AS hi_mean
     FROM sorted
     """,
@@ -5349,11 +5353,14 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = F.sort_array(F.collect_list("mean_cents"))
+    # try_element_at: identical to element_at on any non-empty input
+    # (indexes 2/32/63 always exist among 64 replicas) but NULL instead
+    # of an ANSI INVALID_ARRAY_INDEX throw on an empty table (r9 audit)
     return replicas.agg(
         F.count(F.lit(1)).alias("n_replicas"),
-        F.element_at(m, 2).alias("lo_mean"),
-        F.element_at(m, 32).alias("med_mean"),
-        F.element_at(m, 63).alias("hi_mean"),
+        F.try_element_at(m, F.lit(2)).alias("lo_mean"),
+        F.try_element_at(m, F.lit(32)).alias("med_mean"),
+        F.try_element_at(m, F.lit(63)).alias("hi_mean"),
     )
 
 
@@ -7373,7 +7380,12 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(entity).alias("entity"),
                 "n_affected",
                 "n_total",
-                F.floor(F.col("n_affected") * 1_000_000 / F.col("n_total"))
+                # try_divide: NULL on an empty table (n_total = 0),
+                # matching the oracle's NaN->NULL cast instead of an
+                # ANSI DIVIDE_BY_ZERO throw; identical otherwise (r9)
+                F.floor(
+                    F.try_divide(F.col("n_affected") * 1_000_000, F.col("n_total"))
+                )
                 .cast("long")
                 .alias("affected_ppm"),
             )

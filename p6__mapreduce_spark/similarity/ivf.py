@@ -85,6 +85,11 @@ def train_centroids(
         .limit(sample_size)
         .toPandas()  # Arrow transfer: ~5x faster than row collect here
     )
+    if not len(pdf):
+        # explicit precondition (the PQ/IVF-PQ family contract): a
+        # trained model is undefined on an empty table — raise the
+        # documented error, not a bare numpy IndexError (r9 audit)
+        raise ValueError("centroid training requires a non-empty embeddings table")
     X = np.array([np.asarray(v) for v in pdf["v"]], dtype=np.float64)
     return _kmeans(X, n_centroids, iters, seed)
 
@@ -110,6 +115,8 @@ def train_centroids_from_parquet(
         range(len(ids)),
         key=lambda j: (hashlib.sha256(str(ids[j]).encode()).hexdigest(), ids[j]),
     )[:sample_size]
+    if not order:
+        raise ValueError("centroid training requires a non-empty embeddings table")
     X = np.array([vecs[j] for j in order], dtype=np.float64)
     return _kmeans(X, n_centroids, iters, seed)
 

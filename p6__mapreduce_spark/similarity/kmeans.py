@@ -116,6 +116,14 @@ def lloyd_train(q: DataFrame, k: int, iters: int, *, init_smallest_k: bool = Fal
             raise ValueError(f"training set has {len(init)} vectors, need k={k}")
     else:
         init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
+        if len(init) < k:
+            # same explicit precondition as the sampled path: training
+            # k centroids needs k seed vectors (ids 0..k-1 here) — an
+            # empty/sparse table raised a bare IndexError before (r9)
+            raise ValueError(
+                f"training set has {len(init)} vectors with vec_id < {k}, "
+                f"need k={k} (contiguous ids 0..k-1)"
+            )
     cents: list[list[int]] = [list(r.e) for r in init]
     d = len(cents[0])
     for _ in range(iters):

@@ -1,0 +1,124 @@
+"""Degenerate-input (empty table) behavior — the r9 audit class.
+
+An empty input is not hypothetical at 100 TB: a date-pruned partition,
+a filtered source, or a fresh ingest root all produce zero-row frames
+through the same plans. The contract, established by the r8 ADVICE
+hilbert fix and swept registry-wide in r9 (EMPTY_AUDIT_r9.txt):
+
+- transforms/aggregations return exactly what the DuckDB oracle
+  returns on the same empty tables (empty frame, or a 1-row aggregate
+  with NULL estimates), never a driver-side TypeError/IndexError or an
+  ANSI throw;
+- trained models / streaming protocol runners raise an EXPLICIT
+  ValueError naming the precondition (a model trained on nothing is
+  undefined — failing loudly with a clear message is the contract);
+- Spark's cube/rollup/grouping-sets emit NO grand-total row on empty
+  input where ANSI (and DuckDB) emit one — an engine-level semantic
+  difference, pinned here so a Spark upgrade that changes it is
+  noticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema: str):
+    return spark.createDataFrame([], schema)
+
+
+def test_scaled_morton_empty_returns_typed_column(spark):
+    from p6__mapreduce_spark.functions.zorder import scaled_morton
+
+    df = _empty(spark, "o_orderkey long, a long, b long")
+    out = df.select("o_orderkey", scaled_morton(df, "a", "b").alias("zcode"))
+    assert out.count() == 0
+    assert dict(out.dtypes)["zcode"] == "bigint"
+
+
+def test_stable_dense_ids_empty(spark):
+    from p6__mapreduce_spark.operators.pipeline import stable_dense_ids
+
+    out = stable_dense_ids(_empty(spark, "doc_id long, text string"))
+    assert out.columns == ["doc_id", "stable_id"]
+    assert out.count() == 0
+
+
+def test_logreg_empty_matches_oracle_shape(spark):
+    """1 row: n_rows = 0, every estimate NULL (the oracle's NULL CTE
+    coefficients propagate the same way)."""
+    from p6__mapreduce_spark.operators.logreg import logreg_quality_irls
+
+    row = logreg_quality_irls(
+        _empty(spark, "event_id long, user_id long, ts timestamp, value double, event_type string")
+    ).collect()[0]
+    assert row["n_rows"] == 0
+    for c in ("beta0", "beta1", "beta2", "n_correct", "accuracy", "brier_q6"):
+        assert row[c] is None, c
+
+
+def test_huber_empty_matches_oracle_shape(spark):
+    from p6__mapreduce_spark.operators.robust import huber_regression_daily
+
+    row = huber_regression_daily(
+        _empty(spark, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp, o_orderstatus string, o_orderpriority string")
+    ).collect()[0]
+    assert row["n_days"] == 0
+    for c in ("a_huber", "b_huber", "a_ols", "b_ols", "eff_weight"):
+        assert row[c] is None, c
+
+
+def test_hilbert_empty(spark):
+    from p6__mapreduce_spark.functions.hilbert import hilbert_df
+
+    out = hilbert_df(_empty(spark, "k long, a long, b long"), "k", "a", "b")
+    assert out.columns == ["k", "hcode"] and out.count() == 0
+
+
+def test_kmeans_training_empty_raises_explicit(spark):
+    from p6__mapreduce_spark.similarity.kmeans import lloyd_train
+
+    q = _empty(spark, "vec_id long, e array<long>")
+    with pytest.raises(ValueError, match="need k="):
+        lloyd_train(q, k=8, iters=1)
+    with pytest.raises(ValueError, match="need k="):
+        lloyd_train(q, k=8, iters=1, init_smallest_k=True)
+
+
+def test_centroid_training_empty_raises_explicit(spark):
+    from p6__mapreduce_spark.similarity.ivf import train_centroids
+
+    with pytest.raises(ValueError, match="non-empty embeddings"):
+        train_centroids(_empty(spark, "vec_id long, embedding array<double>"))
+
+
+def test_minhash_geometry_probe_empty_qualifies_is_boolean(spark):
+    """SUM over zero pairs must COALESCE to 0 (as the oracle does) so
+    `qualifies` stays boolean instead of NULL."""
+    from p6__mapreduce_spark.dedup.geometry import recommend_minhash_geometry
+
+    rows = recommend_minhash_geometry(
+        _empty(spark, "doc_id long, text string")
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["sum_admit_q6"] == 0 for r in rows)
+    assert all(r["qualifies"] in (True, False) for r in rows)
+    assert sum(1 for r in rows if r["recommended"]) == 1
+
+
+def test_spark_grouping_sets_empty_input_divergence_pinned(spark):
+    """Spark emits NO grand-total row for cube/rollup/grouping-sets on
+    an empty input; ANSI SQL (and DuckDB) emit one ((), COUNT=0). The
+    engine difference is documented in EMPTY_AUDIT_r9.txt — this pin
+    fails if a Spark upgrade changes the behavior, so the audit doc
+    and the three affected queries get revisited."""
+    spark.createDataFrame([], "a string, b string").createOrReplaceTempView(
+        "_empty_gs"
+    )
+    for q in (
+        "SELECT a, COUNT(*) c FROM _empty_gs GROUP BY CUBE(a)",
+        "SELECT a, COUNT(*) c FROM _empty_gs GROUP BY ROLLUP(a)",
+        "SELECT a, COUNT(*) c FROM _empty_gs GROUP BY GROUPING SETS ((a), ())",
+    ):
+        assert spark.sql(q).count() == 0, q
