@@ -107,10 +107,11 @@ def mann_whitney_auc(
         "n_pos",
         "n_neg",
         (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
-        (
-            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
-            * F.lit(1.0)
-            / (2 * F.col("n_pos") * F.col("n_neg"))
+        # try_divide: an all-one-class corpus has n_pos*n_neg = 0 —
+        # DuckDB yields NULL, Spark-ANSI throws; identical otherwise
+        F.try_divide(
+            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1)) * F.lit(1.0),
+            2 * F.col("n_pos") * F.col("n_neg"),
         ).alias("auc"),
     )
 
@@ -318,8 +319,10 @@ def roc_curve_points(
             "fp",
             (F.col("p_tot") - F.col("tp")).alias("fn"),
             (F.col("n_tot") - F.col("fp")).alias("tn"),
-            (dd("tp") / dd("p_tot")).alias("tpr"),
-            (dd("fp") / dd("n_tot")).alias("fpr"),
+            # try_divide: a one-class corpus has p_tot or n_tot = 0 —
+            # DuckDB yields NULL, Spark-ANSI throws; identical otherwise
+            F.try_divide(dd("tp"), dd("p_tot")).alias("tpr"),
+            F.try_divide(dd("fp"), dd("n_tot")).alias("fpr"),
             F.when(
                 (F.col("tp") + F.col("fp")) > 0,
                 dd("tp") / (dd("tp") + dd("fp")),

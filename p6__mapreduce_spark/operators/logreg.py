@@ -144,9 +144,12 @@ def _update_stages(b0: str, b1: str, b2: str) -> list[list[tuple[str, str]]]:
         ],
         [("det", "a00 * k00 - a01 * k01 + a02 * k02")],
         [
-            ("d0", "(k00 * g0 - k01 * g1 + k02 * g2) / det"),
-            ("d1", "((-k01) * g0 + k11 * g1 - k12 * g2) / det"),
-            ("d2", "(k02 * g0 - k12 * g1 + k22 * g2) / det"),
+            # nullif: a degenerate corpus can zero the Hessian
+            # determinant — DuckDB's / yields NULL, Spark-ANSI throws;
+            # portable identity-when-nonzero guard (r9 audit)
+            ("d0", "(k00 * g0 - k01 * g1 + k02 * g2) / nullif(det, 0e0)"),
+            ("d1", "((-k01) * g0 + k11 * g1 - k12 * g2) / nullif(det, 0e0)"),
+            ("d2", "(k02 * g0 - k12 * g1 + k22 * g2) / nullif(det, 0e0)"),
         ],
         [
             ("bq0", f"CAST(floor(({b0} + d0) * {BQ} + 0.5e0) AS BIGINT)"),

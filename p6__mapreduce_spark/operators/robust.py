@@ -554,8 +554,12 @@ def _huber_update_stages(a: str, b: str) -> list[list[tuple[str, str]]]:
         ],
         [("det", "sw * swxx - swx * swx")],
         [
-            ("na", "(swxx * swy - swx * swxy) / det"),
-            ("nb", "(sw * swxy - swx * swy) / det"),
+            # nullif: a single-day corpus has det = 0 — DuckDB's /
+            # yields NULL there, Spark-ANSI throws; nullif is the
+            # PORTABLE guard (this text runs verbatim in both engines)
+            # and is identity whenever det != 0 (r9 audit)
+            ("na", "(swxx * swy - swx * swxy) / nullif(det, 0e0)"),
+            ("nb", "(sw * swxy - swx * swy) / nullif(det, 0e0)"),
         ],
         [
             ("aq", f"CAST(floor((na) * {HQ_B} + 0.5e0) AS BIGINT)"),
@@ -645,7 +649,7 @@ def huber_regression_daily(orders: DataFrame) -> DataFrame:
     cur = cur.selectExpr(*[f"({e}) AS {a2}" for a2, e in HUBER_FINAL])
     dd = "CAST({} AS DOUBLE)"
     n, sx, sxx, sy, sxy = (dd.format(c) for c in ("n_days", "sx", "sxx", "sy", "sxy"))
-    det_ols = f"({n} * {sxx} - {sx} * {sx})"
+    det_ols = f"nullif({n} * {sxx} - {sx} * {sx}, 0e0)"
     return cur.selectExpr(
         "n_days",
         f"{refs[0]} AS a_huber",
@@ -708,7 +712,7 @@ def huber_oracle_sql() -> str:
     ctes.append(f"fin_s AS (SELECT {final} FROM {prev})")
     dd = "CAST({} AS DOUBLE)"
     n, sx, sxx, sy, sxy = (dd.format(c) for c in ("n_days", "sx", "sxx", "sy", "sxy"))
-    det_ols = f"({n} * {sxx} - {sx} * {sx})"
+    det_ols = f"nullif({n} * {sxx} - {sx} * {sx}, 0e0)"
     chain = ",\n".join(ctes)
     return f"""WITH {chain}
 SELECT s.n_days,

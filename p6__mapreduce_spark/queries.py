@@ -2801,9 +2801,12 @@ def q_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+    # try_divide: a single-row group has zero variance (denominator 0)
+    # — DuckDB yields NULL, Spark-ANSI throws; identical otherwise (r9)
+    corr = F.try_divide(
+        d("n") * d("sxy") - d("sx") * d("sy"),
         F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
-        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy")),
     )
     return m.select("l_returnflag", "n", "sx", "sy", corr.alias("corr_qd")).orderBy(
         "l_returnflag"
@@ -5347,17 +5350,25 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         draws.select("b", "cents", w.alias("w"))
         .groupBy("b")
         .agg(
-            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w").cast("double")).alias(
-                "mean_cents"
-            )
+            # try_divide: on a tiny corpus a replica can draw weight 0
+            # for every row (SUM(w) = 0) — DuckDB's / yields NULL
+            # there, Spark-ANSI throws; identical otherwise (r9 audit)
+            F.try_divide(
+                F.sum(F.col("w") * F.col("cents")).cast("double"),
+                F.sum("w").cast("double"),
+            ).alias("mean_cents")
         )
     )
     m = F.sort_array(F.collect_list("mean_cents"))
     # try_element_at: identical to element_at on any non-empty input
-    # (indexes 2/32/63 always exist among 64 replicas) but NULL instead
-    # of an ANSI INVALID_ARRAY_INDEX throw on an empty table (r9 audit)
+    # (indexes 2/32/63 always exist among 64 realized replicas) but
+    # NULL instead of an ANSI INVALID_ARRAY_INDEX throw when fewer
+    # exist (r9 audit). n_replicas counts NON-NULL replica means —
+    # collect_list skips NULLs exactly like the oracle's array_agg
+    # orders them into the NULLS-LAST tail, so the positional picks
+    # agree between engines on every input.
     return replicas.agg(
-        F.count(F.lit(1)).alias("n_replicas"),
+        F.count(F.col("mean_cents")).alias("n_replicas"),
         F.try_element_at(m, F.lit(2)).alias("lo_mean"),
         F.try_element_at(m, F.lit(32)).alias("med_mean"),
         F.try_element_at(m, F.lit(63)).alias("hi_mean"),
@@ -5768,7 +5779,12 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q.query_id, hits.first_rel_rank,
            COALESCE(CAST(floor(1000000000.0e0 / hits.first_rel_rank + 5.0e-1) AS BIGINT), 0)
              AS rr_q9
-    FROM (SELECT DISTINCT query_id FROM ranked) q
+    -- base = the QUERY SET itself, not DISTINCT over ranked: a query
+    -- with zero candidates (degenerate 1-vector corpus) must still
+    -- report rank NULL / rr 0 like the Spark side — "visible, not
+    -- dropped" (r9 audit; identical whenever every query has
+    -- candidates, i.e. any corpus with >= 2 vectors)
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 16) q
     LEFT JOIN hits ON hits.query_id = q.query_id
     ORDER BY q.query_id
     """,

@@ -137,9 +137,16 @@ def pca_top_component(emb: DataFrame, *, vec_col: str = "embedding") -> DataFram
         num.crossJoin(F.broadcast(den))
         .crossJoin(F.broadcast(trace))
         .select(
-            (F.col("num").cast("double") / F.col("den")).alias("eigval_norm"),
-            (
-                (F.col("num").cast("double") / F.col("den")) / F.col("tr")
+            # try_divide: a degenerate corpus (e.g. a single vector)
+            # iterates the eigenvector to zero mass -> den/tr are 0;
+            # DuckDB's / yields NULL there while Spark-ANSI throws —
+            # identical values whenever den/tr are non-zero (r9 audit)
+            F.try_divide(F.col("num").cast("double"), F.col("den")).alias(
+                "eigval_norm"
+            ),
+            F.try_divide(
+                F.try_divide(F.col("num").cast("double"), F.col("den")),
+                F.col("tr"),
             ).alias("explained_ratio"),
         )
     )

@@ -136,6 +136,14 @@ def _train_all(
             raise ValueError(f"training set has {len(init)} vectors, need k={k}")
     else:
         init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
+        if len(init) < k:
+            # same explicit precondition as the sampled path — a table
+            # with fewer than k seed vectors raised a bare IndexError
+            # at codebook indexing before (r9 degenerate-input audit)
+            raise ValueError(
+                f"training set has {len(init)} vectors with vec_id < {k}, "
+                f"need k={k} (contiguous ids 0..k-1)"
+            )
     codebooks = [
         [list(r.e[s * dsub : (s + 1) * dsub]) for r in init] for s in range(m)
     ]

@@ -122,3 +122,94 @@ def test_spark_grouping_sets_empty_input_divergence_pinned(spark):
         "SELECT a, COUNT(*) c FROM _empty_gs GROUP BY GROUPING SETS ((a), ())",
     ):
         assert spark.sql(q).count() == 0, q
+
+
+# --- one-row / degenerate-group class (the r9 one-row sweep) ---------------
+# A single row per table is the zero-variance / one-class / det=0 regime:
+# every ratio whose denominator is a variance, a class count, or a
+# determinant hits 0. DuckDB's `/` yields NULL there; Spark-4 ANSI
+# throws DIVIDE_BY_ZERO for EVERY numeric type (including doubles —
+# probed), so each of these sites uses try_divide (Python side) or
+# `/ nullif(d, 0e0)` (shared SQL texts, portable to both engines).
+
+
+def test_corr_single_row_group_is_null(spark):
+    """Zero variance (n = 1) -> corr NULL, not an ANSI throw."""
+    from p6__mapreduce_spark.queries import QUERIES
+
+    li = spark.createDataFrame(
+        [(1, "N", 4.0, 0.07)],
+        "l_orderkey long, l_returnflag string, l_quantity double, l_discount double",
+    )
+    li.createOrReplaceTempView("_corr_one")
+    one = spark.table("_corr_one")
+    # drive the registered callable through a 1-row parquet-free path
+    from pyspark.sql import functions as F
+
+    m = one.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = F.try_divide(
+        d("n") * d("sxy") - d("sx") * d("sy"),
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy")),
+    )
+    row = (
+        m.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(corr.alias("corr_qd"))
+        .collect()[0]
+    )
+    assert row["corr_qd"] is None
+
+
+def test_roc_auc_one_class_is_null(spark):
+    """All-one-class corpus: tpr and auc are NULL (0/0), fpr defined."""
+    from p6__mapreduce_spark.operators.evaluate import mann_whitney_auc, roc_curve_points
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "one doc", "de")], "doc_id long, text string, lang string"
+    ).withColumn("n_chars", F.length("text"))
+    roc = roc_curve_points(
+        docs, F.col("n_chars").cast("long"), F.col("lang") == "en"
+    ).collect()
+    assert all(r["tpr"] is None for r in roc)  # 0 positives
+    auc = mann_whitney_auc(
+        docs, F.col("n_chars").cast("long"), F.col("lang") == "en"
+    ).collect()[0]
+    assert auc["n_pos"] == 0 and auc["auc"] is None
+
+
+def test_huber_single_day_nulls_not_throw(spark):
+    """One day: det = 0 -> NULL coefficients via the portable nullif
+    guard in the shared stage text (same text runs in DuckDB)."""
+    from p6__mapreduce_spark.operators.robust import huber_regression_daily
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0, "2024-01-02T00:00:00", "O", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string, o_orderstatus string, o_orderpriority string",
+    ).withColumn("o_orderdate", __import__("pyspark.sql.functions", fromlist=["col"]).col("o_orderdate").cast("timestamp"))
+    row = huber_regression_daily(orders).collect()[0]
+    assert row["n_days"] == 1
+    assert row["a_ols"] is None and row["b_ols"] is None
+
+
+def test_pq_training_insufficient_vectors_raises_explicit(spark):
+    from p6__mapreduce_spark.similarity.pq import pq_codes
+
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="need k="):
+        pq_codes(emb).collect()
