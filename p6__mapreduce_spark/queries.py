@@ -5884,8 +5884,12 @@ def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_gaps",
             "sum_mh",
             "sumsq_mh",
-            (
-                (F.col("sumsq_mh") * F.lit(1.0) / F.col("n_gaps") - mean * mean) / mean
+            # try_divide: simultaneous same-timestamp arrivals make
+            # every gap 0 -> mean 0 -> fano 0/0; DuckDB yields NULL,
+            # Spark-ANSI throws (r9 all-ties audit); identical when
+            # the mean gap is non-zero
+            F.try_divide(
+                F.col("sumsq_mh") * F.lit(1.0) / F.col("n_gaps") - mean * mean, mean
             ).alias("fano_mh"),
         )
         .orderBy("event_type")

@@ -213,3 +213,42 @@ def test_pq_training_insufficient_vectors_raises_explicit(spark):
     )
     with pytest.raises(ValueError, match="need k="):
         pq_codes(emb).collect()
+
+
+# --- all-ties class (the r9 ties sweep: distinct keys, identical values) ----
+
+
+def test_burstiness_all_simultaneous_arrivals_is_null(spark):
+    """Same-timestamp arrivals: every gap is 0, mean gap 0 -> Fano
+    0/0 -> NULL (DuckDB behavior), not an ANSI throw."""
+    from p6__mapreduce_spark.queries import QUERIES  # noqa: F401 — registry import side effects
+    from pyspark.sql import functions as F, Window
+
+    ev = spark.createDataFrame(
+        [(i, 7, "2024-01-01T10:00:00", "click", 1.0) for i in range(4)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_mh = F.floor(
+        (us - F.lag(us).over(w)) / F.lit(3600.0 * 1e6) * F.lit(1000) + F.lit(0.5)
+    ).cast("long")
+    g = ev.select("event_type", gap_mh.alias("gap_mh")).filter(
+        F.col("gap_mh").isNotNull()
+    )
+    mean = F.col("sum_mh") * F.lit(1.0) / F.col("n_gaps")
+    row = (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_mh").alias("sum_mh"),
+            F.sum(F.col("gap_mh") * F.col("gap_mh")).alias("sumsq_mh"),
+        )
+        .select(
+            F.try_divide(
+                F.col("sumsq_mh") * F.lit(1.0) / F.col("n_gaps") - mean * mean, mean
+            ).alias("fano_mh")
+        )
+        .collect()[0]
+    )
+    assert row["fano_mh"] is None
