@@ -9496,7 +9496,89 @@ def q_huber_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The registry is FROZEN at 275 for round 9 (r8 verdict #2): zero new
 # registrations until CORRECTNESS_r09 lands, so cumulative driver
 # coverage closes at 275/275.
+# ROUND-10 ROTATION (EXECUTED — supersedes the r9 window below, kept
+# as _R9_WINDOW for the audit trail). CORRECTNESS_r09 landed 50/50
+# green, ALL hash-verified, closing cumulative driver coverage at
+# 275/275. With the never-verified queue empty, the debt is now
+# FRESHNESS (r9 verdict #1): the last-verified histogram over the
+# CORRECTNESS_r01..r09 union is {r4: 43, r5: 44, r6: 44, r7: 50,
+# r8: 44, r9: 50} — 87 queries' newest driver row is >= 4 rounds old.
+# Per the standing deterministic rule (oldest-driver-verified-first,
+# name-order tie-break within a round; rows-only rows count as driver
+# rows, the convention since the r8 rotation):
+#   - the six reference-parity queries stay in the pinned head slots
+#     (standing policy);
+#   - the 44 refresh slots take the ENTIRE round-4 cohort (43 queries,
+#     name order) plus the alphabetically-first round-5 query
+#     (bigram_perplexity), so after a green round no registry query's
+#     newest driver row is older than r5 — the r9 verdict's done bar.
+# Note: approx_stats (last row r8, rows-only) and sketch_weekly_users
+# (last row r7, rows-only) gained hash oracles in r9/r8 but sort at
+# r8/r7 under the standing rule; they collect their first
+# hash-verified driver rows when their cohorts rotate in. Their hash
+# oracles run green in every committed 3-SF local gate meanwhile.
+# The registry STAYS FROZEN at 275 for round 10 (r9 verdict #1: frozen
+# until the histogram's tail reaches <= 3 rounds; after a green r10
+# the tail is r5 = 5 rounds, so no registrations this round either).
 VERIFIED_WINDOW: tuple[str, ...] = (
+    # reference parity (SURVEY.md §2) — pinned every round
+    "wordcount_lines",
+    "wordcount_union",
+    "distinct_sorted",
+    "range_bucket_sort",
+    "mr_facade_wordcount",
+    "mr_facade_sort",
+    # refresh: the full round-4 cohort (last driver row = r4, name order)
+    "append_finalized_windows_streaming",
+    "bigram_entropy",
+    "bigram_lm",
+    "bm25_scores",
+    "clicks_to_purchases_streaming",
+    "dedup_cluster_stats",
+    "dedup_simhash64",
+    "dedup_simhash64_pairs",
+    "doc_length_histogram",
+    "dup_ngram_coverage",
+    "event_neighbor_counts",
+    "event_span_per_user",
+    "events_window_sliding",
+    "group_kfold_splits",
+    "grouping_sets_explicit",
+    "median_price_by_priority",
+    "minhash_estimate_error",
+    "minhash_geometry_probe",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "ntile_price_quartiles",
+    "order_price_percentiles",
+    "passage_dedup_rewrite",
+    "profile_orders",
+    "qty_discount_corr",
+    "semantic_dedup",
+    "session_funnel",
+    "source_cap_sample",
+    "stateful_running_totals",
+    "stratified_sample",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "upsert_latest_snapshot",
+    "vocab_coverage",
+    "winsorized_event_values",
+    # refresh: alphabetically-first round-5-cohort query (44th slot)
+    "bigram_perplexity",
+)
+
+# Superseded r9 window, kept for the audit trail (CORRECTNESS_r09:
+# 50/50 green, all hash-verified — drained the never-verified queue):
+_R9_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2) — pinned every round
     "wordcount_lines",
     "wordcount_union",

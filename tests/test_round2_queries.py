@@ -110,14 +110,15 @@ def test_streaming_dedup_state_survives_micro_batches(spark, tmp_path):
 def test_verified_window_spends_all_50_slots_on_oracles():
     """The driver verifies the first 50 registered queries, in
     registration order — the window head must match VERIFIED_WINDOW
-    exactly. r9 policy (COVERAGE.md "Round-9 rotation plan"): the six
-    reference-parity pins at the head, ALL 24 never-driver-verified
-    queries (the r8 batch + continuation), and the 20
-    oldest-driver-verified refresh slots (the r3-era cohort +
-    ann_recall_audit) — draining the driver-verification debt to zero
-    at the frozen 275 registry. Every window entry is oracle-backed:
-    approx_stats — the last rows-only estimator — moved to the
-    portable register sketch + fixed price grid in r9."""
+    exactly. r10 policy (COVERAGE.md "Round-10 rotation plan"): with
+    cumulative driver coverage at 275/275 since r9, the window targets
+    FRESHNESS — the six reference-parity pins at the head plus the 44
+    oldest-driver-verified queries under the standing deterministic
+    rule (oldest round first, name-order tie-break; rows-only rows
+    count as driver rows): the entire round-4 cohort (43 queries) plus
+    the alphabetically-first round-5 query (bigram_perplexity). After
+    a green round no registry query's newest driver row is older than
+    r5 — the r9 verdict's done bar."""
     from p6__mapreduce_spark.queries import QUERIES, VERIFIED_WINDOW, get_oracle_sql
 
     keys = list(QUERIES)
@@ -126,20 +127,16 @@ def test_verified_window_spends_all_50_slots_on_oracles():
     oracles = get_oracle_sql()
     missing = [k for k in VERIFIED_WINDOW if k not in oracles]
     assert not missing, missing
-    # the 24-query never-driver-verified queue (r8 verdict #1) is all in
-    never_verified = {
-        "int8_quant_audit", "skipgram_pmi", "spearman_activity_value",
-        "markov_removal_attribution", "kmv_audience_overlap",
-        "wasserstein_purchase_vs_click", "pca_top_component",
-        "good_turing_unigrams", "logreg_quality_irls",
-        "isotonic_calibration", "link_prediction_scores", "hilbert_codes",
-        "als_factorization", "logrank_test_conversion", "phrase_search",
-        "mmd_embedding_drift", "roc_curve_points", "apriori_triples",
-        "binseg_changepoints", "lm_greedy_generation",
-        "k_anon_generalization", "vocab_growth_curve", "ab_power_mde",
-        "huber_regression_daily",
+    # the freshness cohort (r9 verdict #1): every r4-last-verified query
+    # rotates in this round (spot-check the boundary members)
+    r4_cohort_boundary = {
+        "append_finalized_windows_streaming",  # first by name
+        "winsorized_event_values",  # last by name
+        "tpch_q21_waiting_supplier", "multimodal_decode",
+        "stateful_running_totals", "events_window_sliding",
     }
-    assert never_verified <= set(VERIFIED_WINDOW)
+    assert r4_cohort_boundary <= set(VERIFIED_WINDOW)
+    assert "bigram_perplexity" in VERIFIED_WINDOW  # 44th slot: first r5
     # pinned mode restored (r7's one-round disjoint assertion flipped
     # back — reference-parity regressions are driver-visible again)
     parity = {
