@@ -401,21 +401,51 @@ PROTOCOL_RUNNERS = [
 # it is the cost of the replacement, not a defect — the verdict should
 # say so machine-readably instead of "investigate" (r8's
 # sketch_weekly_users rewrite showed up as an unadjudicated flag).
-# Entries are pruned the round AFTER they land (the new plan becomes
-# the new baseline). Flagged queries in this ledger skip the
-# steady-state recheck and get verdict "expected" + the reason.
-EXPECTED_REGRESSIONS: dict[str, str] = {
-    "approx_stats": (
-        "plan replacement (r9): portable m=1024 register HLL + fixed "
-        "$32 price grid replaces the rows-only Spark "
-        "HLL++/approx_percentile internals so the query is "
-        "hash-verifiable (r8 verdict #3)"
-    ),
-    "vocab_growth_curve": (
-        "plan replacement (r9): distributed two_phase_rank replaces "
-        "the corpus-sized unpartitioned row_number window (r8 ADVICE)"
-    ),
+# Each entry is STAMPED with the round the replacement landed in
+# (r9 ADVICE #3): an entry adjudicates exactly the comparison
+# prev_round == round-1 vs round. The round after, the new plan IS the
+# baseline — the verdict path then IGNORES the entry (a real future
+# regression gets the genuine steady-state recheck, never a silent
+# "expected") and the guard test in tests/test_round10_guards.py
+# fails until the stale entry is pruned. Pruned on schedule so far:
+# approx_stats + vocab_growth_curve (landed r9, pruned at the r10
+# open when this stamp mechanism replaced prune-by-convention).
+EXPECTED_REGRESSIONS: dict[str, dict] = {
+    # "query_name": {"round": N, "reason": "plan replacement (rN): ..."},
 }
+
+# Variance-band ledger (r9 verdict #5): queries whose UNCHANGED plan
+# has a documented multi-round cold-time oscillation that the
+# round-over-round flag keeps re-triggering. dedup_kcore's iterative
+# peel runs ~dozens of tiny jobs, so its cold time is dominated by
+# scheduler/queue latency, not compute: 4.08 / 2.65 / 2.39 / 3.30 s
+# across r6-r9 on a byte-identical plan, re-adjudicated as variance
+# three rounds running. A band entry says: while the implementation
+# file is UNCHANGED (sha-pinned — the plan-hash key the verdict asked
+# for, invalidated by any edit) and the new time is within the
+# documented envelope, the verdict is "variance_band" with no recheck.
+# An edited impl or a time past the envelope falls through to the
+# genuine recheck adjudication.
+VARIANCE_BANDS: dict[str, dict] = {
+    "dedup_kcore": {
+        "hi_s": 4.5,  # max of the observed envelope (4.08) + headroom
+        "impl": "p6__mapreduce_spark/dedup/kcore.py",
+        "impl_sha12": "cd8f987e13f4",
+        "reason": (
+            "many-tiny-jobs scheduler-latency profile: iterative "
+            "k-core peel, cold 2.39-4.08s across r6-r9 on an "
+            "unchanged plan (r9 verdict #5 retires the per-round "
+            "re-adjudication loop with this band)"
+        ),
+    },
+}
+
+
+def _impl_sha12(rel_path: str) -> str:
+    import hashlib
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), rel_path)
+    return hashlib.sha256(open(p, "rb").read()).hexdigest()[:12]
 
 
 # Iterative training / pair-generation / literal-matrix queries whose
@@ -668,12 +698,30 @@ def main() -> None:
             out["shuffle_ratio"] = shuffle_ratio
             drift_ratio = max(drift_ratio, shuffle_ratio)
         for n, entry in out["regressions"].items():
-            if n in EXPECTED_REGRESSIONS:
-                # self-adjudicating ledger entry: this round replaced
-                # the plan on purpose — no recheck, no "investigate"
+            exp = EXPECTED_REGRESSIONS.get(n)
+            if exp is not None and exp["round"] == out["prev_round"] + 1:
+                # self-adjudicating ledger entry: THIS round replaced
+                # the plan on purpose — no recheck, no "investigate".
+                # The round stamp scopes the entry to exactly the
+                # old-plan-vs-new-plan comparison (r9 ADVICE #3); an
+                # outlived entry is ignored and the guard test fails
+                # until it is pruned, so a later real regression can
+                # never be silently absorbed as "expected".
                 entry["verdict"] = "expected"
-                entry["expected_reason"] = EXPECTED_REGRESSIONS[n]
+                entry["expected_reason"] = exp["reason"]
                 continue
+            if exp is not None:
+                entry["stale_expected_entry_round"] = exp["round"]
+            band = VARIANCE_BANDS.get(n)
+            if band is not None and _impl_sha12(band["impl"]) == band["impl_sha12"]:
+                if entry["now"] <= band["hi_s"]:
+                    # documented oscillation envelope on a sha-pinned
+                    # unchanged implementation (r9 verdict #5)
+                    entry["verdict"] = "variance_band"
+                    entry["band_hi_s"] = band["hi_s"]
+                    entry["band_reason"] = band["reason"]
+                    continue
+                entry["band_exceeded_hi_s"] = band["hi_s"]
             t0 = time.time()
             QUERIES[n](spark, sf_dir).count()
             entry["recheck_steady"] = round(time.time() - t0, 3)

@@ -91,14 +91,30 @@ def hilbert_df(df: DataFrame, key: str, a: str, b: str) -> DataFrame:
     shows a single Project over the scan."""
     from pyspark.sql import functions as F
 
-    amin, amax, bmin, bmax = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
-    if amin is None or bmin is None:
-        # Empty input: MIN/MAX are NULL — return the empty (key, hcode)
-        # frame the DuckDB oracle produces instead of a driver TypeError
+    cnt, amin, amax, bmin, bmax = df.agg(
+        F.count(F.lit(1)), F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    if cnt == 0:
+        # Empty input: return the empty (key, hcode) frame the DuckDB
+        # oracle produces instead of a driver TypeError at int(None)
         # (r8 ADVICE; an engine-divergent crash on the degenerate input).
         return df.selectExpr(key, "CAST(0 AS BIGINT) AS hcode").limit(0)
-    sa = f"CAST(floor(({a} - {int(amin)}) * {SIDE - 1}.0 / {max(1, int(amax - amin))}) AS BIGINT)"
-    sb = f"CAST(floor(({b} - {int(bmin)}) * {SIDE - 1}.0 / {max(1, int(bmax - bmin))}) AS BIGINT)"
+
+    def _axis(col: str, lo, span) -> str:
+        if lo is None:
+            # Non-empty input, all-NULL axis: the oracle's scalar
+            # subquery MIN is NULL and NULL-propagates through the
+            # identical per-level ladder — mirror it with a typed NULL
+            # axis instead of dropping the rows (r9 ADVICE #1; the
+            # empty-guard used to swallow this case and return 0 rows
+            # while the oracle kept n rows). Both engines then run the
+            # same expression text, so three-valued-logic outcomes in
+            # the CASE ladder agree by construction.
+            return "CAST(NULL AS BIGINT)"
+        return f"CAST(floor(({col} - {int(lo)}) * {SIDE - 1}.0 / {span}) AS BIGINT)"
+
+    sa = _axis(a, amin, max(1, int(amax - amin)) if amin is not None else 1)
+    sb = _axis(b, bmin, max(1, int(bmax - bmin)) if bmin is not None else 1)
     out = df.selectExpr(key, f"{sa} AS hx", f"{sb} AS hy", "CAST(0 AS BIGINT) AS hd")
     for s in _levels():
         x, y, d = _step_exprs(s)

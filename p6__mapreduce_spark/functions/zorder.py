@@ -60,11 +60,15 @@ def scaled_morton(df: DataFrame, a: str, b: str) -> Column:
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
     if amin is None or bmin is None:
-        # empty input: MIN/MAX are NULL — any expression maps zero
-        # rows, so return a typed zero instead of crashing at
-        # int(None) (r9 degenerate-input audit; the DuckDB oracle
-        # yields an empty result here)
-        return F.lit(0).cast("long")
+        # MIN is NULL on an empty input (zero rows to map — any
+        # expression works) AND on a non-empty input whose column is
+        # entirely NULL. The oracle's scalar-subquery MIN is NULL in
+        # both cases and NULL-propagates through the whole
+        # scale/spread ladder, so mirror it with a typed NULL — NOT a
+        # zero, which would stamp every all-NULL row with code 0
+        # while the oracle keeps NULL (r9 ADVICE #1; the int(None)
+        # crash this guard replaced was the r9 degenerate-input audit).
+        return F.lit(None).cast("long")
     sa = (F.col(a) - F.lit(int(amin))) * F.lit(65535) / F.lit(max(1, int(amax - amin)))
     sb = (F.col(b) - F.lit(int(bmin))) * F.lit(65535) / F.lit(max(1, int(bmax - bmin)))
     return morton_code(F.floor(sa).cast("long"), F.floor(sb).cast("long"))

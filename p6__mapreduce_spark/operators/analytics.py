@@ -254,8 +254,14 @@ def distinct_users_sketch_rollup(events: DataFrame) -> DataFrame:
     is answered by unioning a handful of kilobyte sketches. An exact
     countDistinct over a week rescans 7 days of raw data; re-aggregated
     weekly from daily exact counts is WRONG (distinct doesn't sum).
-    Estimator-specific values -> rows-only driver check; the estimate is
-    asserted within HLL error bounds of exact in tests.
+
+    Library exemplar of Spark's built-in hll_sketch_agg. The registry
+    query ``sketch_weekly_users`` no longer runs on it: the built-in
+    sketch's register layout is engine-private, so r8 moved the query
+    to the portable m=1024 rollup in ``operators/hll.py``, which is
+    hash-verified against DuckDB. This variant stays as the
+    one-dependency-fewer production option; its estimate is asserted
+    within HLL error bounds of exact in tests.
     """
     daily = events.select(F.to_date("ts").alias("day"), "user_id").groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),

@@ -5287,8 +5287,14 @@ def _poisson_cdf_thresholds(max_k: int = 8) -> list[float]:
       SELECT b, CAST(SUM(w * cents) AS BIGINT) * 1.0e0 / CAST(SUM(w) AS BIGINT)
                AS mean_cents
       FROM weighted GROUP BY b
-    ), sorted AS (SELECT array_agg(mean_cents ORDER BY mean_cents) AS m,
+    ), sorted AS (SELECT array_agg(mean_cents ORDER BY mean_cents)
+                           FILTER (WHERE mean_cents IS NOT NULL) AS m,
                          COUNT(mean_cents) AS n FROM replicas)
+    -- FILTER mirrors Spark's collect_list (which skips NULL replica
+    -- means) EXPLICITLY instead of leaning on DuckDB's default
+    -- NULLS-LAST ordering to park them past m[63]: a harness running
+    -- with default_null_order=nulls_first would otherwise silently
+    -- shift the m[2]/m[32]/m[63] picks (r9 ADVICE #2).
     -- n_replicas counts the realized replicas (64 on any non-empty
     -- input, 0 on an empty table — matching Spark's COUNT instead of
     -- a literal that would diverge on the degenerate input; r9 audit)
@@ -9400,9 +9406,12 @@ def q_huber_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation_trade_pagerank, feature_hash_vectors, ngram_pmi,
 # hll_user_audit, matryoshka_recall_audit, and the sampled-training
 # trio kmeans_lloyd_sampled / pq_codes_sampled / knn_ivfpq_sampled) —
-# plus the two inherently rows-only sketches
-# (approx_stats, sketch_weekly_users, which get the weaker rows-only
-# driver check), plus the FOURTEEN round-5-continuation additions
+# plus the two then-rows-only sketches
+# (approx_stats, sketch_weekly_users — "inherently rows-only" was the
+# r6-era view; SUPERSEDED: both moved to the portable register
+# sketches of operators/hll.py and are hash-oracled — sketch in r8,
+# approx_stats in r9 — so _ROWS_ONLY is empty now),
+# plus the FOURTEEN round-5-continuation additions
 # (promo_window_event_stats, dedup_triangle_stats, kneser_ney_bigram,
 # theil_sen_daily_revenue, seasonal_anomaly_daily,
 # session_windows_streaming, basket_part_pairs, revenue_gini,
@@ -9446,9 +9455,11 @@ def q_huber_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every rotated-in query carries committed 3-scale-factor local oracle
 # evidence (ORACLE_LOCAL_r6_sf0.001/0.01/0.1: 251/251 green), and ten
 # of them were independently oracle-verified by the judge in r6.
-# sketch_weekly_users is inherently rows-only (estimator sketch, no
-# static oracle; within-error-of-exact asserted in tests) — it takes
+# sketch_weekly_users was then rows-only (estimator sketch with no
+# static oracle; within-error-of-exact asserted in tests) — it took
 # the weaker rows-only driver check, the last such query to do so.
+# (SUPERSEDED: r8 gave it the portable-register hash oracle; r9 did
+# the same for approx_stats — _ROWS_ONLY is empty now.)
 #
 # ROUND-8 ROTATION (EXECUTED — supersedes the r7 window below, kept
 # as _R7_WINDOW for the audit trail). CORRECTNESS_r07 landed 49/50
@@ -9464,8 +9475,10 @@ def q_huber_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     queries, 6 rounds stale) plus the alphabetically-first 25 of the
 #     round-3 cohort. Recomputed from the CORRECTNESS_r01..r07 union;
 #     deterministic tie-break = name order within a round.
-#   - approx_stats (rows-only HLL++/approx-quantile internals — see
-#     _ROWS_ONLY below) is the oldest of all and refreshes its
+#   - approx_stats (at r8 rotation time still on Spark's HLL++/
+#     approx-quantile internals, hence rows-only; SUPERSEDED in r9 by
+#     the portable sketch of operators/hll.py — hash-oracled since,
+#     _ROWS_ONLY now empty) was the oldest of all and refreshed its
 #     rows-only row; sketch_weekly_users collects its FIRST
 #     hash-verified row next time it rotates in (its r8 oracle is in
 #     the full local gate at 3 SFs regardless).
@@ -9801,8 +9814,9 @@ _R6_WINDOW: tuple[str, ...] = (
     # cascade_delete_audit, acf_daily_revenue, target_encode_loo,
     # nation_trade_hits, mmr_diversified_topk, kcenter_coreset,
     # silhouette_by_cluster, retrieval_ndcg_eval, filter_funnel_report,
-    # plus the inherently rows-only sketch_weekly_users (approx_stats
-    # already has a rows-only driver row).
+    # plus the then-rows-only sketch_weekly_users (approx_stats
+    # already had a rows-only driver row; both hash-oracled since
+    # r8/r9 via the portable sketches of operators/hll.py).
     # (a) round-5 closing batch — interval analytics, divergence,
     # experimentation, streaming protocol runners
     "scd2_user_state",

@@ -252,3 +252,44 @@ def test_burstiness_all_simultaneous_arrivals_is_null(spark):
         .collect()[0]
     )
     assert row["fano_mh"] is None
+
+
+def test_hilbert_and_zorder_all_null_axis_match_oracle(spark):
+    """r9 ADVICE #1: a NON-empty table whose a-column is entirely NULL
+    must not be swallowed by the empty-input guard. The oracle's
+    scalar-subquery MIN is NULL and propagates through the shared
+    expression ladder, so both engines keep all n rows — hilbert's
+    CASE ladder collapses the NULL axis to b-derived codes (identical
+    three-valued logic both sides), scaled_morton yields NULL codes.
+    Verified live against DuckDB here, not just argued."""
+    import duckdb
+
+    from p6__mapreduce_spark.functions.hilbert import hilbert_df, hilbert_oracle_sql
+    from p6__mapreduce_spark.functions.zorder import (
+        scaled_morton,
+        scaled_morton_oracle_expr,
+    )
+
+    for rows in (
+        [(1, None, 10), (2, None, 20), (3, None, 30)],  # all-NULL axis
+        [(1, 5, 10), (2, None, 20), (3, 9, 30)],  # partial-NULL
+    ):
+        df = spark.createDataFrame(rows, "k long, a long, b long")
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k BIGINT, a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+
+        got_h = [(r.k, r.hcode) for r in hilbert_df(df, "k", "a", "b").orderBy("k").collect()]
+        want_h = con.sql(hilbert_oracle_sql("t", "k", "a", "b")).fetchall()
+        assert got_h == [tuple(r) for r in want_h]
+        assert len(got_h) == len(rows)  # rows kept, not dropped
+
+        got_z = [
+            (r.k, r.z)
+            for r in df.select("k", scaled_morton(df, "a", "b").alias("z")).orderBy("k").collect()
+        ]
+        want_z = con.sql(
+            f"SELECT k, {scaled_morton_oracle_expr('a', 'b', 't')} AS z FROM t ORDER BY k"
+        ).fetchall()
+        assert got_z == [tuple(r) for r in want_z]
+        con.close()

@@ -122,9 +122,46 @@ RESOLUTIONS: list[dict] = [
         "file": "p6__mapreduce_spark/functions/hilbert.py",
         "match": "calls int(amin) on the driver",
         "status": "fixed",
-        # NULL-aggregate guard returns the oracle's empty frame
-        "must_match": r"if amin is None or bmin is None:",
+        # r9 guard (MIN IS NULL -> empty frame) superseded in r10 by
+        # the explicit COUNT(*) branch + NULL-axis mirror (see the
+        # r9-hilbert entry below); no int(None) path remains either way
+        "must_match": r"if cnt == 0:",
         "must_not_match": None,
+    },
+    # ---- round-9 ADVICE (fixed at the round-10 open) ----
+    {
+        "name": "r9-hilbert-allnull-column-swallowed-by-empty-guard",
+        "file": "p6__mapreduce_spark/functions/hilbert.py",
+        "match": "also fires on a NON-empty table whose a/b column is entirely NULL",
+        "status": "fixed",
+        # explicit zero-row branch; an all-NULL axis becomes a typed
+        # NULL expression that mirrors the oracle's NULL-propagating
+        # scalar-subquery MIN (parity proved live vs DuckDB in
+        # tests/test_degenerate_inputs.py); zorder's scaled_morton
+        # guard returns a NULL literal instead of 0 for the same case
+        "must_match": r"CAST\(NULL AS BIGINT\)",
+        "must_not_match": r"return df\.selectExpr\(key.*limit\(0\)\s*$",
+    },
+    {
+        "name": "r9-bootstrap-oracle-implicit-nulls-last",
+        "file": "p6__mapreduce_spark/queries.py",
+        "match": "relies on DuckDB's default_null_order being NULLS LAST",
+        "status": "fixed",
+        # the oracle's array_agg now FILTERs NULL replica means out,
+        # mirroring Spark's collect_list regardless of null-order config
+        "must_match": r"FILTER \(WHERE mean_cents IS NOT NULL\)",
+        "must_not_match": None,
+    },
+    {
+        "name": "r9-expected-regressions-no-round-stamp",
+        "file": "bench.py",
+        "match": "keyed by query name with no round stamp",
+        "status": "fixed",
+        # entries are round-stamped dicts; the verdict path ignores an
+        # outlived entry (tagging stale_expected_entry_round) and the
+        # guard test fails until it is pruned
+        "must_match": r"stale_expected_entry_round",
+        "must_not_match": r"EXPECTED_REGRESSIONS: dict\[str, str\]",
     },
 ]
 

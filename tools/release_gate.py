@@ -2,8 +2,10 @@
 """One-command release gate: the full verification recipe in order.
 
 1. driver-contract smoke (entry() rows + queries()/oracle_sql() shape)
-2. doc-drift (COVERAGE.md query count == registry) and advice-drift
-   (every ADVICE.md item resolved + verified — tools/advice_check.py)
+2. doc-drift (COVERAGE.md query count == registry; rows-only prose
+   agrees with the actual _ROWS_ONLY set — tools/doc_drift.py) and
+   advice-drift (every ADVICE.md item resolved + verified —
+   tools/advice_check.py)
 3. plan audit (writes PLANS.md; fails on any non-exempt cartesian /
    Python-in-plan)
 4. DuckDB oracle sweep at the given sf dir (every registered query)
@@ -50,20 +52,11 @@ def main() -> None:
         "print(f'contract OK: {len(q)} queries, {len(o)} oracles')"
     )
     stage("contract", [sys.executable, "-c", smoke])
-    # doc-drift check (r4 verdict #5): COVERAGE.md's "<N> registered
-    # queries" footer must equal len(QUERIES) so the coverage doc can't
-    # silently go stale again (it sat at 138 while the registry hit 173)
-    doccheck = (
-        "import re;"
-        "from p6__mapreduce_spark.queries import QUERIES;"
-        "txt=open('COVERAGE.md').read();"
-        "m=re.search(r'(\\d+) registered queries', txt);"
-        "assert m, 'COVERAGE.md lacks the registered-queries footer';"
-        "n=int(m.group(1));"
-        "assert n==len(QUERIES), f'COVERAGE.md says {n} queries, registry has {len(QUERIES)}';"
-        "print(f'doc-drift OK: COVERAGE.md == registry == {n}')"
-    )
-    stage("doc-drift", [sys.executable, "-c", doccheck])
+    # doc-drift (tools/doc_drift.py): COVERAGE.md query-count footer
+    # (r4 verdict #5) + rows-only prose vs the actual _ROWS_ONLY set
+    # (r9 verdict #4 — docstrings described approx_stats as rows-only
+    # for a round after the portable sketch made it hash-oracled)
+    stage("doc-drift", [sys.executable, "tools/doc_drift.py"])
     # advice-drift check (r7 verdict #3): every ADVICE.md item must
     # have a recorded+verified resolution in tools/advice_check.py, so
     # the advisory file can't silently go stale between rounds
