@@ -513,8 +513,28 @@ def main() -> None:
             out = l if out is None else out.unionAll(l)
         return out
 
+    def _inflate_customer(c, kk):
+        # offset custkeys, every quasi-identifier column untouched: the
+        # class STRUCTURE (nationkey x mktsegment x acctbal-bucket) is
+        # identical, each class just holds k x members — so the finest
+        # class table k_anon_generalization collapses to keeps its
+        # cardinality and only the one corpus aggregation grows
+        out = None
+        for i in range(kk):
+            copy = c.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * 100_000_000)
+            )
+            out = copy if out is None else out.unionAll(copy)
+        return out
+
+    from p6__mapreduce_spark.operators.pii import k_anon_generalization as _kanon_gen
+
     ops.update(
         {
+            # one corpus collapse to the bounded finest-class relation;
+            # the 8-width ladder re-aggregates that relation only (r9
+            # verdict #6 — the last argued-not-measured SCALE.md entry)
+            "k_anon_generalization": (lambda c: _kanon_gen(c), customer, _inflate_customer),
             # filter stays O(mbits); build + test must track the scans
             "bloom_prejoin_audit": (
                 lambda o: _bloom(customer, o),
