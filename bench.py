@@ -412,6 +412,23 @@ PROTOCOL_RUNNERS = [
 # open when this stamp mechanism replaced prune-by-convention).
 EXPECTED_REGRESSIONS: dict[str, dict] = {
     # "query_name": {"round": N, "reason": "plan replacement (rN): ..."},
+    "multi_touch_attribution": {
+        "round": 10,
+        "reason": (
+            "plan replacement (r10): user_id-only range join moved to "
+            "the keyed bin-bucket join (conversion_window_pairs) after "
+            "the hot-key audit measured 10x at a 50%-hot user; skew "
+            "time 6.2s -> 0.8s for ~0.3s extra uniform cost"
+        ),
+    },
+    "position_attribution": {
+        "round": 10,
+        "reason": (
+            "plan replacement (r10): same keyed bin-bucket pair stage "
+            "as multi_touch_attribution (hot-key audit, "
+            "SKEW_AUDIT_r10); skew time 4.6s -> 0.7s"
+        ),
+    },
 }
 
 # Variance-band ledger (r9 verdict #5): queries whose UNCHANGED plan

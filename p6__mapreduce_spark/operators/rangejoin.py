@@ -46,6 +46,7 @@ def interval_bin_join(
     start_col: str = "start",
     end_col: str = "end",
     bin_seconds: int = DEFAULT_BIN_SECONDS,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts < end`` (half-open, the streaming-window convention)
@@ -55,6 +56,16 @@ def interval_bin_join(
     timestamp columns must be Spark timestamps; binning uses epoch
     seconds (``unix_timestamp`` — integer, so bin assignment is exact
     and engine-independent).
+
+    ``keys``: extra same-named equi-columns joined ALONGSIDE the bin
+    (e.g. ``("user_id",)`` for a per-user conversion window). This is
+    the hot-key defense for keyed range joins: with the key alone, one
+    Zipfian user concentrates its clicks x purchases cross product in
+    a single task (measured 10x at a 50%-hot key, r10 skew audit);
+    compounding the time bin into the join key splits that user's pair
+    space across every active bin, so AQE's skew handling sees
+    orderly, bounded partitions. Uniform-data cost is one extra join
+    column and a <= 2-row explode on the interval side.
     """
     p_bin = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bin_seconds))
     s_bin = F.floor(F.unix_timestamp(F.col(start_col)) / F.lit(bin_seconds))
@@ -71,7 +82,7 @@ def interval_bin_join(
         "_bin", F.explode(F.sequence(s_bin, e_bin))
     )
     return (
-        pts.join(ivs, on="_bin")
+        pts.join(ivs, on=[*keys, "_bin"])
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_bin")
     )
@@ -138,3 +149,47 @@ SELECT u.o_orderkey,
 FROM urgent u LEFT JOIN hits h USING (o_orderkey)
 ORDER BY o_orderkey
 """
+
+
+def conversion_window_pairs(
+    events: DataFrame,
+    *,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """(click_id, purchase_id, p_cents, click_ts) pairs: every
+    conversion joined to the same user's touches in the preceding
+    ``window_seconds`` (half-open — touch strictly before, within the
+    window). The shared pair stage of the attribution queries.
+
+    Plan: keyed bin-bucket join on (user_id, hour-bin) — the
+    conversion's lookback interval spans <= 2 bins of the window
+    width, the touch occupies exactly 1, so each true pair is produced
+    once and NO per-user cross product ever materializes. With
+    user_id alone as the join key, a hot user (50% of events — the
+    r10 skew audit's regime) put ~6M click x purchase candidates in
+    ONE task before the time filter ran: 10x wall-clock at sf0.1,
+    unbounded at corpus scale. Binning the key bounds each task by
+    the user's per-hour activity instead of their lifetime total.
+    """
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    conversions = events.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+        (F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    return interval_bin_join(
+        touches,
+        conversions,
+        ts_col="click_ts",
+        bin_seconds=window_seconds,
+        keys=("user_id",),
+    ).select("click_id", "purchase_id", "p_cents", "click_ts")

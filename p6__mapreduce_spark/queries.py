@@ -5529,30 +5529,19 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: every purchase's value splits
     equally across the user's clicks in the preceding hour; each click
     accumulates its share over all purchases it touched. The pair
-    space is a user-keyed equi-join with a time-range predicate (one
-    shuffle on user_id — never a time cross product); per-pair credit
-    is INTEGER division into micro-cents, so the final sums are exact
-    at any partitioning. The conversion-window semantics mirror the
-    streaming click->purchase interval join's batch twin — this is the
-    attribution layer on top of it."""
+    space is a KEYED BIN-BUCKET range join — (user_id, hour-bin)
+    equi-join + residual exact time filter (operators/rangejoin.py:
+    conversion_window_pairs) — so a Zipfian hot user's clicks x
+    purchases cross product never lands in one task (user_id-only
+    join: 10x at the r10 skew audit's 50%-hot key, SKEW_AUDIT_r10).
+    Per-pair credit is INTEGER division into micro-cents, so the
+    final sums are exact at any partitioning. The conversion-window
+    semantics mirror the streaming click->purchase interval join's
+    batch twin — this is the attribution layer on top of it."""
+    from p6__mapreduce_spark.operators.rangejoin import conversion_window_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("click_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("pu"),
-        F.col("ts").alias("p_ts"),
-        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
-    )
-    pairs = clicks.join(
-        purchases,
-        (F.col("cu") == F.col("pu"))
-        & (F.col("click_ts") < F.col("p_ts"))
-        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    ).select("click_id", "purchase_id", "p_cents")
+    pairs = conversion_window_pairs(ev).select("click_id", "purchase_id", "p_cents")
     touch = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touch"))
     return (
         pairs.join(touch, "purchase_id")
@@ -5700,45 +5689,24 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     value to the FIRST touch, 40% to the LAST, 20% split across the
     middles (100% / 50-50 for 1- and 2-touch journeys) — the policy
     marketers actually compare against linear. Same user-keyed range
-    join as multi_touch_attribution plus ONE positional window per
-    purchase (bounded by touches-per-conversion); credit in exact
-    integer micro-cents with the middle share integer-divided."""
+    join as multi_touch_attribution — the keyed bin-bucket shape of
+    operators/rangejoin.py: conversion_window_pairs, hot-key safe per
+    SKEW_AUDIT_r10 — plus ONE positional window per purchase (bounded
+    by touches-per-conversion); credit in exact integer micro-cents
+    with the middle share integer-divided."""
     from pyspark.sql import Window
 
+    from p6__mapreduce_spark.operators.rangejoin import conversion_window_pairs
+
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("click_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("pu"),
-        F.col("ts").alias("p_ts"),
-        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
-    )
     w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
     wc = Window.partitionBy("purchase_id")
-    pairs = (
-        clicks.join(
-            purchases,
-            (F.col("cu") == F.col("pu"))
-            & (F.col("click_ts") < F.col("p_ts"))
-            & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        )
-        .select(
-            "click_id",
-            "purchase_id",
-            "p_cents",
-            "click_ts",
-        )
-        .select(
-            "click_id",
-            "purchase_id",
-            "p_cents",
-            F.row_number().over(w).alias("pos"),
-            F.count(F.lit(1)).over(wc).alias("n_touch"),
-        )
+    pairs = conversion_window_pairs(ev).select(
+        "click_id",
+        "purchase_id",
+        "p_cents",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("n_touch"),
     )
     ucents = (
         F.when(F.col("n_touch") == 1, F.col("p_cents") * F.lit(1_000_000))

@@ -158,3 +158,55 @@ def test_degenerate_interval_dropped_before_explode(spark):
     )
     out = interval_bin_join(pts, ivs, bin_seconds=600)
     assert out.count() == 0
+
+
+def test_keyed_bin_join_matches_naive_key_join(spark):
+    """keys=("user_id",): the keyed bin-bucket join equals the naive
+    user-equi-join + time filter — including a hot user holding most
+    rows (the r10 skew-audit regime the keyed variant exists for)."""
+    import datetime as dt
+
+    from p6__mapreduce_spark.operators.rangejoin import conversion_window_pairs
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # hot user 1: 120 clicks + 30 purchases across 6 hours; users 2-9
+    # sparse
+    for i in range(120):
+        rows.append((eid, base + dt.timedelta(minutes=3 * i), 1, "click", 0.0, "{}"))
+        eid += 1
+    for i in range(30):
+        rows.append((eid, base + dt.timedelta(minutes=12 * i + 1), 1, "purchase", 10.0 + i, "{}"))
+        eid += 1
+    for u in range(2, 10):
+        rows.append((eid, base + dt.timedelta(minutes=u), u, "click", 0.0, "{}"))
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=u + 30), u, "purchase", 5.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r.click_id, r.purchase_id, r.p_cents)
+        for r in conversion_window_pairs(ev).collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts_"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    want = {
+        (r.click_id, r.purchase_id, r.p_cents)
+        for r in clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") < F.col("pts_"))
+            & (F.col("cts") >= F.col("pts_") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(got) > 300
