@@ -40,8 +40,19 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scale_probe import inflate_documents
 
+    def inflate_keep_copy0(d, kk):
+        # copy 0 keeps the ORIGINAL text (so the fixed batch's
+        # near-dups exist in every corpus size); copies 1..k-1 get the
+        # disjoint suffixed vocabulary of scale_probe.inflate_documents
+        rest = inflate_documents(d, kk).filter(F.col("doc_id") >= 10_000_000)
+        return d.unionAll(rest)
+
     spark = get_session("band-index-probe")
+    # warm the session (JVM + codegen) so the 1x build doesn't absorb
+    # first-job startup and understate the build ratio
+    spark.range(1_000_000).select(F.sum("id")).collect()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.count()
 
     # fixed batch: 50 docs derived from the base corpus (one token
     # appended -> high-jaccard near-dups that MUST hit the index)
@@ -58,7 +69,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="band_index_probe_")
     out: dict = {"k": k, "batch_docs": 50}
     try:
-        for label, corpus in (("1x", docs), (f"{k}x", inflate_documents(docs, k))):
+        for label, corpus in (("1x", docs), (f"{k}x", inflate_keep_copy0(docs, k))):
             path = os.path.join(root, f"idx_{label}")
             t0 = time.time()
             write_band_index(corpus, path)
