@@ -40,7 +40,25 @@ from p6__mapreduce_spark.similarity.kmeans import (
     quantized_expr,
     sampled_train_set,
 )
-from p6__mapreduce_spark.similarity.pq import _pq_best, _train_all
+from p6__mapreduce_spark.similarity.pq import _dim_and_seeds, _pq_best, _train_all
+
+
+def _nearest_cell(e: list[int], coarse: list[list[int]]) -> int:
+    """Driver-side replica of ``_best_expr``'s argmin for a single
+    vector: exact integer squared L2 with the same (distance, cell)
+    tie-break. Python ints are exact, so this matches the Spark
+    expression bit-for-bit — used to derive the PQ init residuals from
+    the already-collected seed vectors instead of running a separate
+    collect job over the residual DataFrame (r10)."""
+    return min(
+        (sum((a - b) * (a - b) for a, b in zip(e, cent)), ci)
+        for ci, cent in enumerate(coarse)
+    )[1]
+
+
+def _residual_vec(e: list[int], coarse: list[list[int]]) -> list[int]:
+    cent = coarse[_nearest_cell(e, coarse)]
+    return [a - b for a, b in zip(e, cent)]
 
 
 def _residual_df(q: DataFrame, coarse: list[list[int]]) -> DataFrame:
@@ -83,30 +101,63 @@ def knn_ivfpq(
     """
     from pyspark.sql import Window
 
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("IVF-PQ requires a non-empty embeddings table")
-    d = int(first["d"])
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-
     quant = embeddings.select(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     )
     if sample_mod is None:
+        # ONE seed collect serves d-inference, the coarse k-means init
+        # (vec_id < k_coarse), the PQ codebook init (residuals of
+        # vec_id < k, computed driver-side with the exact same integer
+        # argmin/subtraction as _residual_df) and the ADC query vectors
+        # (vec_id < n_queries) — the old shape paid four separate jobs
+        # for these (r10 job-count optimization, arithmetic unchanged).
         q = quant.localCheckpoint(eager=True)
-        coarse = lloyd_train(q, k_coarse, iters)
+        d, seeds = _dim_and_seeds(
+            q, quant, max(k_coarse, k, n_queries), smallest=False, who="IVF-PQ"
+        )
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        coarse = lloyd_train(
+            q, k_coarse, iters, seeds=[r for r in seeds if r.vec_id < k_coarse]
+        )
         res = _residual_df(q, coarse)
-        codebooks = _train_all(res, m, k, iters, dsub)
+        codebooks = _train_all(
+            res,
+            m,
+            k,
+            iters,
+            dsub,
+            seeds=[_residual_vec(list(r.e), coarse) for r in seeds if r.vec_id < k],
+        )
+        queries = [r for r in seeds if r.vec_id < n_queries]
     else:
         train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
-        coarse = lloyd_train(train, k_coarse, iters, init_smallest_k=True)
+        # seed collect over the SAMPLE: first k_coarse rows seed the
+        # coarse trainer, first k rows' residuals seed the PQ trainer
+        # (both are "the n smallest sampled ids" — limit(max) collects
+        # them once); queries still come from the full corpus below.
+        d, seeds = _dim_and_seeds(
+            train, quant, max(k_coarse, k), smallest=True, who="IVF-PQ"
+        )
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        coarse = lloyd_train(
+            train, k_coarse, iters, init_smallest_k=True, seeds=seeds
+        )
         codebooks = _train_all(
-            _residual_df(train, coarse), m, k, iters, dsub, init_smallest_k=True
+            _residual_df(train, coarse),
+            m,
+            k,
+            iters,
+            dsub,
+            init_smallest_k=True,
+            seeds=[_residual_vec(list(r.e), coarse) for r in seeds],
         )
         q = quant  # full corpus: single streaming pass below
         res = _residual_df(q, coarse)
+        queries = q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
 
     # corpus index: (vec_id, cell, subspace, code) — one map-side pass
     per_sub = [
@@ -123,8 +174,8 @@ def knn_ivfpq(
     # query side, driver-built and broadcast (bounded:
     # n_queries * nprobe * m * k ints): probed cells by exact integer
     # L2 to the coarse centroids, ADC table from each probed cell's
-    # query RESIDUAL vs the shared codebooks
-    queries = q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    # query RESIDUAL vs the shared codebooks. ``queries`` was already
+    # fetched above (seed collect / full-corpus collect per mode).
     rows = []
     for qr in queries:
         qe = list(qr.e)

@@ -99,7 +99,14 @@ def sampled_train_set(q: DataFrame, sample_mod: int) -> DataFrame:
     return q.filter((F.conv(nib8, 16, 10).cast("long") % F.lit(sample_mod)) == 0)
 
 
-def lloyd_train(q: DataFrame, k: int, iters: int, *, init_smallest_k: bool = False) -> list[list[int]]:
+def lloyd_train(
+    q: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    init_smallest_k: bool = False,
+    seeds: list | None = None,
+) -> list[list[int]]:
     """The driver-coordinated Lloyd loop over a (vec_id, e) DataFrame
     of quantized int64 vectors: init = the k smallest ids' vectors,
     per round one map-side assignment + one k-row partial-agg shuffle,
@@ -109,22 +116,32 @@ def lloyd_train(q: DataFrame, k: int, iters: int, *, init_smallest_k: bool = Fal
     ``init_smallest_k`` switches init from ``vec_id < k`` (the oracle-
     pinned default — assumes contiguous ids from 0) to the k smallest
     ids PRESENT (orderBy + limit), which a hash-sampled training set
-    needs because bucket 0 has no reason to contain ids 0..k-1."""
-    if init_smallest_k:
+    needs because bucket 0 has no reason to contain ids 0..k-1.
+
+    ``seeds``: pre-collected init rows (vec_id-ordered, the same rows
+    the collect below would fetch, possibly more — the first k are
+    used). Callers that already hold a seed collect (the knn_* family
+    shares ONE collect between dimension inference, k-means init, PQ
+    init and the ADC query vectors) pass it here to skip this
+    function's init job — r10 job-count optimization, arithmetic
+    unchanged."""
+    if seeds is not None:
+        init = seeds
+    elif init_smallest_k:
         init = q.orderBy("vec_id").limit(k).select("vec_id", "e").collect()
-        if len(init) < k:
-            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
     else:
         init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "e").collect()
-        if len(init) < k:
-            # same explicit precondition as the sampled path: training
-            # k centroids needs k seed vectors (ids 0..k-1 here) — an
-            # empty/sparse table raised a bare IndexError before (r9)
-            raise ValueError(
-                f"training set has {len(init)} vectors with vec_id < {k}, "
-                f"need k={k} (contiguous ids 0..k-1)"
-            )
-    cents: list[list[int]] = [list(r.e) for r in init]
+    if len(init) < k:
+        if init_smallest_k:
+            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
+        # same explicit precondition as the sampled path: training
+        # k centroids needs k seed vectors (ids 0..k-1 here) — an
+        # empty/sparse table raised a bare IndexError before (r9)
+        raise ValueError(
+            f"training set has {len(init)} vectors with vec_id < {k}, "
+            f"need k={k} (contiguous ids 0..k-1)"
+        )
+    cents: list[list[int]] = [list(r.e) for r in init[:k]]
     d = len(cents[0])
     for _ in range(iters):
         assigned = q.select(_best_expr("e", cents).getField("i").alias("cluster_id"), "e")

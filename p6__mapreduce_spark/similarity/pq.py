@@ -33,11 +33,37 @@ from p6__mapreduce_spark.similarity.kmeans import (
     QUANT,
     _iteration_sql,
     quantized_expr,
+    sampled_train_set,
 )
 
 
 def _sub_expr(e_col: str, s: int, dsub: int) -> Column:
     return F.slice(F.col(e_col), s * dsub + 1, dsub)
+
+
+def _dim_and_seeds(
+    train: DataFrame, quant: DataFrame, n: int, *, smallest: bool, who: str
+) -> tuple[int, list]:
+    """ONE bounded collect serving dimension inference AND the Lloyd
+    seed vectors (r10 job-count optimization: the old shape paid a
+    separate ``first()`` job for d plus a second collect for init).
+    ``smallest=False`` fetches rows with vec_id < n (the oracle-pinned
+    contiguous init); ``smallest=True`` the n smallest ids present
+    (sampled path). Degenerate inputs keep the r9-pinned error
+    precedence — an empty TABLE raises the family's non-empty contract
+    error; the extra emptiness probe job runs only on that path."""
+    base = (
+        train.orderBy("vec_id").limit(n)
+        if smallest
+        else train.filter(F.col("vec_id") < n).orderBy("vec_id")
+    )
+    rows = base.select("vec_id", "e").collect()
+    if rows:
+        return len(rows[0].e), rows
+    first = quant.select("e").first()
+    if first is None:
+        raise ValueError(f"{who} requires a non-empty embeddings table")
+    return len(first.e), rows
 
 
 def pq_codes(
@@ -59,17 +85,21 @@ def pq_codes(
     sample (only the sample checkpointed); encoding streams over the
     full corpus once, un-materialized. Default None = oracle-pinned
     full-corpus training."""
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    # empty table: fail with a contract error, not a TypeError downstream
-    if first is None:
-        raise ValueError("PQ training requires a non-empty embeddings table")
-    d = int(first["d"])
+    quant = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
+    )
+    if sample_mod is None:
+        q = quant.localCheckpoint(eager=True)
+        train, smallest = q, False
+    else:
+        train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
+        q, smallest = quant, True
+    d, seeds = _dim_and_seeds(train, quant, k, smallest=smallest, who="PQ training")
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-
-    q, codebooks = _quantize_and_train(
-        embeddings, m, k, iters, dsub, vec_col, id_col, sample_mod
+    codebooks = _train_all(
+        train, m, k, iters, dsub, init_smallest_k=smallest, seeds=[r.e for r in seeds]
     )
 
     per_sub = [
@@ -91,35 +121,15 @@ def pq_codes(
     )
 
 
-def _quantize_and_train(
-    embeddings: DataFrame,
+def _train_all(
+    q: DataFrame,
     m: int,
     k: int,
     iters: int,
     dsub: int,
-    vec_col: str,
-    id_col: str,
-    sample_mod: int | None,
-) -> tuple[DataFrame, list[list[list[int]]]]:
-    """(corpus, codebooks): the quantized corpus DataFrame to encode
-    plus the trained codebooks. sample_mod=None checkpoints the full
-    corpus (shared by training and encoding — the measured local-scale
-    win); sample_mod=N checkpoints ONLY the 1/N training sample and
-    returns the corpus as a lazy single-pass scan."""
-    from p6__mapreduce_spark.similarity.kmeans import sampled_train_set
-
-    quant = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
-    )
-    if sample_mod is None:
-        q = quant.localCheckpoint(eager=True)
-        return q, _train_all(q, m, k, iters, dsub)
-    train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
-    return quant, _train_all(train, m, k, iters, dsub, init_smallest_k=True)
-
-
-def _train_all(
-    q: DataFrame, m: int, k: int, iters: int, dsub: int, *, init_smallest_k: bool = False
+    *,
+    init_smallest_k: bool = False,
+    seeds: list | None = None,
 ) -> list[list[list[int]]]:
     """All m subspace codebooks trained together: per Lloyd round ONE
     Spark job computes every subspace's per-code sums (explode the m
@@ -127,25 +137,35 @@ def _train_all(
     shuffle of m*k rows after partial agg) — 2 jobs total for iters=2
     instead of m*iters, and the per-round cost is independent of m.
     The arithmetic is identical to running lloyd_train per subspace
-    (same integer sums, same rounding), which the oracle relies on."""
+    (same integer sums, same rounding), which the oracle relies on.
+
+    ``seeds``: pre-collected full-dimension seed VECTORS in vec_id
+    order (exactly the rows the collect below would fetch, possibly
+    more — the first k are used), letting callers that already hold a
+    seed collect skip this function's init job (r10)."""
     from p6__mapreduce_spark.similarity.kmeans import _round_half_away
 
-    if init_smallest_k:
-        init = q.orderBy("vec_id").limit(k).select("e").collect()
-        if len(init) < k:
-            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
+    if seeds is not None:
+        init = seeds
+    elif init_smallest_k:
+        init = [r.e for r in q.orderBy("vec_id").limit(k).select("e").collect()]
     else:
-        init = q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
-        if len(init) < k:
-            # same explicit precondition as the sampled path — a table
-            # with fewer than k seed vectors raised a bare IndexError
-            # at codebook indexing before (r9 degenerate-input audit)
-            raise ValueError(
-                f"training set has {len(init)} vectors with vec_id < {k}, "
-                f"need k={k} (contiguous ids 0..k-1)"
-            )
+        init = [
+            r.e
+            for r in q.filter(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
+        ]
+    if len(init) < k:
+        if init_smallest_k:
+            raise ValueError(f"training set has {len(init)} vectors, need k={k}")
+        # same explicit precondition as the sampled path — a table
+        # with fewer than k seed vectors raised a bare IndexError
+        # at codebook indexing before (r9 degenerate-input audit)
+        raise ValueError(
+            f"training set has {len(init)} vectors with vec_id < {k}, "
+            f"need k={k} (contiguous ids 0..k-1)"
+        )
     codebooks = [
-        [list(r.e[s * dsub : (s + 1) * dsub]) for r in init] for s in range(m)
+        [list(e[s * dsub : (s + 1) * dsub]) for e in init[:k]] for s in range(m)
     ]
     for _ in range(iters):
         structs = [
@@ -304,14 +324,31 @@ def knn_pq(
     many bytes of codes — the point of PQ."""
     from pyspark.sql import Window
 
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("PQ encoding requires a non-empty embeddings table")
-    d = int(first["d"])
-    dsub = d // m
-    q, codebooks = _quantize_and_train(
-        embeddings, m, k, iters, dsub, vec_col, id_col, sample_mod
+    quant = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     )
+    if sample_mod is None:
+        # ONE seed collect serves d-inference, codebook init (vec_id<k)
+        # and the ADC query vectors (vec_id<n_queries) — the old shape
+        # paid three separate jobs (r10)
+        q = quant.localCheckpoint(eager=True)
+        d, seeds = _dim_and_seeds(
+            q, quant, max(k, n_queries), smallest=False, who="PQ encoding"
+        )
+        dsub = d // m
+        codebooks = _train_all(
+            q, m, k, iters, dsub, seeds=[r.e for r in seeds if r.vec_id < k]
+        )
+        queries = [r for r in seeds if r.vec_id < n_queries]
+    else:
+        train = sampled_train_set(quant, sample_mod).localCheckpoint(eager=True)
+        d, seeds = _dim_and_seeds(train, quant, k, smallest=True, who="PQ encoding")
+        dsub = d // m
+        codebooks = _train_all(
+            train, m, k, iters, dsub, init_smallest_k=True, seeds=[r.e for r in seeds]
+        )
+        q = quant  # full corpus: single streaming encode pass below
+        queries = q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
 
     # corpus codes: (vec_id, subspace, code)
     per_sub = [
@@ -328,9 +365,6 @@ def knn_pq(
     # query-side ADC tables: exact integer distance from each query's
     # subvector to every code of every subspace (driver computes
     # n_queries*m*k ints from the collected query vectors — bounded)
-    queries = (
-        q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
-    )
     rows = []
     for qr in queries:
         qe = list(qr.e)
