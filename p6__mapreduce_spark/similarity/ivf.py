@@ -141,18 +141,34 @@ def _scores_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     nested-array literal and looping with transform() makes the
     constants data instead of code: compile time collapses, runtime
     arithmetic is identical."""
-    matrix = F.lit([[float(x) for x in c] for c in centroids])
-    cc = F.lit([_cc(c) for c in centroids])
-    v = F.col(vec_col).cast("array<double>")
+    return F.expr(_scores_sql(vec_col, centroids))
 
-    def score(c: Column, i: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        s = F.element_at(cc, i + F.lit(1)) - F.lit(2.0) * dot
-        return F.struct(s.alias("s"), i.alias("i"))
 
-    return F.transform(matrix, score)
+def _scores_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL text of :func:`_scores_expr`'s tree (r10: one parse call
+    instead of ~10 Py4J round trips per centroid — DataFrame
+    construction cost, see kmeans._best_sql). Double literals carry
+    the ``D`` suffix (bare ``2.0`` parses as DECIMAL in Spark SQL) and
+    render via ``repr``, whose shortest-round-trip decimal re-parses
+    to the identical IEEE-754 double — values, fold order and the
+    (s, i) struct shape are exactly the old tree's."""
+
+    def dl(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    matrix = (
+        "array("
+        + ",".join("array(" + ",".join(dl(x) for x in c) + ")" for c in centroids)
+        + ")"
+    )
+    ccs = "array(" + ",".join(dl(_cc(c)) for c in centroids) + ")"
+    return (
+        f"transform({matrix}, (c, i) -> named_struct("
+        f"'s', element_at({ccs}, i + 1) - 2.0D * "
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), c, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x), "
+        f"'i', i))"
+    )
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding") -> DataFrame:

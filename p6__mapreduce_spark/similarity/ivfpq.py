@@ -35,12 +35,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.similarity.kmeans import (
-    _best_expr,
+    _best_sql,
+    _matrix_sql,
     lloyd_train,
     quantized_expr,
     sampled_train_set,
 )
-from p6__mapreduce_spark.similarity.pq import _dim_and_seeds, _pq_best, _train_all
+from p6__mapreduce_spark.similarity.pq import _dim_and_seeds, _encode_sql, _train_all
 
 
 def _nearest_cell(e: list[int], coarse: list[list[int]]) -> int:
@@ -63,17 +64,15 @@ def _residual_vec(e: list[int], coarse: list[list[int]]) -> list[int]:
 
 def _residual_df(q: DataFrame, coarse: list[list[int]]) -> DataFrame:
     """(vec_id, cell, e): nearest coarse cell + exact integer residual,
-    one map-side projection (centroid matrix is a plan literal)."""
-    best = _best_expr("e", coarse)
-    matrix = F.lit([[int(x) for x in c] for c in coarse])
-    cent = F.element_at(matrix, (F.col("cell") + 1).cast("int"))
-    return (
-        q.select("vec_id", "e", best.getField("i").alias("cell"))
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("e", cent, lambda a, b: a - b).alias("e"),
-        )
+    one map-side projection (centroid matrix is a plan literal; both
+    projections are parsed SQL — see kmeans._best_sql)."""
+    return q.selectExpr(
+        "vec_id", "e", f"{_best_sql('e', coarse)}.i AS cell"
+    ).selectExpr(
+        "vec_id",
+        "cell",
+        f"zip_with(e, element_at({_matrix_sql(coarse)}, CAST(cell + 1 AS INT)), "
+        f"(a, b) -> a - b) AS e",
     )
 
 
@@ -121,7 +120,12 @@ def knn_ivfpq(
         coarse = lloyd_train(
             q, k_coarse, iters, seeds=[r for r in seeds if r.vec_id < k_coarse]
         )
-        res = _residual_df(q, coarse)
+        # materialize the residuals ONCE: they feed every PQ round plus
+        # the final encode, and un-checkpointed each consumer re-ran the
+        # coarse argmin + subtraction over the corpus (r10; this is the
+        # full-table ORACLE path — the 100 TB shape is sample_mod, which
+        # only ever streams the full corpus once, un-materialized)
+        res = _residual_df(q, coarse).localCheckpoint(eager=True)
         codebooks = _train_all(
             res,
             m,
@@ -147,7 +151,9 @@ def knn_ivfpq(
             train, k_coarse, iters, init_smallest_k=True, seeds=seeds
         )
         codebooks = _train_all(
-            _residual_df(train, coarse),
+            # bounded (sample-sized) — checkpointing it keeps each PQ
+            # round's plan a leaf scan instead of re-deriving residuals
+            _residual_df(train, coarse).localCheckpoint(eager=True),
             m,
             k,
             iters,
@@ -160,15 +166,13 @@ def knn_ivfpq(
         queries = q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
 
     # corpus index: (vec_id, cell, subspace, code) — one map-side pass
-    per_sub = [
-        F.struct(
-            F.lit(s).cast("long").alias("subspace"),
-            _pq_best(s, dsub, codebooks[s]).getField("i").alias("code"),
-        )
-        for s in range(m)
-    ]
-    codes = res.select("vec_id", "cell", F.explode(F.array(*per_sub)).alias("ps")).select(
-        "vec_id", "cell", F.col("ps.subspace").alias("subspace"), F.col("ps.code").alias("code")
+    codes = res.select(
+        "vec_id", "cell", F.explode(F.expr(_encode_sql(m, dsub, codebooks))).alias("ps")
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("ps.subspace").alias("subspace"),
+        F.col("ps.b.i").alias("code"),
     )
 
     # query side, driver-built and broadcast (bounded:

@@ -62,23 +62,45 @@ def quantized_expr(vec_col: str) -> Column:
     )
 
 
+def _matrix_sql(cents: list[list[int]]) -> str:
+    """The centroid matrix as ONE SQL nested-array literal. Parsed as
+    ``CreateArray`` of foldable rows, it constant-folds to a single
+    array<array<bigint>> Literal — a codegen *reference object*, i.e.
+    data, never unrolled Janino source (the same values-as-data
+    discipline as the old ``F.lit`` path; see ivf._scores_expr)."""
+    return (
+        "array("
+        + ",".join("array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in cents)
+        + ")"
+    )
+
+
+def _best_sql(e_col: str, cents: list[list[int]]) -> str:
+    """SQL text of struct<d: squared L2 distance (exact bigint), i:
+    cluster id> of the nearest centroid; ``array_min`` over (d, i)
+    structs breaks distance ties toward the lowest cluster id.
+
+    Emitted as ONE SQL string instead of a py4j-built Column tree
+    (r10 optimization, guide §1/§4 "driver does no data work"): the
+    old ``_best_expr`` paid one Py4J round trip per Column node —
+    ~10 per centroid — and profiling showed DataFrame CONSTRUCTION,
+    not execution, dominated every Lloyd iteration (build 1.4-2.9 s
+    vs 0.11 s steady execution at sf0.1). One ``F.expr`` call parses
+    the whole expression JVM-side in ~ms. The parsed tree is
+    node-for-node the tree ``_best_expr`` built: same zip_with/
+    aggregate fold order, same exact integer arithmetic, same
+    (d, i) tie-break — oracle hashes unchanged."""
+    return (
+        f"array_min(transform({_matrix_sql(cents)}, (c, i) -> "
+        f"named_struct('d', aggregate(zip_with({e_col}, c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+        f"'i', CAST(i AS BIGINT))))"
+    )
+
+
 def _best_expr(e_col: str, cents: list[list[int]]) -> Column:
-    """struct<d: squared L2 distance (exact bigint), i: cluster id> of
-    the nearest centroid; ``array_min`` over (d, i) structs breaks
-    distance ties toward the lowest cluster id. The centroid matrix is
-    ONE nested-array literal (data, not unrolled code — see
-    ivf._scores_expr for the Janino compile-time rationale)."""
-    matrix = F.lit([[int(x) for x in c] for c in cents])
-
-    def dist(c: Column, i: Column) -> Column:
-        d = F.aggregate(
-            F.zip_with(F.col(e_col), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.struct(d.alias("d"), i.cast("long").alias("i"))
-
-    return F.array_min(F.transform(matrix, dist))
+    """Column form of :func:`_best_sql` (one Py4J call)."""
+    return F.expr(_best_sql(e_col, cents))
 
 
 def _round_half_away(v: float) -> int:
@@ -143,14 +165,17 @@ def lloyd_train(
         )
     cents: list[list[int]] = [list(r.e) for r in init[:k]]
     d = len(cents[0])
+    # the d per-dimension sums as pre-rendered SQL (one Py4J call per
+    # column instead of two nested builder calls; the assignment argmin
+    # is one selectExpr) — same aggregates, same exact integer sums
+    sum_exprs = [f"sum(element_at(e, {i + 1})) AS s{i}" for i in range(d)]
     for _ in range(iters):
-        assigned = q.select(_best_expr("e", cents).getField("i").alias("cluster_id"), "e")
+        assigned = q.selectExpr(
+            f"{_best_sql('e', cents)}.i AS cluster_id", "e"
+        )
         stats = (
             assigned.groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(d)],
-            )
+            .agg(F.expr("count(1) AS n"), *[F.expr(s) for s in sum_exprs])
             .collect()
         )
         by_cluster = {int(r.cluster_id): r for r in stats}

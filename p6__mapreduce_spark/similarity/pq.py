@@ -32,13 +32,36 @@ from pyspark.sql import functions as F
 from p6__mapreduce_spark.similarity.kmeans import (
     QUANT,
     _iteration_sql,
+    _matrix_sql,
     quantized_expr,
     sampled_train_set,
 )
 
 
-def _sub_expr(e_col: str, s: int, dsub: int) -> Column:
-    return F.slice(F.col(e_col), s * dsub + 1, dsub)
+
+def _pq_best_sql(s: int, dsub: int, codebook: list[list[int]], *, e_col: str = "e") -> str:
+    """SQL text of the per-subspace argmin struct<d, i> — the exact
+    tree ``_pq_best`` built via Py4J, emitted as one parseable string
+    (r10: DataFrame construction, not execution, dominated every PQ
+    trainer iteration — see kmeans._best_sql). Same slice bounds, same
+    zip_with/aggregate fold, same (d, i) tie-break."""
+    return (
+        f"array_min(transform({_matrix_sql(codebook)}, (c, i) -> "
+        f"named_struct('d', aggregate(zip_with(slice({e_col}, {s * dsub + 1}, {dsub}), c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+        f"'i', CAST(i AS BIGINT))))"
+    )
+
+
+def _encode_sql(m: int, dsub: int, codebooks: list[list[list[int]]]) -> str:
+    """SQL text of the m-subspace encode array: one struct per
+    subspace with its code id and quantization error — the explode
+    input ``pq_codes``/``knn_pq``/``knn_ivfpq`` share."""
+    structs = [
+        f"named_struct('subspace', {s}L, 'b', {_pq_best_sql(s, dsub, codebooks[s])})"
+        for s in range(m)
+    ]
+    return "array(" + ",".join(structs) + ")"
 
 
 def _dim_and_seeds(
@@ -102,15 +125,10 @@ def pq_codes(
         train, m, k, iters, dsub, init_smallest_k=smallest, seeds=[r.e for r in seeds]
     )
 
-    per_sub = [
-        F.struct(
-            F.lit(s).cast("long").alias("subspace"),
-            _pq_best(s, dsub, codebooks[s]).alias("b"),
-        )
-        for s in range(m)
-    ]
     return (
-        q.select("vec_id", F.explode(F.array(*per_sub)).alias("ps"))
+        q.select(
+            "vec_id", F.explode(F.expr(_encode_sql(m, dsub, codebooks))).alias("ps")
+        )
         .select(
             "vec_id",
             F.col("ps.subspace").alias("subspace"),
@@ -167,23 +185,23 @@ def _train_all(
     codebooks = [
         [list(e[s * dsub : (s + 1) * dsub]) for e in init[:k]] for s in range(m)
     ]
+    # per-round plan built as ONE parsed SQL expression + pre-rendered
+    # aggregate strings: the old per-Column Py4J construction was ~60%
+    # of each round's wall time at sf0.1 (see kmeans._best_sql); the
+    # parsed tree and its exact integer arithmetic are unchanged
+    sum_exprs = [f"sum(element_at(v, {j + 1})) AS s{j}" for j in range(dsub)]
     for _ in range(iters):
         structs = [
-            F.struct(
-                F.lit(s).cast("long").alias("s"),
-                _pq_best(s, dsub, codebooks[s]).getField("i").alias("code"),
-                _sub_expr("e", s, dsub).alias("v"),
-            )
+            f"named_struct('s', {s}L, "
+            f"'code', {_pq_best_sql(s, dsub, codebooks[s])}.i, "
+            f"'v', slice(e, {s * dsub + 1}, {dsub}))"
             for s in range(m)
         ]
         stats = (
-            q.select(F.explode(F.array(*structs)).alias("x"))
+            q.select(F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("x"))
             .select("x.s", "x.code", "x.v")
             .groupBy("s", "code")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(dsub)],
-            )
+            .agg(F.expr("count(1) AS n"), *[F.expr(e) for e in sum_exprs])
             .collect()
         )
         by_key = {(int(r.s), int(r.code)): r for r in stats}
@@ -201,22 +219,6 @@ def _train_all(
         ]
     return codebooks
 
-
-def _pq_best(s: int, dsub: int, codebook: list[list[int]]) -> Column:
-    from pyspark.sql import functions as F  # local alias for clarity
-
-    sub = F.slice(F.col("e"), s * dsub + 1, dsub)
-    matrix = F.lit([[int(x) for x in c] for c in codebook])
-
-    def dist(c: Column, i: Column) -> Column:
-        d = F.aggregate(
-            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.struct(d.alias("d"), i.cast("long").alias("i"))
-
-    return F.array_min(F.transform(matrix, dist))
 
 
 def pq_oracle_sql(
@@ -351,15 +353,10 @@ def knn_pq(
         queries = q.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
 
     # corpus codes: (vec_id, subspace, code)
-    per_sub = [
-        F.struct(
-            F.lit(s).cast("long").alias("subspace"),
-            _pq_best(s, dsub, codebooks[s]).getField("i").alias("code"),
-        )
-        for s in range(m)
-    ]
-    codes = q.select("vec_id", F.explode(F.array(*per_sub)).alias("ps")).select(
-        "vec_id", F.col("ps.subspace").alias("subspace"), F.col("ps.code").alias("code")
+    codes = q.select(
+        "vec_id", F.explode(F.expr(_encode_sql(m, dsub, codebooks))).alias("ps")
+    ).select(
+        "vec_id", F.col("ps.subspace").alias("subspace"), F.col("ps.b.i").alias("code")
     )
 
     # query-side ADC tables: exact integer distance from each query's
