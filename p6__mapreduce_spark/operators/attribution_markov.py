@@ -95,56 +95,58 @@ def markov_removal_attribution(events: DataFrame) -> DataFrame:
             "dst",
             F.floor(F.col("c") * F.lit(Q6) / F.col("tot")).cast("long").alias("q6"),
         )
-        # bounded table (<= |variants| * |states|^2 rows): pin it so the
-        # 12 fixed-point rounds below never rescan/re-shuffle the corpus
-        .localCheckpoint(eager=True)
+        # bounded table (<= |variants| * |states|^2 rows): ONE collect
+        # and the 12 fixed-point rounds run driver-side (r10 — the
+        # retired shape paid 12 localCheckpoint jobs of scheduler
+        # latency per query for arithmetic on <= 245 integers; same
+        # collect-and-iterate discipline as pca_top_component / the
+        # MLlib collect-rebroadcast loop). Every op below mirrors the
+        # retired Spark expressions bit-for-bit: the products/sums are
+        # exact int64-range integers, floor(m / 1e6) is the identical
+        # double division (m < 2^53, exact), and the final removal
+        # effect replays the same long->double cast chain. The DuckDB
+        # oracle (unchanged) still replays all 12 rounds in SQL.
     )
-    p = trans.select("v", F.col("src").alias("s")).distinct().withColumn(
-        "p", F.lit(0).cast("long")
-    )
+    import math
+
+    trans_rows = [(r.v, r.src, r.dst, int(r.q6)) for r in trans.collect()]
+    by_vsrc: dict[tuple[str, str], list[tuple[str, int]]] = {}
+    for v, src, dst, q6 in trans_rows:
+        by_vsrc.setdefault((v, src), []).append((dst, q6))
+    p: dict[tuple[str, str], int] = {k: 0 for k in by_vsrc}
     for _ in range(ITERS):
-        pdst = F.when(F.col("dst") == "CONV", F.lit(Q6)).otherwise(
-            F.when(F.col("dst") == "NULL", F.lit(0)).otherwise(
-                F.coalesce(F.col("p"), F.lit(0))
-            )
+        nxt = {}
+        for (v, src), outs_vs in by_vsrc.items():
+            m = 0
+            for dst, q6 in outs_vs:
+                if dst == "CONV":
+                    pdst = Q6
+                elif dst == "NULL":
+                    pdst = 0
+                else:
+                    pdst = p.get((v, dst), 0)
+                m += q6 * pdst
+            nxt[(v, src)] = math.floor(float(m) / float(Q6))
+        p = nxt
+    start = {v: pv for (v, s), pv in p.items() if s == "START"}
+    base_p = start.get("base")
+    out = []
+    for v in sorted(start):
+        if v == "base" or base_p is None:
+            continue
+        removed_p = start[v]
+        effect = (
+            math.floor(float((base_p - removed_p) * Q6) * 1.0 / float(base_p))
+            if base_p > 0
+            else None
         )
-        p = (
-            trans.join(
-                p.select(F.col("v").alias("pv"), F.col("s").alias("ps"), "p"),
-                (F.col("v") == F.col("pv")) & (F.col("dst") == F.col("ps")),
-                "left",
-            )
-            .groupBy("v", "src")
-            .agg(F.sum(F.col("q6") * pdst).alias("m"))
-            .select(
-                "v",
-                F.col("src").alias("s"),
-                F.floor(F.col("m") / F.lit(float(Q6))).cast("long").alias("p"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    start = p.filter(F.col("s") == "START").select("v", "p")
-    base = start.filter(F.col("v") == "base").select(F.col("p").alias("base_p"))
-    removed = start.filter(F.col("v") != "base").select(
-        F.col("v").alias("channel"), F.col("p").alias("removed_p")
-    )
-    effect = F.when(
-        F.col("base_p") > 0,
-        F.floor(
-            (F.col("base_p") - F.col("removed_p")) * F.lit(Q6) * F.lit(1.0)
-            / F.col("base_p")
-        ).cast("long"),
-    )
-    return (
-        removed.crossJoin(F.broadcast(base))
-        .select(
-            "channel",
-            F.col("base_p").alias("base_conv_q6"),
-            F.col("removed_p").alias("removed_conv_q6"),
-            effect.alias("removal_effect_q6"),
-        )
-        .orderBy("channel")
-    )
+        out.append((v, base_p, removed_p, effect))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, base_conv_q6 long, removed_conv_q6 long, "
+        "removal_effect_q6 long",
+    ).orderBy("channel")
 
 
 def markov_removal_oracle_sql() -> str:

@@ -66,24 +66,18 @@ def jl_projection_audit(
     quant = embeddings.select(
         F.col(id_col).alias("vec_id"), quantized_expr(vec_col).alias("e")
     )
-    proj = quant.select(
-        "vec_id",
-        "e",
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.array(*[F.lit(s).cast("long") for s in signs[m]]),
-                        F.col("e"),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for m in range(p_max)
-            ]
-        ).alias("y"),
-    )
+    # ONE parsed SQL expression instead of ~2100 Py4J builder calls
+    # (16 projections x 64 sign literals) — DataFrame construction was
+    # most of this query's cold time; the parsed tree (sign rows as
+    # foldable array literals, same zip_with/aggregate fold) is
+    # node-for-node the old one. See kmeans._best_sql (r10).
+    y_sql = "array(" + ",".join(
+        "aggregate(zip_with(array("
+        + ",".join(f"{int(s)}L" for s in signs[m])
+        + "), e, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        for m in range(p_max)
+    ) + ")"
+    proj = quant.selectExpr("vec_id", "e", f"{y_sql} AS y")
     q = proj.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("y").alias("qy")
     )
