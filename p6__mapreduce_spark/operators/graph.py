@@ -71,59 +71,51 @@ def nation_trade_pagerank(
         )
         .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
         .agg(F.sum("rev_q").alias("w"))
-        .localCheckpoint(eager=True)  # <= N^2 rows; reused every round
+        # <= N^2 rows, bounded by the nation vocabulary: ONE collect and
+        # the damped power-iteration runs driver-side (r10 — the retired
+        # lazy join-chain plan re-analyzed/codegen'd a 3-round-deep tree
+        # per run; same collect-and-iterate discipline as
+        # pca_top_component). Every float op below mirrors the retired
+        # Spark expressions bit-for-bit (same cast points, same
+        # left-assoc order, HALF_UP round via _round_half_away); the
+        # DuckDB oracle (unchanged) replays every round in SQL.
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
-    nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    from p6__mapreduce_spark.similarity.kmeans import _round_half_away
 
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.lit(float(SCALE)) / F.col("nn")).cast("long").alias("r")
-    )
+    edge_rows = [(int(r.src), int(r.dst), int(r.w)) for r in edges.collect()]
+    node_rows = [(int(r.node), r.n_name) for r in
+                 nation.select(F.col("n_nationkey").alias("node"), "n_name").collect()]
+    outw: dict[int, int] = {}
+    for src, _dst, w in edge_rows:
+        outw[src] = outw.get(src, 0) + w
+    nn = len(node_rows)
+    spark = nation.sparkSession
+    if nn == 0:
+        return spark.createDataFrame(
+            [], "nation_key long, n_name string, pr_q long, out_w_q long"
+        ).orderBy(F.desc("pr_q"), "nation_key")
+    ranks = {node: _round_half_away(float(SCALE) / float(nn)) for node, _ in node_rows}
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outw, "src")
-            .select(
-                "dst",
-                F.round(F.lit(damping) * F.col("r") * F.col("w") / F.col("out_w"))
-                .cast("long")
-                .alias("c"),
+        inflow: dict[int, int] = {}
+        for src, dst, w in edge_rows:
+            if src not in ranks:
+                continue
+            c = _round_half_away(
+                damping * float(ranks[src]) * float(w) / float(outw[src])
             )
-        )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
-        dang = (
-            ranks.join(outw.withColumnRenamed("src", "node"), "node", "left")
-            .filter(F.col("out_w").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d_mass"))
-        )
-        ranks = (
-            nodes.select("node")
-            .join(inflow.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.round(F.lit(rest) * F.lit(float(SCALE)) / F.col("nn")).cast("long")
-                    + F.round(F.lit(damping) * F.col("d_mass").cast("double") / F.col("nn")).cast(
-                        "long"
-                    )
-                    + F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
-                ).alias("r"),
-            )
-        )
-    return (
-        ranks.join(nodes, "node")
-        .join(outw.withColumnRenamed("src", "node"), "node", "left")
-        .select(
-            F.col("node").alias("nation_key"),
-            "n_name",
-            F.col("r").alias("pr_q"),
-            F.coalesce(F.col("out_w"), F.lit(0).cast("long")).alias("out_w_q"),
-        )
-        .orderBy(F.desc("pr_q"), "nation_key")
-    )
+            inflow[dst] = inflow.get(dst, 0) + c
+        d_mass = sum(r for node, r in ranks.items() if node not in outw)
+        base = _round_half_away(rest * float(SCALE) / float(nn))
+        dshare = _round_half_away(damping * float(d_mass) / float(nn))
+        ranks = {
+            node: base + dshare + inflow.get(node, 0) for node, _ in node_rows
+        }
+    out = [
+        (node, name, ranks[node], outw.get(node, 0)) for node, name in node_rows
+    ]
+    return spark.createDataFrame(
+        out, "nation_key long, n_name string, pr_q long, out_w_q long"
+    ).orderBy(F.desc("pr_q"), "nation_key")
 
 
 def pagerank_oracle_sql(*, iters: int = 3, damping: float = 0.85, rest: float = 0.15) -> str:
@@ -243,67 +235,55 @@ def nation_trade_hits(
             .cast("long")
             .alias("wq"),
         )
-        .localCheckpoint(eager=True)  # <= N^2 rows; reused every half-round
+        # <= N^2 rows, bounded by the nation vocabulary: ONE collect and
+        # the half-rounds run driver-side (r10 — see nation_trade_pagerank
+        # above; identical cast points / left-assoc order / HALF_UP
+        # rounding, DuckDB oracle unchanged and still replaying each
+        # half-round in SQL)
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
-    hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
-    auths = hubs.select("node", F.col("h").alias("a"))  # overwritten in round 1
+    from p6__mapreduce_spark.similarity.kmeans import _round_half_away
+
+    edge_rows = [(int(r.src), int(r.dst), int(r.wq)) for r in edges.collect()]
+    node_rows = [(int(r.node), r.n_name) for r in
+                 nation.select(F.col("n_nationkey").alias("node"), "n_name").collect()]
+    spark = nation.sparkSession
+
+    def _renorm(raw: dict[int, int]) -> dict[int, int]:
+        """round(raw * HITS_SCALE / max) per node, 0 where absent — the
+        retired per-round Spark expression verbatim. An all-zero raw
+        round would divide by zero; the retired ANSI plan threw there
+        (CAST(Infinity/NaN AS BIGINT)), so keep erroring rather than
+        silently diverge from the oracle."""
+        if not raw:
+            return {}
+        mx = max(raw.values())
+        if mx == 0:
+            raise ArithmeticError("HITS renorm: zero max score (ANSI cast parity)")
+        return {
+            n: _round_half_away(float(v) * float(HITS_SCALE) / float(mx))
+            for n, v in raw.items()
+        }
+
+    hubs = {node: HITS_SCALE for node, _ in node_rows}
+    auths: dict[int, int] = dict(hubs)  # overwritten in round 1
     for _ in range(iters):
-        a_raw = (
-            edges.join(hubs.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("wq") * F.col("h")).alias("a_raw"))
-        )
-        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
-        auths = (
-            nodes.select("node")
-            .join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(a_max))  # 1-row scalar broadcast (labeled)
-            .select(
-                "node",
-                F.coalesce(
-                    F.round(
-                        F.col("a_raw").cast("double")
-                        * F.lit(float(HITS_SCALE))
-                        / F.col("a_max")
-                    ).cast("long"),
-                    F.lit(0).cast("long"),
-                ).alias("a"),
-            )
-        )
-        h_raw = (
-            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.sum(F.col("wq") * F.col("a")).alias("h_raw"))
-        )
-        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
-        hubs = (
-            nodes.select("node")
-            .join(h_raw.withColumnRenamed("src", "node"), "node", "left")
-            .crossJoin(F.broadcast(h_max))  # 1-row scalar broadcast (labeled)
-            .select(
-                "node",
-                F.coalesce(
-                    F.round(
-                        F.col("h_raw").cast("double")
-                        * F.lit(float(HITS_SCALE))
-                        / F.col("h_max")
-                    ).cast("long"),
-                    F.lit(0).cast("long"),
-                ).alias("h"),
-            )
-        )
-    return (
-        nodes.join(hubs, "node")
-        .join(auths, "node")
-        .select(
-            F.col("node").alias("nation_key"),
-            "n_name",
-            F.col("h").alias("hub_q6"),
-            F.col("a").alias("auth_q6"),
-        )
-        .orderBy(F.col("hub_q6").desc(), "nation_key")
-    )
+        a_raw: dict[int, int] = {}
+        for src, dst, wq in edge_rows:
+            if src in hubs:
+                a_raw[dst] = a_raw.get(dst, 0) + wq * hubs[src]
+        auths = _renorm(a_raw)
+        h_raw: dict[int, int] = {}
+        for src, dst, wq in edge_rows:
+            if dst in auths:
+                h_raw[src] = h_raw.get(src, 0) + wq * auths[dst]
+        hubs = _renorm(h_raw)
+    out = [
+        (node, name, hubs.get(node, 0), auths.get(node, 0))
+        for node, name in node_rows
+    ]
+    return spark.createDataFrame(
+        out, "nation_key long, n_name string, hub_q6 long, auth_q6 long"
+    ).orderBy(F.col("hub_q6").desc(), "nation_key")
 
 
 def hits_oracle_sql(*, iters: int = 2) -> str:
