@@ -78,8 +78,19 @@ def dsir_weights(
     is the scale-free score to threshold or to exponentiate for
     resampling."""
     grams = _gram_instances(docs, num_buckets)
-    per_doc_bucket = grams.groupBy("doc_id", "lang", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # Materialize the per-(doc, bucket) counts ONCE: three branches
+    # consume them (the bucket model, its totals, and the final per-doc
+    # dot product), and the optimizer does NOT recognize the post-
+    # pruning subtrees as one exchange (r10 plan audit: the tokenize +
+    # explode + poly-hash pipeline — the only corpus-sized stage —
+    # appeared 3x in the physical plan; ReusedExchange never fired).
+    # At 100 TB this is the standard written intermediate: the counts
+    # relation is |docs| x <= num_buckets rows, far smaller than the
+    # gram instances it collapses.
+    per_doc_bucket = (
+        grams.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     bucket_counts = per_doc_bucket.groupBy("bucket").agg(
         F.sum("c").alias("c_s"),
