@@ -50,9 +50,14 @@ def nbayes_source_confusion(docs: DataFrame) -> DataFrame:
     Laplace-smoothed multinomial NB source classifier trained on the
     full corpus and applied to the same corpus (resubstitution — the
     lexical-distinctiveness probe, not a holdout eval)."""
+    # r10: four branches (cts, ns, vocab, doc_tok) consume the token
+    # instances and ReusedExchange never fires across their differently-
+    # pruned subtrees — un-pinned, the corpus tokenize + explode ran
+    # four times. One eager checkpoint = one corpus pass (the dsir
+    # discipline; see OPTIMIZATION_r10.md).
     tok = docs.select(
         "doc_id", "source", F.explode(tokens_expr("text")).alias("token")
-    )
+    ).localCheckpoint(eager=True)
     cts = tok.groupBy("token", "source").agg(F.count(F.lit(1)).alias("c_ts"))
     ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     vocab = tok.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
