@@ -33,7 +33,7 @@ while small and sort-merges at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,16 +211,35 @@ def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
     identical path, cycles included — greedy LOOPS are the honest
     behavior of argmax decoding and exactly why sampling/beam exist).
 
-    Fully relational iteration (the ALS discipline): the decode state
-    is a 1-row relation; each step joins it against the vocab-bounded
-    bigram relation and keeps the (count DESC, token ASC) head — no
-    driver round-trips; the chained-CTE oracle replays every step.
+    Scale shape (reworked r10, guide §1.2): ONE corpus-sized explode
+    builds the bigram counts (localCheckpoint-pinned); ONE window
+    shuffle over that vocab²-bounded relation precomputes the argmax
+    successor per context — succ(w1) = head by (count DESC, token
+    ASC) — also pinned. The walk itself is then ``steps`` 1-row
+    lookups against the vocab-bounded succ table, executed
+    driver-side (the pca/markov bounded-state discipline: each step's
+    state is ONE (token, count) pair, so collecting it is
+    corpus-size-independent).
 
-    Scale shape: ONE corpus-sized explode builds the bigram counts
-    (localCheckpoint-pinned); all ``steps`` rounds run on that
-    bounded relation. Output: (step, token, in_count) where in_count
-    is the bigram count that selected this token (NULL for the seed's
-    unigram start — its count is reported instead)."""
+    The retired fully-relational chain (each step = join + TakeOrdered
+    against ``pairs``, all steps UNIONed) embedded state_{k-1}'s
+    subtree in state_k, so the single action re-executed the pairs
+    scan O(steps²) times (136 RDD scans, a 942-line physical plan
+    re-analyzed + codegen'd per run). The succ table replaces the 15
+    TakeOrdereds over pairs with one window over pairs and 15 filters
+    over the SMALLER per-context head table; the driver walk caps
+    plan size at O(1) per step. Tie-breaks are unchanged — the
+    row_number ordering is the exact (c DESC, w2 ASC) the TakeOrdered
+    used, and the selected counts are the same exact int64s, so both
+    engines still walk the identical path (the chained-CTE oracle
+    replays every step unchanged).
+
+    Output: (step, token, in_count) where in_count is the bigram
+    count that selected this token (the seed's row reports its
+    unigram count); a context with no successor ends the rollout
+    early, exactly as the retired empty-join chain did."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     from p6__mapreduce_spark.dedup.jaccard import shingle_postings
 
     arr = F.split("shingle", " ")
@@ -229,33 +248,45 @@ def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(arr[0].alias("w1"), arr[1].alias("w2"), "c")
-        .localCheckpoint(eager=True)  # steps rounds fan out
+        .localCheckpoint(eager=True)  # the seed unigram agg + succ build fan out
     )
-    uni = pairs.groupBy("w1").agg(F.sum("c").cast("long").alias("c"))
-    state = (
-        uni.orderBy(F.desc("c"), F.asc("w1"))
-        .limit(1)
-        .select(
-            F.lit(0).cast("long").alias("step"),
-            F.col("w1").alias("token"),
-            F.col("c").cast("long").alias("in_count"),
+    succ = (
+        pairs.select(
+            "w1",
+            "w2",
+            "c",
+            F.row_number()
+            .over(Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2")))
+            .alias("rn"),
         )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # steps lookups fan out
     )
-    out = state
-    for k in range(1, int(steps) + 1):
-        nxt = (
-            pairs.join(state.select(F.col("token").alias("w1")), "w1")
-            .orderBy(F.desc("c"), F.asc("w2"))
-            .limit(1)
-            .select(
-                F.lit(k).cast("long").alias("step"),
-                F.col("w2").alias("token"),
-                F.col("c").cast("long").alias("in_count"),
-            )
-        )
-        out = out.unionAll(nxt)
-        state = nxt
-    return out.orderBy("step")
+    seed = (
+        pairs.groupBy("w1")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w1"))
+        .take(1)
+    )
+    rows: list[tuple[int, str, int]] = []
+    if seed:
+        token = seed[0]["w1"]
+        rows.append((0, token, int(seed[0]["c"])))
+        for k in range(1, int(steps) + 1):
+            hit = succ.filter(F.col("w1") == F.lit(token)).take(1)
+            if not hit:
+                break  # dead-end context: rollout ends early
+            token = hit[0]["w2"]
+            rows.append((k, token, int(hit[0]["c"])))
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("token", StringType()),
+            StructField("in_count", LongType()),
+        ]
+    )
+    return docs.sparkSession.createDataFrame(rows, schema).orderBy("step")
 
 
 def lm_generation_oracle_sql(steps: int = GEN_STEPS) -> str:

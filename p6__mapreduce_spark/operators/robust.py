@@ -50,8 +50,15 @@ def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
     AFTER the corpus collapses to |days| rows, so it is a bounded grid
     (ewma_daily_revenue's exemption class), not a data cross product;
     the 1-row day-count build side is the Q22 scalar-broadcast shape.
-    Fully in-plan: no driver round-trips."""
-    daily = _daily_revenue(orders)
+    Fully in-plan: no driver round-trips.
+
+    The |days|-bounded daily aggregate fans out into THREE consumers
+    (both sides of the pair grid + the day-count scalar); per-branch
+    column pruning makes the subtrees unequal so ReusedExchange never
+    fires and the orders scan+aggregation ran 3x. One eager
+    localCheckpoint pins it — the written daily-rollup intermediate a
+    100 TB pipeline would reuse (r10 multi-consumer discipline)."""
+    daily = _daily_revenue(orders).localCheckpoint(eager=True)
     a = daily.select(F.col("day_idx").alias("d1"), F.col("cents").alias("c1"))
     b = daily.select(F.col("day_idx").alias("d2"), F.col("cents").alias("c2"))
     slopes = a.join(b, F.col("d1") < F.col("d2")).select(
@@ -104,8 +111,14 @@ def seasonal_anomaly_daily(orders: DataFrame, k_mad: int = 3) -> DataFrame:
     day scored against its day-of-week cohort's lower-median and MAD.
     ``is_anomaly`` = |cents − med| > k·MAD (strict, so a zero-MAD
     cohort only flags genuinely deviating days). All integers; no
-    division anywhere."""
-    daily = _daily_revenue(orders).withColumn(
+    division anywhere.
+
+    ``daily`` feeds both the per-dow median branch and the deviation
+    join (and ``dev`` feeds the MAD branch plus the final join), so
+    un-pinned the orders scan+aggregation re-ran per consumer; the
+    eager localCheckpoint bounds it to ONE corpus pass — everything
+    downstream is |days|-sized."""
+    daily = _daily_revenue(orders).localCheckpoint(eager=True).withColumn(
         # day_idx 0 = Thursday 1970-01-01; (idx+4) % 7 → 0=Sunday..6=Saturday
         "dow",
         (F.col("day_idx") + 4) % 7,
@@ -193,8 +206,13 @@ def cusum_changepoint_daily(orders: DataFrame) -> DataFrame:
     (n, total) side is the Q22 scalar-broadcast shape. Returns ONE row:
     (n_days, cp_day_idx, cp_pos, max_abs_dev, before_days,
     before_cents, after_days, after_cents) — exact integer segment
-    totals so the caller derives means at any precision it wants."""
-    daily = _daily_revenue(orders)
+    totals so the caller derives means at any precision it wants.
+
+    ``daily`` feeds the prefix window AND the (n, total) scalar, so
+    un-pinned the orders aggregation ran twice; the eager
+    localCheckpoint bounds it to one corpus pass (r10 multi-consumer
+    discipline)."""
+    daily = _daily_revenue(orders).localCheckpoint(eager=True)
     w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
     pref = daily.select(
         "day_idx",
@@ -261,8 +279,13 @@ def mann_kendall_trend(orders: DataFrame, z_crit: float = 1.96) -> DataFrame:
     size); z divides by a correctly-rounded IEEE sqrt of an
     integer-valued double, bit-reproducible across engines. The pair
     space is |days|² after the corpus collapses to one row per day —
-    the theil_sen bounded-grid exemption class."""
-    daily = _daily_revenue(orders)
+    the theil_sen bounded-grid exemption class.
+
+    ``daily`` fans out into FOUR consumers (both pair-grid sides, the
+    tie histogram, the day count), so un-pinned the orders aggregation
+    ran 4x; the eager localCheckpoint bounds it to one corpus pass
+    (r10 multi-consumer discipline)."""
+    daily = _daily_revenue(orders).localCheckpoint(eager=True)
     a = daily.select(F.col("day_idx").alias("d1"), F.col("cents").alias("c1"))
     b = daily.select(F.col("day_idx").alias("d2"), F.col("cents").alias("c2"))
     s_stat = (
@@ -614,8 +637,14 @@ def huber_regression_daily(orders: DataFrame) -> DataFrame:
 
     Scale shape: the corpus collapses once to |days| rows
     (localCheckpoint-pinned); ROUNDS passes + the final stats pass run
-    on that bounded relation; driver traffic is 2 int64s per round."""
-    daily = _daily_revenue(orders)
+    on that bounded relation; driver traffic is 2 int64s per round.
+
+    ``daily`` itself feeds the (d0, nn, tt) scalar AND the feature
+    build, so un-pinned the orders aggregation ran twice before
+    ``feat`` was even materialized; pinning ``daily`` too makes the
+    whole query exactly one corpus pass (r10 multi-consumer
+    discipline)."""
+    daily = _daily_revenue(orders).localCheckpoint(eager=True)
     scal = daily.agg(
         F.min("day_idx").cast("long").alias("d0"),
         F.count(F.lit(1)).cast("long").alias("nn"),

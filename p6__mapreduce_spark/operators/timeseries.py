@@ -133,8 +133,12 @@ def ols_daily_trend(orders: DataFrame) -> DataFrame:
     min(day_idx) via a 1-row scalar broadcast (Q22 shape) so Σxy stays
     ≈ |days|²·y — no int64 risk. On a 1000-executor cluster this is
     scan-bound: everything after the first agg is constant work.
+
+    ``daily`` feeds the x0 scalar AND the sums aggregate, so un-pinned
+    the orders aggregation ran twice; the eager localCheckpoint bounds
+    it to one corpus pass (r10 multi-consumer discipline).
     """
-    daily = _daily_kilodollars(orders)
+    daily = _daily_kilodollars(orders).localCheckpoint(eager=True)
     x0 = daily.agg(F.min("day_idx").alias("x0"))
     sums = (
         daily.crossJoin(F.broadcast(x0))  # 1-row scalar broadcast (labeled)
@@ -212,8 +216,13 @@ def acf_daily_revenue(orders: DataFrame, *, max_lag: int = 7) -> DataFrame:
     explode (bounded, corpus-size independent); a self-equi-join on
     shifted day index (no inequality join); one 6-term agg per lag.
     Lag-partition cardinality = max_lag rows total.
+
+    ``daily`` feeds the lag explode AND the equi-join probe side, so
+    un-pinned the orders aggregation ran twice; the eager
+    localCheckpoint bounds it to one corpus pass (r10 multi-consumer
+    discipline).
     """
-    daily = _daily_kilodollars(orders)
+    daily = _daily_kilodollars(orders).localCheckpoint(eager=True)
     lagged = daily.select(
         "day_idx",
         F.col("y").alias("y1"),
@@ -287,8 +296,13 @@ def durbin_watson_daily(orders: DataFrame) -> DataFrame:
     bounded |days| table, never the corpus. Residual magnitude ≈
     daily k$ (≤ ~2.3e4 at sf0.1, linear in sf) ⇒ e_q3² ≤ ~5e14 per
     day — int64-safe through ~sf100 with |days| ≈ 1e4.
+
+    ``daily`` feeds the x0 scalar AND the centered build, so un-pinned
+    the orders aggregation ran twice before ``centered`` was even
+    materialized; pinning ``daily`` too makes the whole query exactly
+    one corpus pass (r10 multi-consumer discipline).
     """
-    daily = _daily_kilodollars(orders)
+    daily = _daily_kilodollars(orders).localCheckpoint(eager=True)
     x0 = daily.agg(F.min("day_idx").alias("x0"))
     # |days| rows feed both the normal-equation aggregate and the
     # residual pass: materialize once, never rescan the orders corpus
