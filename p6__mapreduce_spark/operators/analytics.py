@@ -424,22 +424,31 @@ def mad_outliers(
     join back; all comparisons are IEEE doubles derived from the same
     inputs in both engines.
     """
+    # Positional MAD needs exactly three corpus passes (median, median
+    # of deviations, outlier count). The previous shape paid seven: a
+    # separate group-count aggregation was broadcast into both rank
+    # windows, and the un-pinned median/MAD subtrees re-ran per
+    # consumer (plan audit r10). Now the group count rides each rank
+    # window (same shuffle, one more window function), and the two
+    # |groups|-bounded results are pinned once.
     w_v = Window.partitionBy("g").orderBy(F.col("v").asc())
+    w_g = Window.partitionBy("g")
     vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-    counted = vals.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     med = (
         vals.withColumn("rn", F.row_number().over(w_v))
-        .join(F.broadcast(counted), "g")
+        .withColumn("n", F.count(F.lit(1)).over(w_g))
         .filter(F.col("rn") == F.ceil(F.col("n") / 2))
         .select("g", F.col("v").alias("med"))
+        .localCheckpoint(eager=True)
     )
     dev = vals.join(F.broadcast(med), "g").withColumn("dev", F.abs(F.col("v") - F.col("med")))
     w_d = Window.partitionBy("g").orderBy(F.col("dev").asc())
     mad = (
         dev.withColumn("rn", F.row_number().over(w_d))
-        .join(F.broadcast(counted), "g")
+        .withColumn("n", F.count(F.lit(1)).over(w_g))
         .filter(F.col("rn") == F.ceil(F.col("n") / 2))
         .select("g", F.col("dev").alias("mad"))
+        .localCheckpoint(eager=True)
     )
     return (
         dev.join(F.broadcast(mad), "g")

@@ -35,7 +35,18 @@ def basket_part_pairs(lineitem: DataFrame, min_pair_support: int = 3) -> DataFra
     least ``min_pair_support`` orders. confidence = P(part2 | part1)
     with part1 < part2 (the symmetric direction is derivable);
     lift > 1 ⇔ co-occurrence beyond independence."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # The DISTINCT (order, part) basket relation feeds FOUR consumers
+    # (per-part supports, both self-join sides, the order count); left
+    # unpinned, per-branch column pruning makes the subtrees unequal so
+    # the lineitem scan + distinct shuffle re-runs per consumer (plan
+    # audit r10: 5 lineitem scans). Pin it once — the basket table is
+    # the natural written intermediate of any market-basket pipeline
+    # at 100 TB (one corpus pass, then vocabulary-bounded work).
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part1"))
     b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part2"))
@@ -126,16 +137,24 @@ def apriori_triples(lineitem: DataFrame, *, minsup: int = 2, k: int = 100) -> Da
     per order row; L1/L2/L3 relations are item-vocabulary bounded;
     the L2 semi-joins broadcast while small (AQE) — the textbook
     distributed Apriori (= the SON/PFP family's per-level shape)."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # Same multi-consumer pin as basket_part_pairs: op feeds n_baskets,
+    # L1 and the pruned-basket build (plan audit r10: 7 lineitem scans
+    # without it). One corpus pass materializes the basket relation —
+    # the SON/PFP per-level discipline.
+    op = (
+        lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_baskets = op.select(F.count_distinct("o").alias("nb"))
     l1 = (
         op.groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("s1"))
         .filter(F.col("s1") >= int(minsup))
     )
-    pruned = op.join(l1, "p").select("o", "p", "s1")
+    # the pruned baskets feed five subtree consumers (a, b twice, c);
+    # pin so the L1 semi-join runs once, not per consumer
+    pruned = op.join(l1, "p").select("o", "p", "s1").localCheckpoint(eager=True)
     a, b, c = (pruned.alias(x) for x in "abc")
     col = F.col
     l2 = (

@@ -406,6 +406,12 @@ def logrank_test_conversion(events: DataFrame) -> DataFrame:
     converted = F.col("first_purchase").isNotNull() & (
         F.col("first_purchase") >= F.col("first_view")
     )
+    # The per-user survival frame feeds pop, durations -> steps and
+    # sizes — without a pin each consumer re-runs the corpus-sized
+    # per-user aggregation (plan audit r10: 14 events scans in one
+    # query). Pin it once: ONE corpus pass builds the |users|-bounded
+    # frame (the KM table every survival pipeline materializes), and
+    # everything after runs over it.
     dur0 = per_user.filter(F.col("first_view").isNotNull()).select(
         F.when(
             converted,
@@ -421,7 +427,7 @@ def logrank_test_conversion(events: DataFrame) -> DataFrame:
         .alias("t_days"),
         converted.cast("long").alias("converted"),
         "tot_cents",
-    )
+    ).localCheckpoint(eager=True)
     pop = dur0.agg(
         F.count(F.lit(1)).cast("long").alias("n_u"),
         F.sum("tot_cents").cast("long").alias("s_cents"),
@@ -433,10 +439,12 @@ def logrank_test_conversion(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("g"),
     )
+    # |days| x 2 bounded; feeds the grid's three branches + risk_g —
+    # pin so the user-bounded aggregation above it runs once
     steps = durations.groupBy("t_days", "g").agg(
         F.sum("converted").cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("leaving"),
-    )
+    ).localCheckpoint(eager=True)
     # a group with no departures at time t still has members AT RISK
     # there — expand to the full (distinct time) x (group) grid before
     # the cumulative windows (bounded: |days| x 2)
@@ -626,14 +634,32 @@ def ab_power_mde(events: DataFrame) -> DataFrame:
             for t in ("view", "click", "purchase", "signup", "error")
         ]
     )
-    rows = None
-    for t in ("view", "click", "purchase", "signup", "error"):
-        r = per_ud.agg(
-            F.lit(t).alias("metric"),
-            F.count(F.lit(1)).cast("long").alias("n_units"),
-            F.sum(f"has_{t}").cast("long").alias("n_hits"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
+    # ONE aggregation computes the shared unit count and all five hit
+    # sums (the per-type UNION ALL re-ran the corpus-sized (user, day)
+    # collapse five times — plan audit r10: 5 events scans); the 1-row
+    # result explodes into the same 5-row (metric, n_units, n_hits)
+    # relation. n_units is COUNT(*) of per_ud either way.
+    one = per_ud.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        *[
+            F.sum(f"has_{t}").cast("long").alias(f"hits_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ],
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("metric"),
+                        F.col("n_units").alias("n_units"),
+                        F.col(f"hits_{t}").alias("n_hits"),
+                    )
+                    for t in ("view", "click", "purchase", "signup", "error")
+                ]
+            )
+        ).alias("r")
+    ).select("r.metric", "r.n_units", "r.n_hits")
     p = F.col("n_hits").cast("double") / F.col("n_units").cast("double")
     z = F.expr(Z_ALPHA) + F.expr(Z_POWER)
     n_arm = F.col("n_units").cast("double") / F.lit(2.0)

@@ -387,7 +387,15 @@ def part_link_prediction(lineitem: DataFrame, *, min_common: int = 2, k: int = 1
     = sum_o |o|^2, |o| <= ~7 on TPC-H), one pair aggregation, two
     degree joins (broadcast while small, AQE otherwise), TakeOrdered
     for the global top-k."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # op feeds FIVE consumers (osize, deg, both self-join sides — plan
+    # audit r10: 5 lineitem scans re-running the distinct shuffle per
+    # branch). Pin the basket relation once: one corpus pass, then all
+    # downstream work is bounded by the (order, part) incidence table.
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     osize = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))

@@ -47,14 +47,22 @@ def kmv_audience_overlap(events: DataFrame) -> DataFrame:
     est_b, est_overlap, exact_overlap): pairwise distinct-user overlap
     estimates between event types from K=256 bottom-k sketches, with
     the exact overlap beside them (ordered pairs a < b)."""
+    # pairs feeds the sketch build AND both sides of the exact-overlap
+    # self-join; sk feeds the summary and both sides of the sketch
+    # intersection. Unpinned, every consumer re-ran the corpus distinct
+    # (plan audit r10: 8 events scans). Pin the distinct (type, hash)
+    # relation (ONE corpus pass — the dedup'd audience table a cohort
+    # pipeline materializes) and the K x |groups|-bounded sketch.
     pairs = (
         events.select("event_type", _mix32(F.col("user_id")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
+        .localCheckpoint(eager=True)
     )
     # per-group sketch summary: size (may be < K for small groups) and
     # threshold t = largest retained value (the K-th smallest)

@@ -4329,15 +4329,20 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations keyed by user_id; the stage joins reuse the same hash
     partitioning, and AQE broadcasts the shrinking stage outputs."""
     events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v and c each feed the next stage AND the final join; unpinned,
+    # their corpus aggregation re-ran per consumer (plan audit r10: 6
+    # events scans). Pinned, the query keeps exactly three pushed-
+    # filter corpus scans — the staged-funnel algorithm's floor.
     v = events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    )
+    ).localCheckpoint(eager=True)
     c = (
         events.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
@@ -7968,6 +7973,10 @@ def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_idx"),
             F.floor(F.col("cents") / 100000).cast("long").alias("y"),
         )
+        # |days|-bounded, feeds x0/sums/resids — unpinned, the orders
+        # aggregation re-ran per consumer (plan audit r10: 6 orders
+        # scans; §5 multi-consumer daily-aggregate discipline)
+        .localCheckpoint(eager=True)
     )
     train0 = daily.filter(F.col("day_idx") % 2 == 0)
     x0 = train0.agg(F.min("day_idx").alias("x0"))
@@ -8014,6 +8023,8 @@ def q_conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope",
             "intercept",
         )
+        # days-bounded; feeds both the rank window and the coverage agg
+        .localCheckpoint(eager=True)
     )
     ranked = resids.select(
         "resid_q",
