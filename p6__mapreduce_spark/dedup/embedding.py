@@ -81,12 +81,16 @@ def cosine_neardup_pairs_lsh(
     from p6__mapreduce_spark.similarity.lsh import _bucket_expr, _planes
 
     planes = _planes(dim, num_planes)
+    # bucketed feeds FOUR consumers (both probe sides, both vector
+    # re-attach sides); unpinned, the bucket projection re-ran per
+    # consumer (plan audit r10: 4 embeddings scans). One corpus pass
+    # materializes it — the guide-§8 "fingerprint once" discipline.
     bucketed = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         l2_norm(vec_col).alias("n"),
         _bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
     )

@@ -22,6 +22,7 @@ def shingle_postings(
     *,
     max_doc_freq: int | None = None,
     distinct: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, shingle) postings, one row per distinct shingle per doc
     (``distinct=False`` keeps every occurrence — the shape repetition
@@ -42,7 +43,11 @@ def shingle_postings(
     """
     from p6__mapreduce_spark.functions.text import tokens_expr
 
-    toks = docs.select("doc_id", tokens_expr("text").alias("w"))
+    # ``toks`` lets callers that build several shingle widths (gopher's
+    # n = 2, 3, 4) share ONE tokenize pass: pass a pinned (doc_id, w)
+    # relation and only the per-width zip/explode runs per call.
+    if toks is None:
+        toks = docs.select("doc_id", tokens_expr("text").alias("w"))
     n_shingles = F.greatest(F.size("w") - F.lit(k - 1), F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice("w", i + 1, n_shingles).alias(f"t{i}") for i in range(k)]

@@ -167,7 +167,11 @@ def incremental_neardup_pairs(
     rows_per_band = num_hashes // num_bands
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        postings = shingle_postings(df, k)
+        # each side's postings feed its signature build AND the exact-
+        # Jaccard verify join; unpinned, the shingle explode re-ran per
+        # consumer (plan audit r10: 4 documents scans). One pass per
+        # side is the floor — corpus and batch are different inputs.
+        postings = shingle_postings(df, k).localCheckpoint(eager=True)
         sigs = minhash_signatures(df, k, num_hashes, postings=postings)
         bands = F.array(
             *[

@@ -63,7 +63,10 @@ def semantic_dedup(
     cents = centroids if centroids is not None else train_centroids(
         embeddings, n_centroids=n_centroids, vec_col=vec_col
     )
-    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    # assigned feeds both pair sides AND the final keep join; pinned so
+    # the corpus argmin projection runs once (plan audit r10: 3
+    # embeddings scans unpinned — the guide-§8 "fingerprint once" shape)
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col).localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id1"),
         "list_id",
@@ -155,7 +158,8 @@ def cluster_medoids(
     cents = centroids if centroids is not None else train_centroids(
         embeddings, n_centroids=n_centroids, vec_col=vec_col
     )
-    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    # same 3-consumer pin as semantic_dedup (pair sides + member join)
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col).localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id1"),
         "list_id",

@@ -58,10 +58,14 @@ def skipgram_pmi(
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= F.lit(min_count))
     )
+    # vocab-bounded; feeds both PMI join legs AND the total — unpinned,
+    # the corpus tokenize+explode re-ran per consumer (plan audit r10:
+    # 4 documents scans; now 2 — the pair pass and the unigram pass)
     uni = (
         tok_df.select(F.explode(w).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     total = uni.agg(F.sum("c").alias("n_tokens"))
     lift = F.floor(

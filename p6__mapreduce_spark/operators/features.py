@@ -110,10 +110,14 @@ def ngram_pmi(docs: DataFrame, *, min_count: int = 5, top_k: int = 50) -> DataFr
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= F.lit(min_count))
     )
+    # vocab-bounded; feeds both PMI join legs AND the total — same
+    # 3-consumer pin as skipgram_pmi (plan audit r10: 4 documents
+    # scans unpinned; now 2 — pair pass + unigram pass)
     uni = (
         tok_df.select(F.explode(w).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     total = uni.agg(F.sum("c").alias("n_tokens"))
     lift = F.floor(

@@ -137,9 +137,17 @@ def gopher_top_ngram_frac(docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4)) -> D
     """
     from p6__mapreduce_spark.dedup.jaccard import shingle_postings
 
+    # ONE tokenize pass shared by all three shingle widths AND the
+    # total-chars branch (unpinned, each ran its own corpus tokenize —
+    # plan audit r10: 4 documents scans); the pinned (doc_id, w) token
+    # table is the written intermediate every multi-width n-gram
+    # pipeline materializes at 100 TB.
+    toks = docs.select(
+        "doc_id", tokens_expr("text").alias("w")
+    ).localCheckpoint(eager=True)
     parts = []
     for n in ns:
-        occ = shingle_postings(docs, n, distinct=False)
+        occ = shingle_postings(docs, n, distinct=False, toks=toks)
         parts.append(occ.select("doc_id", F.lit(n).cast("long").alias("n"), "shingle"))
     allocc = parts[0]
     for p in parts[1:]:
@@ -153,9 +161,9 @@ def gopher_top_ngram_frac(docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4)) -> D
         F.col("cnt").desc(), F.col("shingle").asc()
     )
     top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    totals = docs.select(
+    totals = toks.select(
         "doc_id",
-        F.length(F.array_join(tokens_expr("text"), " ")).cast("long").alias("total_chars"),
+        F.length(F.array_join("w", " ")).cast("long").alias("total_chars"),
     )
     return (
         top.join(totals, "doc_id")

@@ -46,10 +46,14 @@ def tfidf_doc_terms(docs: DataFrame) -> DataFrame:
     1-row aggregate — no ``.count()`` on the driver, the plan stays
     fully declarative/incremental.
     """
+    # tf feeds the df rollup AND the final join — pinned so the corpus
+    # tokenize+explode runs once (plan audit r10: 3 documents scans
+    # unpinned; the char_bigram_entropy / tfidf_cosine_topk discipline)
     tf = (
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -160,7 +164,14 @@ def unigram_surprise(docs: DataFrame) -> DataFrame:
     aggregations and one token-keyed join — O(postings) at any scale.
     """
     tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-bounded; feeds the total AND the scoring join — pinned so
+    # the corpus explode runs once for the model (plan audit r10: 3
+    # documents scans; now 2 — model pass + per-doc scoring pass)
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("cnt").alias("total"))
     tokq = freq.crossJoin(F.broadcast(total)).select(
         "token",
@@ -394,7 +405,15 @@ def bigram_perplexity(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
-    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    # vocab²-bounded; feeds the context sums, the LM join AND (below)
+    # the unigram backoff — pinned so the corpus bigram explode runs
+    # once for the whole model build (plan audit r10: 5 documents
+    # scans unpinned; now 2 — model build + per-doc scoring, the floor)
+    pairs = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .localCheckpoint(eager=True)
+    )
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     lm = (
         pairs.join(ctx, "w1")
@@ -407,7 +426,12 @@ def bigram_perplexity(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
             .alias("lm_logp_q6"),
         )
     )
-    uni = big.groupBy(F.col("w2").alias("u_w2")).agg(F.count(F.lit(1)).alias("cnt"))
+    # w2-occurrence counts fold out of the pinned pair counts exactly
+    # (SUM of c_pair grouped by w2 = COUNT of w2 over big) — no third
+    # corpus pass
+    uni = pairs.groupBy(F.col("w2").alias("u_w2")).agg(
+        F.sum("c_pair").cast("long").alias("cnt")
+    )
     total = uni.agg(F.sum("cnt").alias("total"))
     backoff = uni.crossJoin(F.broadcast(total)).select(
         "u_w2",

@@ -4420,7 +4420,14 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 16)
-    bf = knn_bruteforce(emb, queries=queries, k=5).select("query_id", "neighbor_id")
+    # bf feeds the hit join AND the query universe; unpinned, its
+    # corpus-sized exact ranker re-ran per consumer (plan audit r10:
+    # 6 embeddings scans). The top-5 table is 16 x 5 rows — pin it.
+    bf = (
+        knn_bruteforce(emb, queries=queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     ivf = knn_ivf(
         emb, queries=queries, k=5, centroids=_trained_centroids(spark, sf_dir)
     ).select("query_id", "neighbor_id")
@@ -5783,9 +5790,12 @@ def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 16)
     top = knn_bruteforce(emb, queries=queries, k=10)
     labels = emb.select("vec_id", "label")
+    # q_label side pruned to the 16 query rows (identical join result;
+    # saves one full-corpus label scan — plan audit r10)
     hits = (
         top.join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+            F.broadcast(queries.select("vec_id", "label")
+                        .withColumnRenamed("vec_id", "query_id")
                         .withColumnRenamed("label", "q_label")),
             "query_id",
         )
@@ -7655,12 +7665,16 @@ def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 16)
     top = knn_bruteforce(emb, queries=queries, k=10)
     labels = emb.select("vec_id", "label")
+    # the q_label side only ever matches the 16 query ids — scan the
+    # pruned query slice, not the full corpus label column (the join
+    # result is identical; PushedFilters does the rest at 100 TB)
+    q_labels = queries.select("vec_id", "label")
     disc = F.expr(f"array({', '.join(str(v) + 'L' for v in _NDCG_DISC_Q9)})")
     cum = F.expr(f"array({', '.join(str(v) + 'L' for v in _NDCG_CUM_Q9)})")
     dcg = (
         top.join(
             F.broadcast(
-                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                q_labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
                     "label", "q_label"
                 )
             ),

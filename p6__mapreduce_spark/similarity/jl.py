@@ -111,10 +111,16 @@ def jl_projection_audit(
         )
     )
     w = Window.partitionBy("proj_d", "query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    # pinned for the same reason as matryoshka_recall_audit: top feeds
+    # the truth slice AND the audited slice; unpinned, the projection
+    # pass + rank window re-ran per consumer (plan audit r10: 4
+    # embeddings scans, violating the "scanned exactly once" contract
+    # in the module docstring)
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("proj_d", "query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     truth = top.filter(F.col("proj_d") == d_full).select("query_id", "vec_id")
     audited = [int(nd) for nd in dict.fromkeys(proj_dims)]

@@ -83,10 +83,16 @@ def matryoshka_recall_audit(
         .select("query_id", "vec_id", F.col("td.trunc_d").alias("trunc_d"), F.col("td.dist").alias("dist"))
     )
     w = Window.partitionBy("trunc_d", "query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    # |prefixes| x n_queries x topk rows; feeds both the truth slice
+    # and the audited slice — pinned so the brute-force pass + rank
+    # window run ONCE (unpinned they re-ran per consumer, making the
+    # "corpus is scanned once" contract above false: plan audit r10
+    # counted 4 embeddings scans)
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("trunc_d", "query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     truth = top.filter(F.col("trunc_d") == d_full).select("query_id", "vec_id")
     audited = [int(nd) for nd in dict.fromkeys(trunc_dims)]
