@@ -47,9 +47,12 @@ def ks_statistic(
         in_group1.cast("int").alias("g1"),
         in_group2.cast("int").alias("g2"),
     ).filter((F.col("g1") == 1) | (F.col("g2") == 1))
+    # |distinct values|-bounded; feeds the totals broadcast AND the
+    # cumulative window — unpinned, the corpus aggregation re-ran per
+    # consumer (plan audit r10; now ONE corpus pass)
     per_v = tagged.groupBy("v").agg(
         F.sum("g1").cast("long").alias("c1"), F.sum("g2").cast("long").alias("c2")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     totals = per_v.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
@@ -198,9 +201,12 @@ def wasserstein1(
         in_group1.cast("int").alias("g1"),
         in_group2.cast("int").alias("g2"),
     ).filter((F.col("g1") == 1) | (F.col("g2") == 1))
+    # |distinct values|-bounded; feeds the totals broadcast AND the
+    # cumulative window — unpinned, the corpus aggregation re-ran per
+    # consumer (plan audit r10; now ONE corpus pass)
     per_v = tagged.groupBy("v").agg(
         F.sum("g1").cast("long").alias("c1"), F.sum("g2").cast("long").alias("c2")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     w_next = Window.orderBy("v")
     totals = per_v.agg(

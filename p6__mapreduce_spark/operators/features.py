@@ -192,11 +192,15 @@ def target_encode_loo(orders: DataFrame, customer: DataFrame) -> DataFrame:
                        orders["o_custkey"] == F.col("c_custkey")).select(
         "o_orderkey", "c_mktsegment", cents.alias("cents")
     )
+    # |segments|-bounded; pinned so the fact-dimension join runs once
+    # for the model (plan audit r10: 3 orders + 3 customer scans
+    # unpinned; now 2 passes — encoder build + encode). The global
+    # fallback folds out of the segment sums exactly (integer sums).
     seg = base.groupBy("c_mktsegment").agg(
         F.sum("cents").alias("seg_sum"), F.count(F.lit(1)).cast("long").alias("seg_n")
-    )
-    glob = base.agg(
-        F.sum("cents").alias("g_sum"), F.count(F.lit(1)).cast("long").alias("g_n")
+    ).localCheckpoint(eager=True)
+    glob = seg.agg(
+        F.sum("seg_sum").alias("g_sum"), F.sum("seg_n").cast("long").alias("g_n")
     )
     return (
         base.join(F.broadcast(seg), "c_mktsegment")

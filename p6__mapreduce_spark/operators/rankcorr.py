@@ -52,10 +52,13 @@ def _midrank2(per_key: DataFrame, col: str, out: str) -> DataFrame:
 def spearman_user_activity_value(events: DataFrame) -> DataFrame:
     """One row: (n_users, rho_spearman, rho_pearson) of per-user event
     count vs per-user total value cents."""
+    # |users|-bounded; feeds both midrank tables AND the ranked join —
+    # unpinned, the corpus aggregation re-ran per consumer (plan audit
+    # r10: 3 events scans; now 1)
     per_user = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     rx = _midrank2(per_user, "x", "rx2")
     ry = _midrank2(per_user, "y", "ry2")
     ranked = per_user.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")

@@ -4269,7 +4269,10 @@ def q_upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     snap = latest(events.filter(F.col("ts") < cutoff))
-    upd = latest(events.filter(F.col("ts") >= cutoff))
+    # upd feeds the union AND the anti-join key list — pinned so the
+    # update batch's window reduction runs once (plan audit r10: 3
+    # events scans; now 2 — one per side, the merge floor)
+    upd = latest(events.filter(F.col("ts") >= cutoff)).localCheckpoint(eager=True)
     merged = upd.unionByName(snap.join(upd.select("user_id"), "user_id", "left_anti"))
     return merged.orderBy("user_id")
 
@@ -5553,7 +5556,15 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.operators.rangejoin import conversion_window_pairs
 
     ev = load_table(spark, sf_dir, "events")
-    pairs = conversion_window_pairs(ev).select("click_id", "purchase_id", "p_cents")
+    # pairs feeds the touch-count rollup AND the credit join — pinned
+    # so the bin-bucket range join runs once (plan audit r10: 4 events
+    # scans unpinned; the pair table is attribution's natural
+    # intermediate)
+    pairs = (
+        conversion_window_pairs(ev)
+        .select("click_id", "purchase_id", "p_cents")
+        .localCheckpoint(eager=True)
+    )
     touch = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touch"))
     return (
         pairs.join(touch, "purchase_id")
@@ -7145,7 +7156,12 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     day = lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")  # noqa: E731
-    firstday = events.groupBy("user_id").agg(F.min(day(F.col("ts"))).alias("cohort_day"))
+    # |users|-bounded; feeds cohort sizes AND the purchase join —
+    # pinned so the corpus first-seen aggregation runs once (plan
+    # audit r10: 3 events scans; now 2 — cohorting + purchase scan)
+    firstday = events.groupBy("user_id").agg(
+        F.min(day(F.col("ts"))).alias("cohort_day")
+    ).localCheckpoint(eager=True)
     sizes = firstday.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_users")
     )
@@ -7377,8 +7393,22 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
-    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    fo = o.join(forget, o["o_custkey"] == forget["c_custkey"]).select("o_orderkey")
+    # forget feeds three consumers (fo, its own count, the events
+    # semi-join) and fo two (its count, the lineitem semi-join);
+    # unpinned, the customer filter / orders join re-ran per consumer
+    # (plan audit r10: 5 customer + 3 orders scans). Both are bounded
+    # key sets — pin once. The per-table totals stay separate count-
+    # only scans (parquet-footer metadata reads).
+    forget = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+        .localCheckpoint(eager=True)
+    )
+    fo = (
+        o.join(forget, o["o_custkey"] == forget["c_custkey"])
+        .select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
 
     def row(entity: str, affected: DataFrame, total: DataFrame) -> DataFrame:
         a = affected.agg(F.count(F.lit(1)).cast("long").alias("n_affected"))
