@@ -431,6 +431,55 @@ EXPECTED_REGRESSIONS: dict[str, dict] = {
     },
 }
 
+# r10 scan-audit sweep (OPTIMIZATION_r10.md §7-§9): every query below
+# had a multi-consumer corpus subtree that re-ran once per consumer
+# (ReusedExchange defeated by per-branch column pruning); the bounded
+# aggregate / naturally-materialized projection above the corpus pass
+# is now pinned with an eager localCheckpoint. At sf0.1 the pin can
+# cost more than the duplicate pass it removes (the duplicate ran
+# concurrently on idle local cores; the checkpoint adds serialized
+# jobs) — the 100 TB criterion (N corpus passes -> algorithmic floor)
+# is why the plans changed, per the r9 vocab_growth_curve precedent.
+_R10_PIN_REASON = (
+    "plan replacement (r10): multi-consumer corpus subtree pinned "
+    "(eager localCheckpoint; scan-audit sweep) — duplicate corpus "
+    "passes collapse to the algorithmic floor at the cost of the "
+    "checkpoint job(s) locally; plans/r10/<q>_{before,after}.txt"
+)
+for _q in (
+    "apriori_triples",
+    "basket_part_pairs",
+    "link_prediction_scores",
+    "logrank_test_conversion",
+    "kmv_audience_overlap",
+    "event_value_mad",
+    "session_funnel",
+    "conformal_interval_daily",
+    "ann_recall_audit",
+    "retrieval_ndcg_eval",
+    "retrieval_mrr_eval",
+    "matryoshka_recall_audit",
+    "embedding_neardup",
+    "semantic_dedup",
+    "cluster_medoids",
+    "jl_projection_audit",
+    "dedup_incremental",
+    "gopher_top_ngram_frac",
+    "bigram_perplexity",
+    "skipgram_pmi",
+    "ngram_pmi",
+    "unigram_surprise",
+    "tfidf_doc_terms",
+    "cascade_delete_audit",
+    "target_encode_loo",
+    "spearman_activity_value",
+    "cohort_ltv_curve",
+    "upsert_latest_snapshot",
+    "wasserstein_purchase_vs_click",
+    "ks_purchase_vs_click",
+):
+    EXPECTED_REGRESSIONS.setdefault(_q, {"round": 10, "reason": _R10_PIN_REASON})
+
 # Variance-band ledger (r9 verdict #5): queries whose UNCHANGED plan
 # has a documented multi-round cold-time oscillation that the
 # round-over-round flag keeps re-triggering. dedup_kcore's iterative
