@@ -477,6 +477,12 @@ for _q in (
     "upsert_latest_snapshot",
     "wasserstein_purchase_vs_click",
     "ks_purchase_vs_click",
+    # batch 4 (OPTIMIZATION_r10.md §10): woe pin; snapshot_diff's
+    # new-side union-of-two-scans folded into one explode pass;
+    # cross_source's re-attach projection pinned
+    "woe_iv_segments",
+    "snapshot_diff",
+    "cross_source_dup_matrix",
 ):
     EXPECTED_REGRESSIONS.setdefault(_q, {"round": 10, "reason": _R10_PIN_REASON})
 

@@ -4850,9 +4850,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("st_old"),
         cents.alias("pc_old"),
     )
-    new = (
-        o.filter(F.col("o_orderkey") % 97 != 0)
-        .select(
+    # The 'new' snapshot's two slices (surviving keys re-priced,
+    # every-101st re-inserted under a shifted key) were a UNION of two
+    # filtered scans — 2 corpus reads for one derived relation (plan
+    # audit r10: 3 orders scans in the query). One pass emits 0-2
+    # struct rows per input row instead (NULL-struct when the slice
+    # condition fails, filtered before the explode); the row multiset
+    # is identical because the slice filters are unchanged and
+    # independent. Total: 2 orders passes = the two-snapshot floor.
+    survives = F.when(
+        F.col("o_orderkey") % 97 != 0,
+        F.struct(
             F.col("o_orderkey").alias("k_new"),
             F.col("o_orderstatus").alias("st_new"),
             F.when(
@@ -4861,14 +4869,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(cents)
             .alias("pc_new"),
+        ),
+    )
+    reinserted = F.when(
+        F.col("o_orderkey") % 101 == 0,
+        F.struct(
+            (F.col("o_orderkey") + 10_000_000).alias("k_new"),
+            F.col("o_orderstatus").alias("st_new"),
+            cents.alias("pc_new"),
+        ),
+    )
+    new = (
+        o.select(
+            F.explode(
+                F.filter(
+                    F.array(survives, reinserted), lambda x: x.isNotNull()
+                )
+            ).alias("r")
         )
-        .unionByName(
-            o.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("k_new"),
-                F.col("o_orderstatus").alias("st_new"),
-                cents.alias("pc_new"),
-            )
-        )
+        .select("r.k_new", "r.st_new", "r.pc_new")
     )
     joined = old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
     change = (
@@ -6219,7 +6238,11 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "source")
+    # the source re-attach projection feeds BOTH pair-side joins;
+    # unpinned, the documents scan re-ran per side (plan audit r10: 3
+    # documents scans). Pin it once — the dcda043 re-attach discipline
+    # (one corpus pass materializes the 2-column lookup).
+    src = docs.select("doc_id", "source").localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     return (
         pairs.join(src.withColumnRenamed("doc_id", "id1").withColumnRenamed("source", "s1"), "id1")
@@ -7819,10 +7842,14 @@ def q_woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
         )
     )
+    # |segments|-bounded; feeds the totals aggregate AND the final
+    # grid — unpinned, the fact-dimension join + aggregation re-ran
+    # per consumer (plan audit r10: 2 orders + 2 customer scans; now
+    # ONE corpus pass — the target_encode_loo discipline)
     seg = base.groupBy("seg").agg(
         F.sum("pos").cast("long").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=True)
     tot = seg.agg(
         F.sum("n_pos").cast("long").alias("tp"), F.sum("n_neg").cast("long").alias("tn")
     )
