@@ -483,6 +483,13 @@ for _q in (
     "woe_iv_segments",
     "snapshot_diff",
     "cross_source_dup_matrix",
+    # batch 5 (OPTIMIZATION_r10.md §11): tokenize-once pins (corpus
+    # token arrays materialized once instead of 3 scan+tokenize
+    # passes) and the chisq contingency marginals derived from the
+    # pinned (lang, source) aggregate
+    "dup_ngram_coverage",
+    "passage_dedup_rewrite",
+    "lang_source_chisq",
 ):
     EXPECTED_REGRESSIONS.setdefault(_q, {"round": 10, "reason": _R10_PIN_REASON})
 

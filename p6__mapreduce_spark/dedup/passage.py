@@ -44,7 +44,15 @@ def passage_dedup_rewrite(docs: DataFrame, passage_tokens: int = 10) -> DataFram
         F.size("w") > 0
     )
     n_seg = (F.size("w") + F.lit(p - 1)).cast("long") / F.lit(p)
-    toks = toks.withColumn("n_passages", F.floor(n_seg).cast("long"))
+    # toks feeds the passage explode (consumed by BOTH the first-
+    # occurrence groupBy and the keep join) AND the final (doc_id,
+    # n_passages) re-attach — unpinned, the corpus tokenize re-ran per
+    # consumer (plan audit r10: 3 documents scans; now ONE — the
+    # substring.py tokenize-once discipline; pinning segs instead
+    # would materialize ~corpus-text bytes a second time).
+    toks = toks.withColumn("n_passages", F.floor(n_seg).cast("long")).localCheckpoint(
+        eager=True
+    )
     segs = toks.select(
         "doc_id",
         "n_passages",

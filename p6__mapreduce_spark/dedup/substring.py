@@ -70,7 +70,17 @@ def dup_ngram_coverage(docs: DataFrame, k: int = 8) -> DataFrame:
     k-shingle that occurs in >= 2 distinct documents; ``dup_fraction``
     is its share of the doc's tokens (0.0 for docs shorter than k).
     """
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("w"))
+    # toks feeds the shingle explode (itself consumed by BOTH the
+    # duplicate-set groupBy and the coverage join) AND the final
+    # per-doc length join — unpinned, the corpus tokenize re-ran per
+    # consumer (plan audit r10: 3 documents scans; now ONE — the
+    # tokenize-once discipline, same as gopher_top_ngram_frac). The
+    # shingle expansion still evaluates per occ consumer, but over the
+    # pinned rows (CPU re-eval, no re-scan/re-tokenize); pinning occ
+    # instead would materialize a ~k-times-corpus relation — rejected.
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("w")).localCheckpoint(
+        eager=True
+    )
     occ = toks.select(
         "doc_id",
         F.posexplode(_shingles(F.col("w"), k)).alias("start", "shingle"),

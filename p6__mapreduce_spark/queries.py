@@ -860,10 +860,20 @@ def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    raw = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # |langs x sources|-bounded; feeds the grid's two marginal
+    # distincts AND the left join — unpinned, the corpus aggregation
+    # re-ran per consumer (plan audit r10: 3 documents scans; now ONE
+    # corpus pass). The marginal category sets derive from raw exactly:
+    # every lang/source present in docs appears in some (lang, source)
+    # group, so DISTINCT over raw equals DISTINCT over docs.
+    raw = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     # full contingency grid (bounded: n_langs x n_sources categories) —
     # absent combinations are real zero cells and must contribute e
-    grid = docs.select("lang").distinct().crossJoin(docs.select("source").distinct())
+    grid = raw.select("lang").distinct().crossJoin(raw.select("source").distinct())
     obs = grid.join(raw, ["lang", "source"], "left").select(
         "lang", "source", F.coalesce("o", F.lit(0)).alias("o")
     )
