@@ -490,6 +490,24 @@ for _q in (
     "dup_ngram_coverage",
     "passage_dedup_rewrite",
     "lang_source_chisq",
+    # batch 6 (OPTIMIZATION_r10.md §12): 2-scan tail — bounded
+    # aggregates / narrow per-doc relations pinned; lang_id_confusion
+    # rides the declared lang on the prediction projection (join
+    # eliminated); user_cohort_retention derives first-seen from the
+    # pinned activity table
+    "skew_profile",
+    "bigram_lm",
+    "bigram_entropy",
+    "bm25_scores",
+    "event_transition_matrix",
+    "value_drift_psi",
+    "benford_price_digits",
+    "ewma_daily_revenue",
+    "user_cohort_retention",
+    "quantile_normalize_tokens",
+    "gap_fill_daily",
+    "lang_id_confusion",
+    "hybrid_search_rrf",
 ):
     EXPECTED_REGRESSIONS.setdefault(_q, {"round": 10, "reason": _R10_PIN_REASON})
 

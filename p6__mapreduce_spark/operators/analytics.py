@@ -299,7 +299,14 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     millions -> a single-digit-MB sort). All ratios are int/int double
     divisions, bit-reproducible.
     """
-    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    # |keys|-bounded; feeds the scalar (n, total) aggregate AND the
+    # ranked window — unpinned, the corpus groupBy re-ran per consumer
+    # (plan audit r10: 2 scans; now ONE corpus pass)
+    counts = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     # scalar (n, total) rides in on a broadcast instead of two extra
     # whole-frame windows — only the row_number rank needs the global
     # single-partition sort, and it sorts n_keys counts, not rows

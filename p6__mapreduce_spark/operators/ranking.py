@@ -121,7 +121,11 @@ def bm25_scores(
             F.size(F.filter("w", lambda t: t == F.lit(term))).alias(f"tf_{i}")
             for i, term in enumerate(query_terms)
         ],
-    )
+    ).localCheckpoint(eager=True)
+    # ^ narrow |docs|-bounded numeric relation (dl + per-term tf ints);
+    # it feeds the corpus-stats aggregate AND the scoring pass —
+    # unpinned, the tokenize + per-term array counts re-ran per
+    # consumer (plan audit r10: 2 documents scans; now ONE)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
@@ -223,10 +227,15 @@ def bigram_entropy(docs: DataFrame) -> DataFrame:
     """
     from p6__mapreduce_spark.dedup.jaccard import shingle_postings
 
+    # per-(doc, bigram) counts feed the per-doc totals AND the entropy
+    # join — unpinned, the corpus bigram explode re-ran per consumer
+    # (plan audit r10: 2 documents scans; now ONE — the
+    # char_bigram_entropy pin discipline)
     cnt = (
         shingle_postings(docs, 2, distinct=False)
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
     q6 = F.floor(
@@ -295,11 +304,16 @@ def bigram_lm(docs: DataFrame, min_pair_count: int = 2) -> DataFrame:
     from p6__mapreduce_spark.dedup.jaccard import shingle_postings
 
     arr = F.split("shingle", " ")
+    # vocab²-bounded; feeds the context sums AND the final join —
+    # unpinned, the corpus bigram explode re-ran per consumer (plan
+    # audit r10: 2 documents scans; now ONE — the bigram_perplexity
+    # pin, same relation)
     pairs = (
         shingle_postings(docs, 2, distinct=False)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c_pair"))
         .select(arr[0].alias("w1"), arr[1].alias("w2"), "c_pair")
+        .localCheckpoint(eager=True)
     )
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     return (

@@ -56,12 +56,18 @@ def word_freq(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-ratio language heuristic.
 
     predicted = argmax over languages of stopword-hit fraction;
     'und' (undetermined) when every score is 0. Ties break by language
     code ascending (deterministic). Scores are exact (int/int division).
+
+    ``keep_cols`` passes input columns through on the SAME map-side
+    projection — callers that need the prediction next to another doc
+    column (lang_id_confusion's declared lang) read the corpus once
+    instead of re-scanning for a doc_id self-join (plan audit r10; the
+    shingle_postings ``toks`` precedent).
     """
     toks = tokens_expr("text")
     n = F.size(toks)
@@ -80,7 +86,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.lit("und")
     for lang in sorted(LANG_STOPWORDS, reverse=True):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return docs.select("doc_id", *keep_cols, pred.alias("pred_lang"))
 
 
 def quality_score(docs: DataFrame, *, min_tokens: int = 20, max_chars: int = 2000) -> DataFrame:
@@ -457,9 +463,17 @@ def quantile_normalize_tokens(docs: DataFrame) -> DataFrame:
 
     from p6__mapreduce_spark.functions.ranks import two_phase_rank
 
-    nz = docs.select(
-        "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    # narrow |docs|-bounded numeric relation; feeds the two-phase rank,
+    # the pooled total AND the value histogram — unpinned, the corpus
+    # tokenize re-ran per consumer (plan audit r10: 2 documents scans;
+    # now ONE)
+    nz = (
+        docs.select(
+            "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)
+    )
     ranked = two_phase_rank(
         nz,
         ["n_tokens", "doc_id"],

@@ -48,6 +48,11 @@ def gap_fill_daily(
         .withColumn("rn", F.row_number().over(w_last))
         .filter(F.col("rn") == 1)
         .select("k", "day", F.col(value_col).alias("v_obs"))
+        # |keys x days|-bounded; feeds the span grid AND the fill join
+        # — unpinned, the corpus last-per-day window re-ran per
+        # consumer (plan audit r10: 2 events scans; now ONE — the
+        # upsert_latest_snapshot discipline)
+        .localCheckpoint(eager=True)
     )
     grid = (
         daily.groupBy("k")

@@ -4717,10 +4717,15 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("prev_type"),
     )
+    # |types|²-bounded; feeds the context sums AND the probability
+    # join — unpinned, the corpus lag window re-ran per consumer (plan
+    # audit r10: 2 events scans; now ONE — the bigram_lm pin, same
+    # shape)
     pairs = (
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("c_pair"))
+        .localCheckpoint(eager=True)
     )
     ctx = pairs.groupBy(F.col("prev_type").alias("cp")).agg(
         F.sum("c_pair").alias("c_ctx")
@@ -5025,10 +5030,13 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
+    # ≤10-row bounded histogram; feeds the totals aggregate AND the
+    # term grid — unpinned, the corpus bucket aggregation re-ran per
+    # consumer (plan audit r10: 2 events scans; now ONE)
     hist = split.groupBy("bucket").agg(
         F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias("n_base"),
         F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
-    )
+    ).localCheckpoint(eager=True)
     tot = hist.agg(F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur"))
     p = (F.col("n_base") + 1) * F.lit(1.0) / (F.col("t_base") + 10)
     q = (F.col("n_cur") + 1) * F.lit(1.0) / (F.col("t_cur") + 10)
@@ -5078,8 +5086,16 @@ def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_trunc and DuckDB)."""
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
-    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
-    activity = ev.select("user_id", wk.alias("activity_week")).distinct()
+    # the (user, week) distinct activity table is the natural reduced
+    # intermediate; pinned once, the cohort week FOLDS out of it
+    # exactly (MIN over a column is dedup-insensitive, so MIN of
+    # activity_week per user = MIN of wk over raw events) — unpinned,
+    # two independent corpus aggregations scanned events twice (plan
+    # audit r10; now ONE corpus pass)
+    activity = ev.select("user_id", wk.alias("activity_week")).distinct().localCheckpoint(
+        eager=True
+    )
+    firsts = activity.groupBy("user_id").agg(F.min("activity_week").alias("cohort_week"))
     return (
         activity.join(firsts, "user_id")
         .groupBy("cohort_week", "activity_week")
@@ -5212,10 +5228,14 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6__mapreduce_spark.operators.text_analysis import lang_id
 
     docs = load_table(spark, sf_dir, "documents")
-    preds = lang_id(docs)
+    # the declared lang rides the SAME map-side projection as the
+    # prediction (lang_id keep_cols) — the doc_id self-join re-scanned
+    # the corpus for one column (plan audit r10: 2 documents scans;
+    # now ONE, and no join: doc_id is unique so the 1:1 inner join was
+    # exactly this zip)
     return (
-        docs.select("doc_id", F.col("lang").alias("true_lang"))
-        .join(preds, "doc_id")
+        lang_id(docs, keep_cols=("lang",))
+        .select(F.col("lang").alias("true_lang"), "pred_lang")
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
@@ -5464,9 +5484,14 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     first)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # |days|-bounded; feeds BOTH self-join sides — unpinned, the
+    # corpus daily rollup re-ran per side (plan audit r10: 2 events
+    # scans; now ONE — the §5 multi-consumer daily-aggregate
+    # discipline)
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.sum(cents).alias("r_cents"))
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("day").alias("a_day"), F.col("r_cents").alias("a_r"))
     b = daily.select(F.col("day").alias("b_day"), F.col("r_cents").alias("b_r"))
@@ -7121,10 +7146,14 @@ def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
     ).filter(F.col("c") >= 1)
+    # ≤9-row bounded digit counts; feed the total AND the grid join —
+    # unpinned, the corpus digit aggregation re-ran per consumer (plan
+    # audit r10: 2 orders scans; now ONE)
     obs = (
         cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=True)
     )
     grid = spark.range(1, 10).select(F.col("id").alias("digit"))
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
