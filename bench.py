@@ -412,104 +412,13 @@ PROTOCOL_RUNNERS = [
 # open when this stamp mechanism replaced prune-by-convention).
 EXPECTED_REGRESSIONS: dict[str, dict] = {
     # "query_name": {"round": N, "reason": "plan replacement (rN): ..."},
-    "multi_touch_attribution": {
-        "round": 10,
-        "reason": (
-            "plan replacement (r10): user_id-only range join moved to "
-            "the keyed bin-bucket join (conversion_window_pairs) after "
-            "the hot-key audit measured 10x at a 50%-hot user; skew "
-            "time 6.2s -> 0.8s for ~0.3s extra uniform cost"
-        ),
-    },
-    "position_attribution": {
-        "round": 10,
-        "reason": (
-            "plan replacement (r10): same keyed bin-bucket pair stage "
-            "as multi_touch_attribution (hot-key audit, "
-            "SKEW_AUDIT_r10); skew time 4.6s -> 0.7s"
-        ),
-    },
+    # Pruned on schedule so far: approx_stats + vocab_growth_curve
+    # (landed r9, pruned at the r10 open), the r10 skew-fix pair
+    # (multi_touch/position_attribution) and the ~50-entry r10
+    # scan-audit sweep ledger (pruned at the r11 open — the pinned
+    # plans are the baseline now; guard test went red->green on the
+    # prune, as designed).
 }
-
-# r10 scan-audit sweep (OPTIMIZATION_r10.md §7-§9): every query below
-# had a multi-consumer corpus subtree that re-ran once per consumer
-# (ReusedExchange defeated by per-branch column pruning); the bounded
-# aggregate / naturally-materialized projection above the corpus pass
-# is now pinned with an eager localCheckpoint. At sf0.1 the pin can
-# cost more than the duplicate pass it removes (the duplicate ran
-# concurrently on idle local cores; the checkpoint adds serialized
-# jobs) — the 100 TB criterion (N corpus passes -> algorithmic floor)
-# is why the plans changed, per the r9 vocab_growth_curve precedent.
-_R10_PIN_REASON = (
-    "plan replacement (r10): multi-consumer corpus subtree pinned "
-    "(eager localCheckpoint; scan-audit sweep) — duplicate corpus "
-    "passes collapse to the algorithmic floor at the cost of the "
-    "checkpoint job(s) locally; plans/r10/<q>_{before,after}.txt"
-)
-for _q in (
-    "apriori_triples",
-    "basket_part_pairs",
-    "link_prediction_scores",
-    "logrank_test_conversion",
-    "kmv_audience_overlap",
-    "event_value_mad",
-    "session_funnel",
-    "conformal_interval_daily",
-    "ann_recall_audit",
-    "retrieval_ndcg_eval",
-    "retrieval_mrr_eval",
-    "matryoshka_recall_audit",
-    "embedding_neardup",
-    "semantic_dedup",
-    "cluster_medoids",
-    "jl_projection_audit",
-    "dedup_incremental",
-    "gopher_top_ngram_frac",
-    "bigram_perplexity",
-    "skipgram_pmi",
-    "ngram_pmi",
-    "unigram_surprise",
-    "tfidf_doc_terms",
-    "cascade_delete_audit",
-    "target_encode_loo",
-    "spearman_activity_value",
-    "cohort_ltv_curve",
-    "upsert_latest_snapshot",
-    "wasserstein_purchase_vs_click",
-    "ks_purchase_vs_click",
-    # batch 4 (OPTIMIZATION_r10.md §10): woe pin; snapshot_diff's
-    # new-side union-of-two-scans folded into one explode pass;
-    # cross_source's re-attach projection pinned
-    "woe_iv_segments",
-    "snapshot_diff",
-    "cross_source_dup_matrix",
-    # batch 5 (OPTIMIZATION_r10.md §11): tokenize-once pins (corpus
-    # token arrays materialized once instead of 3 scan+tokenize
-    # passes) and the chisq contingency marginals derived from the
-    # pinned (lang, source) aggregate
-    "dup_ngram_coverage",
-    "passage_dedup_rewrite",
-    "lang_source_chisq",
-    # batch 6 (OPTIMIZATION_r10.md §12): 2-scan tail — bounded
-    # aggregates / narrow per-doc relations pinned; lang_id_confusion
-    # rides the declared lang on the prediction projection (join
-    # eliminated); user_cohort_retention derives first-seen from the
-    # pinned activity table
-    "skew_profile",
-    "bigram_lm",
-    "bigram_entropy",
-    "bm25_scores",
-    "event_transition_matrix",
-    "value_drift_psi",
-    "benford_price_digits",
-    "ewma_daily_revenue",
-    "user_cohort_retention",
-    "quantile_normalize_tokens",
-    "gap_fill_daily",
-    "lang_id_confusion",
-    "hybrid_search_rrf",
-):
-    EXPECTED_REGRESSIONS.setdefault(_q, {"round": 10, "reason": _R10_PIN_REASON})
 
 # Variance-band ledger (r9 verdict #5): queries whose UNCHANGED plan
 # has a documented multi-round cold-time oscillation that the
