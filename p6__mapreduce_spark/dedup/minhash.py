@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.dedup.jaccard import ngram_jaccard_pairs, shingle_postings
+from p6__mapreduce_spark.functions.pin import pin_corpus
 from p6__mapreduce_spark.functions.hashing import POLY_MOD, poly_hash_expr
 
 # fixed affine-permutation parameters (deterministic; coprime with POLY_MOD)
@@ -171,7 +172,12 @@ def incremental_neardup_pairs(
         # Jaccard verify join; unpinned, the shingle explode re-ran per
         # consumer (plan audit r10: 4 documents scans). One pass per
         # side is the floor — corpus and batch are different inputs.
-        postings = shingle_postings(df, k).localCheckpoint(eager=True)
+        # Failure semantics (r11): posting lists are CORPUS-SIZED
+        # (~k× token bytes) → persist, not localCheckpoint — the same
+        # recomputable-lineage shape minhash_lsh_pairs has always used
+        # for its cached postings; a lost executor re-derives from the
+        # documents scan instead of failing the job.
+        postings = pin_corpus(shingle_postings(df, k))
         sigs = minhash_signatures(df, k, num_hashes, postings=postings)
         bands = F.array(
             *[

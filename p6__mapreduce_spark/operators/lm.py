@@ -215,11 +215,13 @@ def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
     builds the bigram counts (localCheckpoint-pinned); ONE window
     shuffle over that vocab²-bounded relation precomputes the argmax
     successor per context — succ(w1) = head by (count DESC, token
-    ASC) — also pinned. The walk itself is then ``steps`` 1-row
-    lookups against the vocab-bounded succ table, executed
-    driver-side (the pca/markov bounded-state discipline: each step's
-    state is ONE (token, count) pair, so collecting it is
-    corpus-size-independent).
+    ASC). The per-context head table (one row per context, bounded by
+    |vocab|, never by corpus bytes) is collected ONCE and the walk
+    runs in pure Python — the pca/markov bounded-state discipline
+    taken to its endpoint (r10 ADVICE: the per-step ``take(1)``
+    round trips were steps+1 driver jobs; one collect replaces them
+    all, and the dict lookup reproduces ``filter(w1 = token).take(1)``
+    exactly because w1 is unique in the head table).
 
     The retired fully-relational chain (each step = join + TakeOrdered
     against ``pairs``, all steps UNIONed) embedded state_{k-1}'s
@@ -261,8 +263,11 @@ def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint(eager=True)  # steps lookups fan out
     )
+    # ONE job collects the |vocab|-bounded head table; w1 is unique in
+    # it (rn == 1), so the dict walk below is exactly the retired
+    # per-step filter(w1 == token).take(1), minus steps driver jobs.
+    head = {r["w1"]: (r["w2"], int(r["c"])) for r in succ.collect()}
     seed = (
         pairs.groupBy("w1")
         .agg(F.sum("c").cast("long").alias("c"))
@@ -274,11 +279,11 @@ def lm_greedy_generation(docs: DataFrame, steps: int = GEN_STEPS) -> DataFrame:
         token = seed[0]["w1"]
         rows.append((0, token, int(seed[0]["c"])))
         for k in range(1, int(steps) + 1):
-            hit = succ.filter(F.col("w1") == F.lit(token)).take(1)
-            if not hit:
+            hit = head.get(token)
+            if hit is None:
                 break  # dead-end context: rollout ends early
-            token = hit[0]["w2"]
-            rows.append((k, token, int(hit[0]["c"])))
+            token = hit[0]
+            rows.append((k, token, hit[1]))
     schema = StructType(
         [
             StructField("step", LongType()),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from p6__mapreduce_spark.functions.pin import pin_corpus
 from p6__mapreduce_spark.functions.text import tokens_expr
 from p6__mapreduce_spark.operators.text_analysis import TOKENS_ORACLE
 
@@ -121,11 +122,15 @@ def bm25_scores(
             F.size(F.filter("w", lambda t: t == F.lit(term))).alias(f"tf_{i}")
             for i, term in enumerate(query_terms)
         ],
-    ).localCheckpoint(eager=True)
-    # ^ narrow |docs|-bounded numeric relation (dl + per-term tf ints);
-    # it feeds the corpus-stats aggregate AND the scoring pass —
-    # unpinned, the tokenize + per-term array counts re-ran per
-    # consumer (plan audit r10: 2 documents scans; now ONE)
+    )
+    toks = pin_corpus(toks)
+    # ^ narrow numeric relation (dl + per-term tf ints), but one row
+    # PER DOCUMENT — corpus-proportional, so it is pinned with persist
+    # (recomputable lineage, disk spill) rather than localCheckpoint
+    # (r11 failure-semantics pass). It feeds the corpus-stats
+    # aggregate AND the scoring pass — unpinned, the tokenize +
+    # per-term array counts re-ran per consumer (plan audit r10: 2
+    # documents scans; now ONE)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),

@@ -163,6 +163,52 @@ RESOLUTIONS: list[dict] = [
         "must_match": r"stale_expected_entry_round",
         "must_not_match": r"EXPECTED_REGRESSIONS: dict\[str, str\]",
     },
+    {
+        "name": "r10-corpus-sized-localcheckpoint-pins",
+        "file": "p6__mapreduce_spark/dedup/substring.py",
+        "match": "extends eager localCheckpoint pinning from bounded aggregates to corpus-sized relations",
+        "status": "fixed",
+        # r11: corpus-proportional pins (token tables here and in
+        # passage.py, gopher_top_ngram_frac, the per-side minhash
+        # postings, the bm25 per-doc relation) moved to pin_corpus =
+        # persist(MEMORY_AND_DISK) + eager count — recomputable lineage
+        # on executor loss, disk spill instead of corpus-scale
+        # executor-local checkpoint storage. Bounded pins keep
+        # localCheckpoint (classification in OPTIMIZATION_r11.md).
+        "must_match": r"pin_corpus\(",
+        "must_not_match": r"\.localCheckpoint\(",
+    },
+    {
+        "name": "r10-eager-pins-in-constructors",
+        "file": "p6__mapreduce_spark/operators/robust.py",
+        "match": "localCheckpoint(eager=True) inside operator/query constructors",
+        "status": "accepted",
+        # Documented tradeoff + partial fix: corpus-sized pins now
+        # route through functions/pin.py whose PLAN_ONLY flag lets
+        # plan-audit tools skip the materialization job (persist
+        # registers the cache at call time, so the captured plan is
+        # unchanged). The BOUNDED localCheckpoint pins (like the daily
+        # rollup here) stay eager on purpose: a lazy localCheckpoint
+        # keeps full lineage in the plan until the first action, which
+        # would change the very plan shape the audits inspect, and the
+        # branches of one action race to recompute an unmaterialized
+        # pin (measured 2.5x on the minhash posting cache).
+        "must_match": r"localCheckpoint pins it",
+        "must_not_match": None,
+    },
+    {
+        "name": "r10-lm-walk-driver-roundtrips",
+        "file": "p6__mapreduce_spark/operators/lm.py",
+        "match": "steps+1 driver round-trip jobs",
+        "status": "fixed",
+        # r11 (the advice's own suggestion): the vocab-bounded succ
+        # head table is collected ONCE and the 15-step greedy walk runs
+        # in pure Python — steps+1 take(1) jobs collapse to one collect
+        # job; tie-breaks/dead-end/empty-corpus semantics pinned by
+        # tests/test_round10_lm_walk.py against the chain replica.
+        "must_match": r"collected ONCE",
+        "must_not_match": r"steps \+ 1 take\(1\) jobs",
+    },
 ]
 
 _ITEM_RE = re.compile(

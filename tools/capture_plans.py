@@ -34,7 +34,11 @@ def main() -> None:
     from p6__mapreduce_spark.queries import QUERIES
     from p6__mapreduce_spark.session import get_session
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_TAG", "r11"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("capture_plans")
     for name in names:
