@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 from p6__mapreduce_spark.functions.vectors import dot_product, l2_norm
 
@@ -85,12 +86,14 @@ def cosine_neardup_pairs_lsh(
     # re-attach sides); unpinned, the bucket projection re-ran per
     # consumer (plan audit r10: 4 embeddings scans). One corpus pass
     # materializes it — the guide-§8 "fingerprint once" discipline.
-    bucketed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        l2_norm(vec_col).alias("n"),
-        _bucket_expr(vec_col, planes).alias("bucket"),
-    ).localCheckpoint(eager=True)
+    bucketed = pin_corpus(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            l2_norm(vec_col).alias("n"),
+            _bucket_expr(vec_col, planes).alias("bucket"),
+        )
+    )
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 
 def _cents(col) -> F.Column:
@@ -302,10 +303,8 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     # |keys|-bounded; feeds the scalar (n, total) aggregate AND the
     # ranked window — unpinned, the corpus groupBy re-ran per consumer
     # (plan audit r10: 2 scans; now ONE corpus pass)
-    counts = (
-        df.groupBy(F.col(key_col).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+    counts = pin_corpus(
+        df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
     )
     # scalar (n, total) rides in on a broadcast instead of two extra
     # whole-frame windows — only the row_number rank needs the global

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 
 def basket_part_pairs(lineitem: DataFrame, min_pair_support: int = 3) -> DataFrame:
@@ -42,11 +43,7 @@ def basket_part_pairs(lineitem: DataFrame, min_pair_support: int = 3) -> DataFra
     # audit r10: 5 lineitem scans). Pin it once — the basket table is
     # the natural written intermediate of any market-basket pipeline
     # at 100 TB (one corpus pass, then vocabulary-bounded work).
-    items = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    items = pin_corpus(lineitem.select("l_orderkey", "l_partkey").distinct())
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part1"))
     b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part2"))
@@ -141,10 +138,8 @@ def apriori_triples(lineitem: DataFrame, *, minsup: int = 2, k: int = 100) -> Da
     # L1 and the pruned-basket build (plan audit r10: 7 lineitem scans
     # without it). One corpus pass materializes the basket relation —
     # the SON/PFP per-level discipline.
-    op = (
-        lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    op = pin_corpus(
+        lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     )
     n_baskets = op.select(F.count_distinct("o").alias("nb"))
     l1 = (
@@ -154,7 +149,7 @@ def apriori_triples(lineitem: DataFrame, *, minsup: int = 2, k: int = 100) -> Da
     )
     # the pruned baskets feed five subtree consumers (a, b twice, c);
     # pin so the L1 semi-join runs once, not per consumer
-    pruned = op.join(l1, "p").select("o", "p", "s1").localCheckpoint(eager=True)
+    pruned = pin_corpus(op.join(l1, "p").select("o", "p", "s1"))
     a, b, c = (pruned.alias(x) for x in "abc")
     col = F.col
     l2 = (

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 from p6__mapreduce_spark.functions.hashing import poly_hash_expr
 from p6__mapreduce_spark.functions.text import tokens_expr
@@ -87,10 +88,8 @@ def dsir_weights(
     # At 100 TB this is the standard written intermediate: the counts
     # relation is |docs| x <= num_buckets rows, far smaller than the
     # gram instances it collapses.
-    per_doc_bucket = (
-        grams.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    per_doc_bucket = pin_corpus(
+        grams.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
     )
     bucket_counts = per_doc_bucket.groupBy("bucket").agg(
         F.sum("c").alias("c_s"),

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 from p6__mapreduce_spark.functions.text import tokens_expr
 
@@ -55,9 +56,9 @@ def nbayes_source_confusion(docs: DataFrame) -> DataFrame:
     # pruned subtrees — un-pinned, the corpus tokenize + explode ran
     # four times. One eager checkpoint = one corpus pass (the dsir
     # discipline; see OPTIMIZATION_r10.md).
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokens_expr("text")).alias("token")
-    ).localCheckpoint(eager=True)
+    tok = pin_corpus(
+        docs.select("doc_id", "source", F.explode(tokens_expr("text")).alias("token"))
+    )
     cts = tok.groupBy("token", "source").agg(F.count(F.lit(1)).alias("c_ts"))
     ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     vocab = tok.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))

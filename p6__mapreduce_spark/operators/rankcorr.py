@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 
 def _midrank2(per_key: DataFrame, col: str, out: str) -> DataFrame:
@@ -55,10 +56,12 @@ def spearman_user_activity_value(events: DataFrame) -> DataFrame:
     # |users|-bounded; feeds both midrank tables AND the ranked join —
     # unpinned, the corpus aggregation re-ran per consumer (plan audit
     # r10: 3 events scans; now 1)
-    per_user = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("x"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
-    ).localCheckpoint(eager=True)
+    per_user = pin_corpus(
+        events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+    )
     rx = _midrank2(per_user, "x", "rx2")
     ry = _midrank2(per_user, "y", "ry2")
     ranked = per_user.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")

@@ -50,11 +50,10 @@ def tfidf_doc_terms(docs: DataFrame) -> DataFrame:
     # tf feeds the df rollup AND the final join — pinned so the corpus
     # tokenize+explode runs once (plan audit r10: 3 documents scans
     # unpinned; the char_bigram_entropy / tfidf_cosine_topk discipline)
-    tf = (
+    tf = pin_corpus(
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -236,11 +235,10 @@ def bigram_entropy(docs: DataFrame) -> DataFrame:
     # join — unpinned, the corpus bigram explode re-ran per consumer
     # (plan audit r10: 2 documents scans; now ONE — the
     # char_bigram_entropy pin discipline)
-    cnt = (
+    cnt = pin_corpus(
         shingle_postings(docs, 2, distinct=False)
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
     n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
     q6 = F.floor(
@@ -578,13 +576,14 @@ def tfidf_cosine_topk(
                 * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
             ).alias("wq"),
         )
-        # the weight table feeds FOUR consumers (join sides a/b + both
-        # norm lookups); without materialization Catalyst re-plans the
-        # tokenize+tf+df subtree once per consumer — 4 corpus scans.
-        # Same localCheckpoint discipline as pq/kmeans/textrank; at
-        # cluster scale this becomes a written intermediate.
-        .localCheckpoint(eager=True)
     )
+    # the weight table feeds FOUR consumers (join sides a/b + both
+    # norm lookups); without materialization Catalyst re-plans the
+    # tokenize+tf+df subtree once per consumer — 4 corpus scans.
+    # Per-(doc, token) rows are corpus-proportional -> persist
+    # (recomputable lineage, the written-intermediate analogue), not
+    # localCheckpoint (r11 failure-semantics pass).
+    w = pin_corpus(w)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nrm2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("wq").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("tok_b"), F.col("wq").alias("wb"))

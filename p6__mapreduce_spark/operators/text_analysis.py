@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 from p6__mapreduce_spark.functions.hashing import POLY_BASE, POLY_MOD, poly_hash_expr
 from p6__mapreduce_spark.functions.text import tokens_expr
@@ -467,12 +468,10 @@ def quantile_normalize_tokens(docs: DataFrame) -> DataFrame:
     # the pooled total AND the value histogram — unpinned, the corpus
     # tokenize re-ran per consumer (plan audit r10: 2 documents scans;
     # now ONE)
-    nz = (
+    nz = pin_corpus(
         docs.select(
             "doc_id", "source", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
-        )
-        .filter(F.col("n_tokens") > 0)
-        .localCheckpoint(eager=True)
+        ).filter(F.col("n_tokens") > 0)
     )
     ranked = two_phase_rank(
         nz,
@@ -564,10 +563,9 @@ def vocab_growth_curve(docs: DataFrame, *, n_checkpoints: int = 20) -> DataFrame
     per_doc_tokens = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tok")
     )
-    doc_ck = (
+    doc_ck = pin_corpus(  # feeds both the type and token rollups
         doc_rank.crossJoin(F.broadcast(n_docs))  # 1-row scalar broadcast (labeled)
         .select("doc_id", "rk", ck)
-        .localCheckpoint(eager=True)  # feeds both the type and token rollups
     )
     new_types = (
         vocab.join(doc_ck.select(F.col("doc_id").alias("first_doc"), "checkpoint"), "first_doc")

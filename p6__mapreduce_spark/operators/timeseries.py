@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from p6__mapreduce_spark.functions.pin import pin_corpus
 
 
 def gap_fill_daily(
@@ -48,12 +49,13 @@ def gap_fill_daily(
         .withColumn("rn", F.row_number().over(w_last))
         .filter(F.col("rn") == 1)
         .select("k", "day", F.col(value_col).alias("v_obs"))
-        # |keys x days|-bounded; feeds the span grid AND the fill join
-        # — unpinned, the corpus last-per-day window re-ran per
-        # consumer (plan audit r10: 2 events scans; now ONE — the
-        # upsert_latest_snapshot discipline)
-        .localCheckpoint(eager=True)
     )
+    # |keys x days| rows (keys are per-entity -> corpus-proportional);
+    # feeds the span grid AND the fill join — unpinned, the corpus
+    # last-per-day window re-ran per consumer (plan audit r10: 2
+    # events scans; now ONE — the upsert_latest_snapshot discipline).
+    # persist, not localCheckpoint: recomputable lineage (r11).
+    daily = pin_corpus(daily)
     grid = (
         daily.groupBy("k")
         .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))

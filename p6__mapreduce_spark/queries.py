@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.operators.core import distinct_sorted, line_count, range_bucket_sort
 from p6__mapreduce_spark.operators.mapreduce import mr_run, sort_job, wordcount_job
+from p6__mapreduce_spark.functions.pin import pin_corpus
 from p6__mapreduce_spark.sources.readers import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4282,7 +4283,7 @@ def q_upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upd feeds the union AND the anti-join key list — pinned so the
     # update batch's window reduction runs once (plan audit r10: 3
     # events scans; now 2 — one per side, the merge floor)
-    upd = latest(events.filter(F.col("ts") >= cutoff)).localCheckpoint(eager=True)
+    upd = pin_corpus(latest(events.filter(F.col("ts") >= cutoff)))
     merged = upd.unionByName(snap.join(upd.select("user_id"), "user_id", "left_anti"))
     return merged.orderBy("user_id")
 
@@ -4346,16 +4347,17 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their corpus aggregation re-ran per consumer (plan audit r10: 6
     # events scans). Pinned, the query keeps exactly three pushed-
     # filter corpus scans — the staged-funnel algorithm's floor.
-    v = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    ).localCheckpoint(eager=True)
-    c = (
+    v = pin_corpus(
+        events.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+        )
+    )
+    c = pin_corpus(
         events.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint(eager=True)
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
@@ -5092,9 +5094,7 @@ def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # activity_week per user = MIN of wk over raw events) — unpinned,
     # two independent corpus aggregations scanned events twice (plan
     # audit r10; now ONE corpus pass)
-    activity = ev.select("user_id", wk.alias("activity_week")).distinct().localCheckpoint(
-        eager=True
-    )
+    activity = pin_corpus(ev.select("user_id", wk.alias("activity_week")).distinct())
     firsts = activity.groupBy("user_id").agg(F.min("activity_week").alias("cohort_week"))
     return (
         activity.join(firsts, "user_id")
@@ -5614,10 +5614,8 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the bin-bucket range join runs once (plan audit r10: 4 events
     # scans unpinned; the pair table is attribution's natural
     # intermediate)
-    pairs = (
-        conversion_window_pairs(ev)
-        .select("click_id", "purchase_id", "p_cents")
-        .localCheckpoint(eager=True)
+    pairs = pin_corpus(
+        conversion_window_pairs(ev).select("click_id", "purchase_id", "p_cents")
     )
     touch = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touch"))
     return (
@@ -6277,7 +6275,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpinned, the documents scan re-ran per side (plan audit r10: 3
     # documents scans). Pin it once — the dcda043 re-attach discipline
     # (one corpus pass materializes the 2-column lookup).
-    src = docs.select("doc_id", "source").localCheckpoint(eager=True)
+    src = pin_corpus(docs.select("doc_id", "source"))
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     return (
         pairs.join(src.withColumnRenamed("doc_id", "id1").withColumnRenamed("source", "s1"), "id1")
@@ -7221,9 +7219,9 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |users|-bounded; feeds cohort sizes AND the purchase join —
     # pinned so the corpus first-seen aggregation runs once (plan
     # audit r10: 3 events scans; now 2 — cohorting + purchase scan)
-    firstday = events.groupBy("user_id").agg(
-        F.min(day(F.col("ts"))).alias("cohort_day")
-    ).localCheckpoint(eager=True)
+    firstday = pin_corpus(
+        events.groupBy("user_id").agg(F.min(day(F.col("ts"))).alias("cohort_day"))
+    )
     sizes = firstday.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_users")
     )
@@ -7461,15 +7459,11 @@ def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan audit r10: 5 customer + 3 orders scans). Both are bounded
     # key sets — pin once. The per-table totals stay separate count-
     # only scans (parquet-footer metadata reads).
-    forget = (
-        c.filter(F.col("c_custkey") % 97 == 0)
-        .select("c_custkey")
-        .localCheckpoint(eager=True)
+    forget = pin_corpus(
+        c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     )
-    fo = (
-        o.join(forget, o["o_custkey"] == forget["c_custkey"])
-        .select("o_orderkey")
-        .localCheckpoint(eager=True)
+    fo = pin_corpus(
+        o.join(forget, o["o_custkey"] == forget["c_custkey"]).select("o_orderkey")
     )
 
     def row(entity: str, affected: DataFrame, total: DataFrame) -> DataFrame:
@@ -8531,10 +8525,12 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
-        # the reduced (day, user) table feeds both the day grid and
-        # the fan-out: materialize once, never rescan raw events
-        .localCheckpoint(eager=True)
     )
+    # the reduced (day, user) table feeds both the day grid and the
+    # fan-out: materialize once, never rescan raw events. Per-user
+    # rows are corpus-proportional -> persist (recomputable lineage),
+    # not localCheckpoint (r11 failure-semantics pass).
+    du = pin_corpus(du)
     days = du.select("day").distinct().select(F.col("day").alias("d"))
     fanned = du.select(
         "day",
@@ -8856,10 +8852,8 @@ def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("b"),
     )
-    cnt = (
-        bg.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+    cnt = pin_corpus(
+        bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tot = cnt.groupBy(F.col("doc_id").alias("td")).agg(
         F.sum("c").cast("long").alias("n")
