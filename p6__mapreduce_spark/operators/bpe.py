@@ -73,7 +73,16 @@ def _train(
     docs: DataFrame, num_merges: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the merge-learning iteration; returns (merge list, final
-    vocab state with fully-merged symbol arrays)."""
+    vocab state with fully-merged symbol arrays).
+
+    Job-shape note (r11, guide §2.6): deferring the per-round vocab
+    checkpoint behind a lazy fold chain (re-checkpoint every 4 rounds,
+    halving per-round job count) was implemented, verified
+    merge-identical, and measured 2.17 -> 2.25 s at sf0.1 — the
+    chained folds' re-evaluation plus deeper per-round expressions
+    cost MORE than the saved checkpoint job, so the per-round eager
+    checkpoint stays (it is also what bounds plan depth at any
+    num_merges)."""
     vocab = word_vocab(docs).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for i in range(num_merges):

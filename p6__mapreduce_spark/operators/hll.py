@@ -199,10 +199,27 @@ def weekly_users_sketch_rollup(events: DataFrame) -> DataFrame:
     distinct agg. No driver state; no floats before the single final
     estimate expression.
     """
+    # ONE corpus pass shared by the sketch and the exact-contrast
+    # branches (r10 "examined, deferred" item, resolved r11): the
+    # registers are a pure function of user_id and MAX is
+    # dedup-insensitive, so registers built over the DISTINCT
+    # (day, user) table are bit-identical to registers over raw
+    # events — and the exact branch already pays that distinct
+    # shuffle, so sharing it costs the sketch path nothing it wasn't
+    # indirectly paying in the same query. Corpus-proportional rows →
+    # pin_corpus (persist; recomputable lineage). Note this is a
+    # property of THIS query (sketch + exact contrast together); a
+    # sketch-only rollup should keep the raw map-side register
+    # projection, which never shuffles (day, user).
+    from p6__mapreduce_spark.functions.pin import pin_corpus
+
+    du = pin_corpus(
+        events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    )
     w = _mix32(F.col("user_id"))
     daily_regs = (
-        events.select(
-            F.to_date("ts").alias("day"),
+        du.select(
+            "day",
             w.bitwiseAND(F.lit(M_W - 1)).alias("idx"),
             _rho_expr(F.shiftright(w, P_W), VBITS_W).alias("rho"),
         )
@@ -223,10 +240,8 @@ def weekly_users_sketch_rollup(events: DataFrame) -> DataFrame:
             "s_hit"
         ),
     )
-    daily_exact = (
-        events.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("exact_daily"))
+    daily_exact = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_daily")
     )
     weekly_exact = daily_exact.groupBy(F.weekofyear("day").alias("week")).agg(
         F.sum("exact_daily").cast("long").alias("sum_daily_naive"),

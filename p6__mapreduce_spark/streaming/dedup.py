@@ -21,6 +21,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from p6__mapreduce_spark.streaming.partitions import stream_partitions
+
 
 def run_streaming_dedup(
     spark: SparkSession,
@@ -50,16 +52,17 @@ def run_streaming_dedup(
         .select(*keys)
         .dropDuplicates(list(keys))
     )
-    query = (
-        stream.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-        # the memory sink owns the rows once the run finishes; keeping
-        # the staged parquet copies would leak 2x the input per call
-        shutil.rmtree(src, ignore_errors=True)
+    with stream_partitions(spark, src):  # volume-derived state partitions
+        query = (
+            stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+            # the memory sink owns the rows once the run finishes; keeping
+            # the staged parquet copies would leak 2x the input per call
+            shutil.rmtree(src, ignore_errors=True)
     out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 - generated name
     return out.orderBy(*keys)
 

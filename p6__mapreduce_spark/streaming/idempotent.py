@@ -39,6 +39,11 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from p6__mapreduce_spark.streaming.partitions import (
+    restore_stream_partitions,
+    set_stream_partitions,
+)
 from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.sources.sinks import publish_parquet_atomic
@@ -147,11 +152,13 @@ def run_foreachbatch_idempotent_upsert(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    _sp_old = set_stream_partitions(spark, src)  # volume-derived state partitions
     query = stream.writeStream.foreachBatch(_sink).start()
     try:
         query.processAllAvailable()
     finally:
         query.stop()
+        restore_stream_partitions(spark, _sp_old)
         shutil.rmtree(src, ignore_errors=True)
 
     # redelivery proof: distributed checksum before and after

@@ -21,6 +21,11 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from p6__mapreduce_spark.streaming.partitions import (
+    restore_stream_partitions,
+    set_stream_partitions,
+)
 from pyspark.sql import functions as F
 
 from p6__mapreduce_spark.sources.readers import load_table
@@ -99,6 +104,7 @@ def run_streaming_click_purchase_join(
             F.unix_micros("purchase_ts").alias("purchase_us"),
         )
         name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        _sp_old = set_stream_partitions(spark, src)  # volume-derived state partitions
         query = (
             joined.writeStream.outputMode("append").format("memory").queryName(name).start()
         )
@@ -106,6 +112,7 @@ def run_streaming_click_purchase_join(
             query.processAllAvailable()
         finally:
             query.stop()
+            restore_stream_partitions(spark, _sp_old)
         # the memory sink holds the rows; the staging dir can go away
         return spark.table(name).orderBy("click_id", "purchase_id")
     finally:
@@ -206,6 +213,7 @@ def run_streaming_click_purchase_left_join(
             F.unix_micros("purchase_ts").alias("purchase_us"),
         )
         name = f"stream_ljoin_{uuid.uuid4().hex[:8]}"
+        _sp_old = set_stream_partitions(spark, src)  # volume-derived state partitions
         query = (
             joined.writeStream.outputMode("append").format("memory").queryName(name).start()
         )
@@ -213,6 +221,7 @@ def run_streaming_click_purchase_left_join(
             query.processAllAvailable()
         finally:
             query.stop()
+            restore_stream_partitions(spark, _sp_old)
         return (
             spark.table(name)
             .filter(F.col("click_id") >= 0)
@@ -360,6 +369,7 @@ def run_streaming_click_purchase_full_join(
             F.unix_micros("purchase_ts").alias("purchase_us"),
         )
         name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
+        _sp_old = set_stream_partitions(spark, src)  # volume-derived state partitions
         query = (
             joined.writeStream.outputMode("append").format("memory").queryName(name).start()
         )
@@ -367,6 +377,7 @@ def run_streaming_click_purchase_full_join(
             query.processAllAvailable()
         finally:
             query.stop()
+            restore_stream_partitions(spark, _sp_old)
         return (
             spark.table(name)
             # NULL-safe sentinel drop: outer rows carry NULL ids

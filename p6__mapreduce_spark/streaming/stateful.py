@@ -69,6 +69,11 @@ def run_streaming_running_totals(spark, events_parquet: str):
 
     from pyspark.sql import functions as F
 
+    from p6__mapreduce_spark.streaming.partitions import (
+        restore_stream_partitions,
+        set_stream_partitions,
+    )
+
     src = tempfile.mkdtemp(prefix="p6_stream_totals_")
     try:
         base = spark.read.parquet(events_parquet).select("event_id", "user_id", "value")
@@ -85,6 +90,7 @@ def run_streaming_running_totals(spark, events_parquet: str):
         stream = (
             spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
         )
+        _sp_old = set_stream_partitions(spark, src)  # volume-derived state partitions
         query = (
             user_running_totals(stream)
             .writeStream.outputMode("update")
@@ -96,6 +102,7 @@ def run_streaming_running_totals(spark, events_parquet: str):
             query.processAllAvailable()
         finally:
             query.stop()
+            restore_stream_partitions(spark, _sp_old)
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))

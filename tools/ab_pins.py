@@ -13,6 +13,12 @@ equivalence check.
 Usage: python tools/ab_pins.py [sf_dir] [reps] query [query ...]
 Prints one JSON line per query: {"query": ..., "a_med": ..., "b_med":
 ..., "a": [...], "b": [...], "rows_equal": true}.
+
+AB_ARM_A=none switches arm A from the retired localCheckpoint shape
+to the fully UNPINNED shape (pin_corpus = identity): the r9-and-
+earlier plan where every consumer re-executes the corpus subtree.
+That is the arm the r10 verdict asked to measure at a scale where
+corpus passes dominate (item 2: sf1 A/B of the most-pinned queries).
 """
 
 from __future__ import annotations
@@ -45,8 +51,15 @@ def main() -> None:
 
     shipped_pin = pin.pin_corpus
 
-    def retired_pin(df):  # the r10 shape
-        return df.localCheckpoint(eager=True)
+    if os.environ.get("AB_ARM_A") == "none":
+
+        def retired_pin(df):  # the unpinned (pre-r10) shape
+            return df
+
+    else:
+
+        def retired_pin(df):  # the r10 shape
+            return df.localCheckpoint(eager=True)
 
     def run(name: str, arm_pin, timed: bool) -> tuple[float, list | None]:
         pin.pin_corpus = arm_pin
