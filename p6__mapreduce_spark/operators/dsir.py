@@ -43,24 +43,30 @@ from p6__mapreduce_spark.functions.text import tokens_expr
 
 
 def _gram_instances(docs: DataFrame, num_buckets: int) -> DataFrame:
-    """(doc_id, lang, bucket) per unigram AND bigram instance."""
+    """(doc_id, lang, bucket) per unigram AND bigram instance.
+
+    One scan, one explode (r11): the retired UNION of a unigram branch
+    and a bigram branch read the corpus twice — visible as two parquet
+    scans inside the pinned subtree once pin_corpus made the
+    materialization pass part of the plan. ``concat`` of the token
+    array with the bigram array feeds a single explode; the instance
+    MULTISET is identical (per doc: all unigrams then all bigrams),
+    and every consumer aggregates, so row order is immaterial."""
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("w")).filter(
         F.size("w") > 0
     )
-    uni = toks.select("doc_id", "lang", F.explode("w").alias("gram"))
-    bi = toks.filter(F.size("w") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat(
-                    F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
-                ),
-            )
-        ).alias("gram"),
-    )
-    return uni.unionByName(bi).select(
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat(
+                F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id", "lang", F.explode(F.concat("w", bigrams)).alias("gram")
+    ).select(
         "doc_id", "lang", (poly_hash_expr("gram") % F.lit(num_buckets)).alias("bucket")
     )
 

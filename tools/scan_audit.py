@@ -38,10 +38,18 @@ def main() -> None:
     else:
         sf_dir, names = "/root/testdata/sf0.01", args
 
+    from p6__mapreduce_spark.functions import pin
     from p6__mapreduce_spark.plans import formatted_plan
     from p6__mapreduce_spark.queries import QUERIES
     from p6__mapreduce_spark.session import get_session
 
+    # plan-only: skip corpus-pin materialization jobs at construction
+    # (r10 ADVICE #2). persist registers the cache at call time, so the
+    # captured plans — and these counts — are unchanged; note that a
+    # pin_corpus relation's single materialization pass appears in the
+    # plan as the cached subtree's scan (+1 per table vs the r10
+    # localCheckpoint shape, which hid that pass at construction time).
+    pin.PLAN_ONLY = True
     spark = get_session("scan_audit")
     todo = names or sorted(QUERIES)
     for name in todo:
