@@ -33,6 +33,30 @@ from p6__mapreduce_spark.plans import (  # noqa: E402  (public-API helpers)
 )
 
 
+def _count_outside_cache(plan: str, needle: str) -> int:
+    """Occurrences of ``needle`` in a plan tree EXCLUDING lines nested
+    under an ``InMemoryRelation`` — a pin_corpus-cached subtree is
+    printed inline once per consumer reference (and, materialized,
+    once per AQE section), so raw substring counts over-report
+    executed nodes; the cached subtree executes exactly once."""
+    import re as _re
+
+    count = 0
+    cache_depth: int | None = None
+    for line in plan.splitlines():
+        m = _re.search(r"[A-Za-z=]", line)
+        depth = m.start() if m else 0
+        if cache_depth is not None and depth > cache_depth:
+            continue  # inside the cached subtree
+        cache_depth = None
+        if "InMemoryRelation" in line:
+            cache_depth = depth
+            continue
+        if needle in line:
+            count += 1
+    return count
+
+
 def test_q1_filter_pushed_to_parquet_scan(spark):
     df = pricing_summary(load_table(spark, SF, "lineitem"))
     plan = formatted(df)
@@ -202,12 +226,17 @@ def test_bm25_scoring_side_has_no_explode_or_shuffle(spark):
 
 def test_tfidf_single_explode_feeds_both_aggregations(spark):
     # tf and df must come from ONE explode of the corpus — a second
-    # Generate would re-tokenize and re-shuffle the postings
+    # Generate NODE outside the pinned cache would re-tokenize and
+    # re-shuffle the postings. Since r11 the tf relation is
+    # pin_corpus-persisted: both aggregations must read the cache, and
+    # the only Generate lives inside the cached subtree (executed
+    # exactly once to materialize it).
     from p6__mapreduce_spark.operators.ranking import tfidf_doc_terms
 
     df = tfidf_doc_terms(load_table(spark, SF, "documents"))
     plan = plan_of(df)
-    assert plan.count("Generate") <= 2  # explode appears once per consumed subtree
+    assert _count_outside_cache(plan, "Generate") == 0, plan
+    assert "InMemoryTableScan" in plan  # consumers read the pinned cache
     assert plan.count("BroadcastExchange") >= 1  # corpus-size row broadcast
 
 
@@ -302,7 +331,9 @@ def test_closing_batch_plan_shapes(spark):
 
     knn = plan_of(QUERIES["tfidf_cosine_topk"](spark, SF))
     assert "CartesianProduct" not in knn
-    assert knn.count("BroadcastNestedLoopJoin") <= 1  # 1-row N scalar
+    # the 1-row N scalar; the pinned weight cache's subtree prints per
+    # consumer reference, so count executed nodes outside the cache
+    assert _count_outside_cache(knn, "BroadcastNestedLoopJoin") <= 1
 
     peak = plan_of(QUERIES["peak_concurrency_daily"](spark, SF))
     # the sweep window is day-partitioned, never a global sort
